@@ -1,0 +1,7 @@
+"""feabas_tpu: TPU-native elastic stitching & 3D alignment for EM connectomics.
+
+A ground-up JAX/XLA/Pallas rebuild of the capabilities of FEABAS
+(YuelongWu/feabas). See ARCHITECTURE.md for the design.
+"""
+
+__version__ = '0.1.0'
