@@ -2,11 +2,36 @@
 is exercised without TPU hardware; the bench runs on the real chip."""
 
 import os
+import sys
 
-os.environ.setdefault('JAX_PLATFORMS', 'cpu')
-prev = os.environ.get('XLA_FLAGS', '')
-if 'xla_force_host_platform_device_count' not in prev:
-    os.environ['XLA_FLAGS'] = (prev + ' --xla_force_host_platform_device_count=8').strip()
+# The machine's sitecustomize (PYTHONPATH=.../axon_site) pre-imports JAX with
+# the axon TPU backend in every interpreter, so setting JAX_PLATFORMS at
+# conftest time is too late. Re-exec pytest once with a clean CPU environment
+# (8 virtual devices so sharding logic is exercised without TPU hardware).
+# The re-exec lives in pytest_configure so global capture can be released
+# first (otherwise the child writes into the dead capture file).
+
+
+def pytest_configure(config):
+    if os.environ.get('FEABAS_TPU_TEST_REEXEC') == '1':
+        return
+    env = dict(os.environ)
+    env['FEABAS_TPU_TEST_REEXEC'] = '1'
+    env['JAX_PLATFORMS'] = 'cpu'
+    flags = env.get('XLA_FLAGS', '')
+    if 'xla_force_host_platform_device_count' not in flags:
+        env['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
+    pyp = [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+           if p and 'axon_site' not in p]
+    if pyp:
+        env['PYTHONPATH'] = os.pathsep.join(pyp)
+    else:
+        env.pop('PYTHONPATH', None)
+    capman = config.pluginmanager.getplugin('capturemanager')
+    if capman is not None:
+        capman.stop_global_capturing()
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, '-m', 'pytest'] + args, env)
 
 import numpy as np
 import pytest
