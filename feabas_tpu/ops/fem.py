@@ -1,0 +1,288 @@
+"""Matrix-free finite-element kernels.
+
+The global stiffness system of the reference (scipy sparse assembly +
+minres/pyAMG, ``feabas/optimizer.py:1945``, element math
+``feabas/material.py:134-309``) is recast for TPU as a matrix-free operator:
+
+    A·x = lambda_s * K(x) + C^T W C x
+
+where ``K(x)`` gathers per-element displacement vectors, applies per-element
+6x6 stiffness blocks with one batched einsum (MXU work), and scatter-adds
+back, and the crosslink term does the same over (vertex-index, barycentric,
+weight) link arrays. No sparse matrix is ever formed; the system is solved
+with Jacobi-preconditioned CG under ``lax.while_loop``.
+
+Element conventions (derived independently; scaling matches the reference so
+``stiffness_lambda`` configs transfer): per-element DOF vector
+``uv = [u1,v1,u2,v2,u3,v3]``; ``B`` (4x6) maps ``uv`` to the flattened
+displacement gradient ``[du/dx, du/dy, dv/dx, dv/dy]``; element area factor
+``area2 = 2*area``; K_e = area2 * (Bn B)^T D (Bn B).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feabas_tpu import constant as const
+
+# Voigt selector: [du/dx, dv/dy, du/dy + dv/dx] from the flat gradient
+_VOIGT = np.array([[1, 0, 0, 0],
+                   [0, 0, 0, 1],
+                   [0, 1, 1, 0]], dtype=np.float32)
+# flat(F^-T) = U @ flat(F) / det(F)
+_ADJT = np.array([[0, 0, 0, 1],
+                  [0, 0, -1, 0],
+                  [0, -1, 0, 0],
+                  [1, 0, 0, 0]], dtype=np.float32)
+
+
+def shape_matrices(tripts):
+    """Per-element gradient operator.
+
+    Args:
+        tripts: (NT, 3, 2) resting-state triangle vertex coordinates.
+    Returns:
+        B: (NT, 4, 6) with B @ uv = [du/dx, du/dy, dv/dx, dv/dy].
+        area2: (NT,) twice the signed area (abs).
+    """
+    tripts = jnp.asarray(tripts)
+    e = jnp.roll(tripts, -1, axis=1) - jnp.roll(tripts, 1, axis=1)  # edge opp. each vtx
+    area2 = jnp.abs(e[:, 0, 0] * e[:, 1, 1] - e[:, 0, 1] * e[:, 1, 0])
+    gx = e[:, :, 1] / area2[:, None]          # dN_i/dx
+    gy = -e[:, :, 0] / area2[:, None]         # dN_i/dy
+    nt = tripts.shape[0]
+    B = jnp.zeros((nt, 4, 6), dtype=tripts.dtype)
+    B = B.at[:, 0, 0::2].set(gx)
+    B = B.at[:, 1, 0::2].set(gy)
+    B = B.at[:, 2, 1::2].set(gx)
+    B = B.at[:, 3, 1::2].set(gy)
+    return B, area2
+
+
+def _dmat(poisson, dtype):
+    """Plane-stress-like elasticity matrix, unit modulus: (NT,3,3)."""
+    nu = jnp.asarray(poisson)
+    nt = nu.shape[0]
+    D = jnp.zeros((nt, 3, 3), dtype=dtype)
+    D = D.at[:, 0, 0].set(1.0)
+    D = D.at[:, 1, 1].set(1.0)
+    D = D.at[:, 0, 1].set(nu)
+    D = D.at[:, 1, 0].set(nu)
+    D = D.at[:, 2, 2].set((1.0 - nu) / 2.0)
+    return D
+
+
+def eng_element_stiffness(B, area2, multiplier, poisson):
+    """Linear engineering-strain element stiffness (NT,6,6)."""
+    Bn = jnp.einsum('ij,njk->nik', jnp.asarray(_VOIGT, B.dtype), B)
+    D = _dmat(poisson, B.dtype)
+    K = jnp.einsum('nji,njk,nkl->nil', Bn, D, Bn)
+    return K * (area2 * multiplier)[:, None, None]
+
+
+def deformation_gradient(B, uv):
+    """flat F = B@uv + flat(I): (NT,4) = [F11,F12,F21,F22]."""
+    F = jnp.einsum('nij,nj->ni', B, uv)
+    return F + jnp.asarray([1.0, 0.0, 0.0, 1.0], B.dtype)
+
+
+def area_stretch(B, uv):
+    F = deformation_gradient(B, uv)
+    return F[:, 0] * F[:, 3] - F[:, 1] * F[:, 2]
+
+
+def eng_element_stress(Ke, uv):
+    return jnp.einsum('nij,nj->ni', Ke, uv)
+
+
+def svk_element(B, area2, uv, multiplier, poisson):
+    """St. Venant-Kirchhoff tangent stiffness + internal force.
+
+    Returns (Ke (NT,6,6), Pe (NT,6)). At uv=0 the tangent equals the linear
+    engineering stiffness (used as a test invariant).
+    """
+    dtype = B.dtype
+    F = deformation_gradient(B, uv)           # [F11,F12,F21,F22]
+    F11, F12, F21, F22 = F[:, 0], F[:, 1], F[:, 2], F[:, 3]
+    # Green strain, Voigt [E11, E22, 2E12]
+    E11 = 0.5 * (F11 * F11 + F21 * F21 - 1.0)
+    E22 = 0.5 * (F12 * F12 + F22 * F22 - 1.0)
+    E12x2 = F11 * F12 + F21 * F22
+    Ev = jnp.stack([E11, E22, E12x2], axis=-1)[..., None]     # (NT,3,1)
+    D = _dmat(poisson, dtype)
+    S = jnp.einsum('nij,njk->nik', D, Ev)[:, :, 0]            # (NT,3) [S11,S22,S12]
+    # BN: dE_voigt = BN @ duv; rows from dE = sym(F^T dF)
+    zero = jnp.zeros_like(F11)
+    AF = jnp.stack([
+        jnp.stack([F11, zero, F21, zero], -1),
+        jnp.stack([zero, F12, zero, F22], -1),
+        jnp.stack([F12, F11, F22, F21], -1),
+    ], axis=1)                                                # (NT,3,4)
+    BN = jnp.einsum('nij,njk->nik', AF, B)                    # (NT,3,6)
+    # geometric stiffness: block-diag [[S11,S12],[S12,S22]] per component
+    S11, S22, S12 = S[:, 0], S[:, 1], S[:, 2]
+    Sg = jnp.zeros((F.shape[0], 4, 4), dtype=dtype)
+    Sg = Sg.at[:, 0, 0].set(S11).at[:, 1, 1].set(S22)
+    Sg = Sg.at[:, 2, 2].set(S11).at[:, 3, 3].set(S22)
+    Sg = Sg.at[:, 0, 1].set(S12).at[:, 1, 0].set(S12)
+    Sg = Sg.at[:, 2, 3].set(S12).at[:, 3, 2].set(S12)
+    Kmat = jnp.einsum('nji,njk,nkl->nil', BN, D, BN)
+    Kgeo = jnp.einsum('nji,njk,nkl->nil', B, Sg, B)
+    scale = (area2 * multiplier)[:, None, None]
+    Ke = (Kmat + Kgeo) * scale
+    Pe = jnp.einsum('nji,nj->ni', BN, S) * (area2 * multiplier)[:, None]
+    return Ke, Pe
+
+
+def nhk_element(B, area2, uv, multiplier):
+    """Neo-Hookean (mu-only, psi = mu/2 (I1 - 2 - 2 ln J)) tangent + force."""
+    dtype = B.dtype
+    F = deformation_gradient(B, uv)
+    J = F[:, 0] * F[:, 3] - F[:, 1] * F[:, 2]
+    U = jnp.asarray(_ADJT, dtype)
+    Fu = jnp.einsum('ij,nj->ni', U, F)        # flat adj(F)^T = J * flat(F^-T)
+    # P_flat = mu (F - F^-T) = mu (F - Fu/J)
+    Pf = F - Fu / J[:, None]
+    # dP/dF = mu (I - U/J + (Fu Fu^T)/J^2)
+    I4 = jnp.eye(4, dtype=dtype)
+    dPdF = (I4[None] - U[None] / J[:, None, None]
+            + Fu[:, :, None] * Fu[:, None, :] / (J ** 2)[:, None, None])
+    scale = 0.5 * area2 * multiplier
+    Ke = jnp.einsum('nji,njk,nkl->nil', B, dPdF, B) * scale[:, None, None]
+    Pe = jnp.einsum('nji,nj->ni', B, Pf) * scale[:, None]
+    return Ke, Pe
+
+
+def stiffness_curve_multiplier(J, knots_x, knots_y):
+    """Per-element nonlinear stiffness factor from a sampled curve."""
+    return jnp.interp(J, knots_x, knots_y, left=knots_y[0], right=knots_y[-1])
+
+
+# ------------------------- gather / scatter ------------------------- #
+
+def gather_uv(x, tris):
+    """x: (NV,2) -> per-element (NT,6) [u1,v1,u2,v2,u3,v3]."""
+    return x[tris].reshape(tris.shape[0], 6)
+
+
+def scatter_uv(y_e, tris, nv):
+    """(NT,6) element contributions -> (NV,2) via scatter-add."""
+    return jnp.zeros((nv, 2), dtype=y_e.dtype).at[tris].add(
+        y_e.reshape(-1, 3, 2))
+
+
+def stiffness_matvec(x, Ke, tris):
+    """K @ x for (NV,2) x."""
+    uv = gather_uv(x, tris)
+    y = jnp.einsum('nij,nj->ni', Ke, uv)
+    return scatter_uv(y, tris, x.shape[0])
+
+
+def stiffness_diag(Ke, tris, nv):
+    d = jnp.diagonal(Ke, axis1=1, axis2=2)     # (NT,6)
+    return scatter_uv(d, tris, nv)
+
+
+def stiffness_force(x, Ke, tris):
+    """Internal force vector for linear elements (= K x)."""
+    return stiffness_matvec(x, Ke, tris)
+
+
+# ------------------------- crosslinks ------------------------- #
+# A link couples a barycentric point on mesh A to one on mesh B (global
+# vertex indexing): residual r_l = sum_i b1_i x[i1_i] - sum_i b0_i x[i0_i]
+# + offset_l, weighted by w_l. (reference Link: feabas/optimizer.py:17-233)
+
+def link_eval(x, idx, bary):
+    """Barycentric sample of (NV,2) x at links: (L,2)."""
+    return jnp.einsum('lk,lkc->lc', bary, x[idx])
+
+
+def link_residual(x, idx0, bary0, idx1, bary1, offset):
+    return link_eval(x, idx1, bary1) - link_eval(x, idx0, bary0) + offset
+
+
+def crosslink_matvec(x, idx0, bary0, idx1, bary1, weight):
+    """(C^T W C) x with W = diag(weight^2) over both xy components."""
+    r = link_eval(x, idx1, bary1) - link_eval(x, idx0, bary0)
+    r = r * (weight ** 2)[:, None]
+    out = jnp.zeros_like(x)
+    out = out.at[idx1].add(bary1[:, :, None] * r[:, None, :])
+    out = out.at[idx0].add(-bary0[:, :, None] * r[:, None, :])
+    return out
+
+
+def crosslink_rhs(x_current, idx0, bary0, idx1, bary1, weight, offset):
+    """-C^T W r(x_current): RHS so that solving A dx = rhs reduces link
+    residuals from the current configuration."""
+    r = link_residual(x_current, idx0, bary0, idx1, bary1, offset)
+    r = r * (weight ** 2)[:, None]
+    out = jnp.zeros_like(x_current)
+    out = out.at[idx1].add(-bary1[:, :, None] * r[:, None, :])
+    out = out.at[idx0].add(bary0[:, :, None] * r[:, None, :])
+    return out
+
+
+def crosslink_diag(nv, idx0, bary0, idx1, bary1, weight, dtype=jnp.float32):
+    """Diagonal of C^T W C. Exact when each link row holds distinct vertices
+    (a triangle's corners) and the two sides index disjoint vertex ranges
+    (two different meshes) — both always true for real links; used only as
+    a Jacobi preconditioner otherwise."""
+    w2 = (weight ** 2)[:, None]
+    d = jnp.zeros((nv, 2), dtype=dtype)
+    d = d.at[idx1].add((bary1 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
+    d = d.at[idx0].add((bary0 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
+    return d
+
+
+# ------------------------- PCG solver ------------------------- #
+
+def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000):
+    """Jacobi-preconditioned conjugate gradients.
+
+    matvec operates on (NV,2) arrays; ``diag`` is the operator diagonal for
+    the preconditioner (entries <=0 are treated as 1). Termination:
+    ||r|| <= max(tol*||b||, atol). Returns (x, iterations, residual_norm).
+    Runs fully under jit via lax.while_loop (replaces scipy minres+pyAMG at
+    reference feabas/optimizer.py:1945-2080).
+    """
+    b = jnp.asarray(b)
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    if diag is None:
+        minv = jnp.ones_like(b)
+    else:
+        minv = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0), 1.0)
+
+    bnorm = jnp.linalg.norm(b)
+    limit = jnp.maximum(tol * bnorm, atol)
+
+    def dot(a, c):
+        return jnp.vdot(a, c)
+
+    r0 = b - matvec(x0)
+    z0 = minv * r0
+    p0 = z0
+    rz0 = dot(r0, z0)
+
+    def cond(state):
+        x, r, p, rz, it = state
+        return jnp.logical_and(it < maxiter, jnp.linalg.norm(r) > limit)
+
+    def body(state):
+        x, r, p, rz, it = state
+        Ap = matvec(p)
+        pAp = dot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = minv * r
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return (x, r, p, rz_new, it + 1)
+
+    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
+    return x, it, jnp.linalg.norm(r)

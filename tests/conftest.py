@@ -18,6 +18,7 @@ def pytest_configure(config):
     env = dict(os.environ)
     env['FEABAS_TPU_TEST_REEXEC'] = '1'
     env['JAX_PLATFORMS'] = 'cpu'
+    env['JAX_ENABLE_X64'] = 'True'  # validate solver math in f64 on CPU
     flags = env.get('XLA_FLAGS', '')
     if 'xla_force_host_platform_device_count' not in flags:
         env['XLA_FLAGS'] = (flags + ' --xla_force_host_platform_device_count=8').strip()
