@@ -1,0 +1,254 @@
+"""Host-plane vector geometry: transform fitting, mask-backed region
+geometry, PSLG generation, and grid point generators.
+
+Replaces the reference's shapely/GEOS layer (``feabas/spatial.py``) with a
+mask-backed design: regions originate from label masks, contours are
+extracted and simplified with cv2, and material membership of any point is
+answered by sampling the mask — no boolean polygon algebra needed.
+"""
+
+import cv2
+import numpy as np
+
+from feabas_tpu import constant as const
+from feabas_tpu.common import imread
+
+
+# ------------------------- transform fitting ------------------------- #
+
+def fit_affine(pts0, pts1, weights=None, return_rigid=False, avoid_flip=True):
+    """Weighted least-squares affine mapping pts1 -> pts0.
+
+    Returns a 3x3 row-vector transform T ([x, y, 1] @ T ~ [x', y', 1]),
+    optionally alongside its closest rigid transform (rotation+translation
+    via weighted Procrustes). Degenerate inputs (rank-deficient, < 3 points)
+    fall back to rigid/translation fits; reflections are suppressed when
+    ``avoid_flip`` (capability parity: reference feabas/spatial.py:21).
+    """
+    pts0 = np.asarray(pts0, dtype=np.float64).reshape(-1, 2)
+    pts1 = np.asarray(pts1, dtype=np.float64).reshape(-1, 2)
+    n = pts0.shape[0]
+    if weights is None:
+        w = np.ones(n)
+    else:
+        w = np.clip(np.asarray(weights, dtype=np.float64).ravel(), 0, None)
+        if w.sum() == 0:
+            w = np.ones(n)
+    wsum = w.sum()
+    c0 = (pts0 * w[:, None]).sum(0) / wsum
+    c1 = (pts1 * w[:, None]).sum(0) / wsum
+    q0 = pts0 - c0
+    q1 = pts1 - c1
+    # weighted Procrustes rotation (always computable)
+    H = (q1 * w[:, None]).T @ q0
+    U, _, Vt = np.linalg.svd(H)
+    S = np.eye(2)
+    if np.linalg.det(U @ Vt) < 0:
+        S[1, 1] = -1
+    R = U @ S @ Vt
+    T_rigid = np.eye(3)
+    T_rigid[:2, :2] = R
+    T_rigid[2, :2] = c0 - c1 @ R
+
+    # full affine via weighted normal equations; fall back on deficiency
+    A = None
+    if n >= 3:
+        M = (q1 * w[:, None]).T @ q1
+        if np.linalg.matrix_rank(M) == 2 and np.linalg.cond(M) < 1e8:
+            A = np.linalg.solve(M, (q1 * w[:, None]).T @ q0)
+    if A is None or (avoid_flip and np.linalg.det(A) <= 0):
+        T = T_rigid.copy()
+    else:
+        T = np.eye(3)
+        T[:2, :2] = A
+        T[2, :2] = c0 - c1 @ A
+    if return_rigid:
+        return T, T_rigid
+    return T
+
+
+def apply_affine(pts, T):
+    pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+    return pts @ T[:2, :2] + T[2, :2]
+
+
+def find_rotation_for_minimum_rectangle(pts):
+    """Rotation angle (radians) that minimizes the bounding rectangle of a
+    point set (reference: feabas/spatial.py:525)."""
+    pts = np.asarray(pts, dtype=np.float32).reshape(-1, 2)
+    if pts.shape[0] < 3:
+        return 0.0
+    rect = cv2.minAreaRect(pts)
+    theta = np.deg2rad(rect[2])
+    # normalize to smallest-magnitude equivalent rotation
+    theta = (theta + np.pi / 4) % (np.pi / 2) - np.pi / 4
+    return float(theta)
+
+
+# ------------------------- grids ------------------------- #
+
+def generate_equilat_grid_bbox(bbox, side_len):
+    """Equilateral-triangle lattice covering bbox (with margin)."""
+    xmin, ymin, xmax, ymax = bbox
+    dy = side_len * np.sin(np.pi / 3)
+    ny = int(np.ceil((ymax - ymin) / dy)) + 2
+    nx = int(np.ceil((xmax - xmin) / side_len)) + 3
+    ys = ymin - dy + np.arange(ny + 1) * dy
+    pts = []
+    for r, y in enumerate(ys):
+        x0 = xmin - side_len + (side_len / 2 if r % 2 else 0)
+        xs = x0 + np.arange(nx + 1) * side_len
+        pts.append(np.stack([xs, np.full_like(xs, y)], axis=-1))
+    return np.concatenate(pts, axis=0)
+
+
+def generate_equilat_grid_mask(mask, side_len, offset=(0, 0), scale=1.0):
+    """Lattice points inside a boolean/label mask (mask>0), in world coords
+    (mask pixel (c, r) -> world (c*scale+offset_x, r*scale+offset_y))."""
+    mask = np.asarray(mask)
+    h, w = mask.shape[:2]
+    bbox = (offset[0], offset[1], offset[0] + w * scale, offset[1] + h * scale)
+    pts = generate_equilat_grid_bbox(bbox, side_len)
+    cc = np.round((pts[:, 0] - offset[0]) / scale).astype(np.int64)
+    rr = np.round((pts[:, 1] - offset[1]) / scale).astype(np.int64)
+    ok = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < h)
+    inside = np.zeros(pts.shape[0], dtype=bool)
+    inside[ok] = mask[rr[ok], cc[ok]] > 0
+    return pts[inside]
+
+
+# ------------------------- mask <-> contours ------------------------- #
+
+def mask_to_contours(mask, simplify_tol=2.0):
+    """Extract (outer, holes) contour rings from a boolean mask.
+
+    Returns list of (ring, is_hole) where ring is (K,2) float64 in pixel
+    coordinates, simplified with Douglas-Peucker at ``simplify_tol``.
+    """
+    m = (np.asarray(mask) > 0).astype(np.uint8)
+    contours, hierarchy = cv2.findContours(m, cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE)
+    rings = []
+    if hierarchy is None:
+        return rings
+    for c, h in zip(contours, hierarchy[0]):
+        if simplify_tol > 0:
+            c = cv2.approxPolyDP(c, simplify_tol, closed=True)
+        ring = c.reshape(-1, 2).astype(np.float64)
+        if ring.shape[0] < 3:
+            continue
+        is_hole = h[3] >= 0
+        rings.append((ring, is_hole))
+    return rings
+
+
+def ring_area(ring):
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def resample_ring(ring, spacing):
+    """Insert vertices so no segment is longer than ``spacing`` (keeps the
+    original corners)."""
+    out = []
+    n = ring.shape[0]
+    for i in range(n):
+        p0, p1 = ring[i], ring[(i + 1) % n]
+        seg = p1 - p0
+        d = np.hypot(*seg)
+        k = max(int(np.ceil(d / spacing)), 1)
+        for t in range(k):
+            out.append(p0 + seg * (t / k))
+    return np.asarray(out)
+
+
+class Geometry:
+    """Region geometry of one section: a label mask + material table mapping.
+
+    The mask is the source of truth; simplified contours derive the PSLG for
+    meshing, and material membership queries sample the mask (reference
+    counterpart builds shapely polygon sets: feabas/spatial.py:561-1269).
+
+    Attributes:
+        label_mask: (H,W) integer mask of material labels.
+        offset: world coordinates of pixel (0,0).
+        scale: world units per mask pixel.
+    """
+
+    def __init__(self, label_mask, material_table=None, offset=(0, 0),
+                 scale=1.0, resolution=None):
+        self.label_mask = np.asarray(label_mask)
+        if self.label_mask.ndim == 3:
+            self.label_mask = self.label_mask[..., 0]
+        self.offset = np.asarray(offset, dtype=np.float64)
+        self.scale = float(scale)
+        self.resolution = resolution
+        if material_table is None:
+            from feabas_tpu.config import material_table as default_table
+            material_table = default_table()
+        self.material_table = material_table
+
+    @classmethod
+    def from_image(cls, path, material_table=None, **kwargs):
+        mask = imread(path, flag=cv2.IMREAD_GRAYSCALE)
+        return cls(mask, material_table=material_table, **kwargs)
+
+    @property
+    def exclude_label(self):
+        try:
+            return self.material_table['exclude'].mask_label
+        except KeyError:
+            return 255
+
+    def roi_mask(self):
+        return self.label_mask != self.exclude_label
+
+    def material_mask(self, name):
+        return self.label_mask == self.material_table[name].mask_label
+
+    def label_at(self, pts):
+        """Material mask label at world points (nearest pixel; outside -> exclude)."""
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        cc = np.round((pts[:, 0] - self.offset[0]) / self.scale).astype(np.int64)
+        rr = np.round((pts[:, 1] - self.offset[1]) / self.scale).astype(np.int64)
+        h, w = self.label_mask.shape
+        out = np.full(pts.shape[0], self.exclude_label,
+                      dtype=self.label_mask.dtype)
+        ok = (cc >= 0) & (cc < w) & (rr >= 0) & (rr < h)
+        out[ok] = self.label_mask[rr[ok], cc[ok]]
+        return out
+
+    def bbox(self):
+        h, w = self.label_mask.shape
+        return (self.offset[0], self.offset[1],
+                self.offset[0] + w * self.scale, self.offset[1] + h * self.scale)
+
+    def region_areas(self):
+        """World-area per material name present in the mask."""
+        labels, counts = np.unique(self.label_mask, return_counts=True)
+        lut = {m.mask_label: n for n, m in self.material_table}
+        px_area = self.scale ** 2
+        return {lut.get(int(lb), f'label{int(lb)}'): int(ct) * px_area
+                for lb, ct in zip(labels, counts)}
+
+    def PSLG(self, simplify_tol=2.0, area_thresh=0):
+        """Planar straight-line graph of the ROI boundary (world coords).
+
+        Returns dict with 'vertices' (N,2), 'segments' (S,2) vertex-index
+        pairs, suitable for conforming triangulation (reference:
+        feabas/spatial.py:1270)."""
+        rings = mask_to_contours(self.roi_mask(), simplify_tol=simplify_tol)
+        vertices = []
+        segments = []
+        for ring, _is_hole in rings:
+            if area_thresh > 0 and ring_area(ring) * self.scale ** 2 < area_thresh:
+                continue
+            base = sum(len(v) for v in vertices)
+            ring_w = ring * self.scale + self.offset
+            vertices.append(ring_w)
+            n = ring_w.shape[0]
+            seg = np.stack([np.arange(n), (np.arange(n) + 1) % n], axis=-1) + base
+            segments.append(seg)
+        if not vertices:
+            return {'vertices': np.zeros((0, 2)), 'segments': np.zeros((0, 2), int)}
+        return {'vertices': np.concatenate(vertices, axis=0),
+                'segments': np.concatenate(segments, axis=0)}
