@@ -1,0 +1,660 @@
+"""Spring-linked-mesh optimization.
+
+`Link` stores point correspondences between two meshes as (triangle,
+barycentric) anchors; `SLM` bundles meshes + links and runs the solver
+cascade: per-mesh translation LSQ -> greedy affine cascade -> global
+elastic relaxation (linear or Newton-Raphson).
+
+The elastic solve is TPU-native: meshes concatenate into one global vertex
+array, element stiffness blocks and crosslink operators act matrix-free
+(``feabas_tpu.ops.fem``), and a Jacobi-PCG runs under jit. This replaces the
+reference's scipy-sparse assembly + minres/pyAMG
+(``feabas/optimizer.py:487-2080``); staging/gear semantics and the
+lambda auto-balancing convention (negative lambda -> trace-ratio balance,
+reference ``optimizer.py:1571``) are preserved so configs transfer.
+"""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from feabas_tpu import common, config
+from feabas_tpu import constant as const
+from feabas_tpu.mesh import Mesh
+from feabas_tpu.ops import fem
+
+
+class Link:
+    """Point correspondences between two meshes (reference: optimizer.py:17).
+
+    Anchors are (tid, barycentric) pairs on each mesh at the INITIAL gear,
+    so they stay valid while vertices move. ``weight`` is the static match
+    confidence; ``residue_weight`` is the multiplicative robust-damping
+    factor updated between solves.
+    """
+
+    def __init__(self, mesh0, mesh1, tid0, bary0, tid1, bary1, weight=None,
+                 name=None):
+        self.meshes = (mesh0, mesh1)
+        self._tid0 = np.asarray(tid0, dtype=np.int64)
+        self._bary0 = np.asarray(bary0, dtype=np.float64)
+        self._tid1 = np.asarray(tid1, dtype=np.int64)
+        self._bary1 = np.asarray(bary1, dtype=np.float64)
+        n = self._tid0.shape[0]
+        self._weight = (np.ones(n) if weight is None
+                        else np.asarray(weight, np.float64).ravel())
+        self.residue_weight = np.ones(n)
+        self._disabled = False
+        self._name = name
+
+    @classmethod
+    def from_coordinates(cls, mesh0, mesh1, xy0, xy1, weight=None,
+                         gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL),
+                         **kwargs):
+        xy0 = np.asarray(xy0, np.float64).reshape(-1, 2)
+        xy1 = np.asarray(xy1, np.float64).reshape(-1, 2)
+        tid0 = mesh0.tri_finder(xy0, gear=gear[0], extrapolate=True)
+        tid1 = mesh1.tri_finder(xy1, gear=gear[1], extrapolate=True)
+        bary0 = mesh0.cart2bary(xy0, tid0, gear=gear[0])
+        bary1 = mesh1.cart2bary(xy1, tid1, gear=gear[1])
+        # points whose barycentric coordinates are wildly outside their
+        # triangle were extrapolated too far; drop them
+        ok = (np.abs(bary0).max(axis=-1) < 3) & (np.abs(bary1).max(axis=-1) < 3)
+        if weight is not None:
+            weight = np.asarray(weight, np.float64).ravel()[ok]
+        return cls(mesh0, mesh1, tid0[ok], bary0[ok], tid1[ok], bary1[ok],
+                   weight=weight, **kwargs)
+
+    @property
+    def name(self):
+        if self._name is None:
+            return f'{self.meshes[0].name or int(self.meshes[0].uid)}__to__' \
+                   f'{self.meshes[1].name or int(self.meshes[1].uid)}'
+        return self._name
+
+    @property
+    def num_matches(self):
+        return 0 if self._disabled else self._tid0.shape[0]
+
+    @property
+    def uids(self):
+        return (self.meshes[0].uid, self.meshes[1].uid)
+
+    @property
+    def disabled(self):
+        return self._disabled
+
+    def disable(self):
+        self._disabled = True
+
+    def enable(self):
+        self._disabled = False
+
+    def weight(self):
+        return self._weight * self.residue_weight
+
+    def xy0(self, gear=const.MESH_GEAR_MOVING):
+        return self.meshes[0].bary2cart(self._tid0, self._bary0, gear=gear)
+
+    def xy1(self, gear=const.MESH_GEAR_MOVING):
+        return self.meshes[1].bary2cart(self._tid1, self._bary1, gear=gear)
+
+    def dxy(self, gear=const.MESH_GEAR_MOVING):
+        """Residual vectors xy1 - xy0 at a gear (world units)."""
+        if isinstance(gear, (tuple, list)):
+            g0, g1 = gear
+        else:
+            g0 = g1 = gear
+        return self.xy1(gear=g1) - self.xy0(gear=g0)
+
+    def residues(self, gear=const.MESH_GEAR_MOVING):
+        return np.linalg.norm(self.dxy(gear=gear), axis=-1)
+
+    def adjust_weight_from_residue(self, gear=const.MESH_GEAR_MOVING,
+                                   residue_len=0, residue_mode=None):
+        """Robust reweighting: 'huber' damps by residue_len/|r|; 'threshold'
+        zeroes matches beyond residue_len (reference: optimizer.py:198-233).
+        Returns (changed, fraction_kept)."""
+        if residue_mode is None or residue_len <= 0 or self.num_matches == 0:
+            return False, 1.0
+        r = self.residues(gear=gear)
+        if residue_mode == 'huber':
+            new_w = np.clip(residue_len / np.clip(r, 1e-9, None), None, 1.0)
+        elif residue_mode == 'threshold':
+            new_w = (r <= residue_len).astype(np.float64)
+        else:
+            raise ValueError(f'unknown residue mode {residue_mode}')
+        changed = not np.allclose(new_w, self.residue_weight)
+        self.residue_weight = new_w
+        kept = float((self.weight() > 0).mean()) if new_w.size else 1.0
+        return changed, kept
+
+    def reset_residue_weight(self):
+        self.residue_weight = np.ones(self._tid0.shape[0])
+
+    def global_arrays(self, offset0, offset1):
+        """(idx0, bary0, idx1, bary1, weight) with global vertex indices."""
+        m0, m1 = self.meshes
+        idx0 = m0.triangles[self._tid0] + offset0
+        idx1 = m1.triangles[self._tid1] + offset1
+        return idx0, self._bary0, idx1, self._bary1, self.weight()
+
+
+class SLM:
+    """A system of meshes coupled by links (reference: optimizer.py:487)."""
+
+    def __init__(self, meshes=None, links=None, **kwargs):
+        self.meshes = list(meshes) if meshes else []
+        self.links = list(links) if links else []
+        self._stiffness_lambda = kwargs.get('stiffness_lambda', 1.0)
+        self._crosslink_lambda = kwargs.get('crosslink_lambda', 1.0)
+        self._dtype = kwargs.get('dtype', None)
+
+    # ------------------------- bookkeeping ------------------------- #
+
+    def add_mesh(self, mesh):
+        self.meshes.append(mesh)
+
+    def mesh_by_uid(self, uid):
+        for m in self.meshes:
+            if m.uid == uid:
+                return m
+        raise KeyError(uid)
+
+    def add_link(self, link, check_duplicates=False):
+        self.links.append(link)
+
+    def add_link_from_coordinates(self, uid0, uid1, xy0, xy1, weight=None,
+                                  gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL),
+                                  **kwargs):
+        link = Link.from_coordinates(self.mesh_by_uid(uid0), self.mesh_by_uid(uid1),
+                                     xy0, xy1, weight=weight, gear=gear, **kwargs)
+        if link.num_matches > 0:
+            self.links.append(link)
+        return link
+
+    @property
+    def num_meshes(self):
+        return len(self.meshes)
+
+    @property
+    def lock_flags(self):
+        return np.asarray([m.locked for m in self.meshes], dtype=bool)
+
+    def active_links(self):
+        return [l for l in self.links if (not l.disabled) and l.num_matches > 0
+                and np.any(l.weight() > 0)]
+
+    def prune_links(self, min_matches=1):
+        self.links = [l for l in self.links if l.num_matches >= min_matches]
+
+    def clear_equation_terms(self):
+        self._system = None
+
+    def match_residues(self, gear=const.MESH_GEAR_MOVING, quantile=None):
+        rr = [l.residues(gear=gear) for l in self.active_links()]
+        if not rr:
+            return np.zeros(0)
+        r = np.concatenate(rr)
+        if quantile is not None:
+            return np.quantile(r, quantile)
+        return r
+
+    def mesh_connectivity(self):
+        """Connected components of the mesh-link graph. Returns labels per
+        mesh (locked meshes participate)."""
+        import scipy.sparse as sparse
+        import scipy.sparse.csgraph as csgraph
+        n = self.num_meshes
+        uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
+        rows, cols = [], []
+        for l in self.active_links():
+            u0, u1 = l.uids
+            rows.append(uid2idx[u0])
+            cols.append(uid2idx[u1])
+        g = sparse.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+        _, labels = csgraph.connected_components(g, directed=False)
+        return labels
+
+    # ------------------------- translation solve ------------------------- #
+
+    def optimize_translation(self, **kwargs):
+        """Per-mesh rigid translations minimizing weighted link residuals
+        (reference optimize_translation_lsqr: optimizer.py:974). Locked
+        meshes are fixed; per connected component with no locked mesh the
+        weighted-mean translation is pinned to zero. Writes target_gear."""
+        target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        start_gear = kwargs.get('start_gear', target_gear)
+        n = self.num_meshes
+        uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
+        lock = self.lock_flags
+        AtA = np.zeros((n, n))
+        Atb = np.zeros((n, 2))
+        for l in self.active_links():
+            i0 = uid2idx[l.uids[0]]
+            i1 = uid2idx[l.uids[1]]
+            w2 = (l.weight() ** 2)
+            sw = w2.sum()
+            if sw <= 0:
+                continue
+            # residual r = (P1 + t1) - (P0 + t0); minimize sum w^2 |r|^2
+            d = (l.dxy(gear=start_gear) * w2[:, None]).sum(axis=0)
+            AtA[i0, i0] += sw
+            AtA[i1, i1] += sw
+            AtA[i0, i1] -= sw
+            AtA[i1, i0] -= sw
+            Atb[i0] += d
+            Atb[i1] -= d
+        labels = self.mesh_connectivity()
+        t = np.zeros((n, 2))
+        for lbl in np.unique(labels):
+            sel = labels == lbl
+            fixed = sel & lock
+            free = sel & (~lock)
+            if not free.any():
+                continue
+            A = AtA[np.ix_(free, free)]
+            b = Atb[free]
+            if fixed.any():
+                # locked meshes act as zero-translation anchors already
+                # (their t stays 0), their coupling is in A's diagonal
+                pass
+            else:
+                A = A + np.eye(A.shape[0]) * max(A.diagonal().max(), 1.0) * 1e-8
+            try:
+                sol = np.linalg.lstsq(A, b, rcond=None)[0]
+            except np.linalg.LinAlgError:
+                continue
+            if not fixed.any():
+                sol = sol - sol.mean(axis=0, keepdims=True)
+            t[free] = sol
+        for m, ti, lk in zip(self.meshes, t, lock):
+            if lk:
+                if not m.vertices_initialized(target_gear):
+                    m.set_vertices(m.vertices(start_gear), target_gear,
+                                   offset=m.offset(start_gear))
+                continue
+            m.set_vertices(m.vertices(start_gear), target_gear,
+                           offset=m.offset(start_gear) + ti)
+        r = self.match_residues(gear=target_gear)
+        return float(r.max()) if r.size else 0.0
+
+    def optimize_translation_w_filtering(self, **kwargs):
+        """Translation solve with iterative worst-link disabling
+        (reference: optimizer.py:1081)."""
+        residue_threshold = kwargs.pop('residue_threshold', None)
+        maxpass = kwargs.pop('maxpass', 10)
+        self.optimize_translation(**kwargs)
+        if residue_threshold is None:
+            return
+        gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        for _ in range(maxpass):
+            worst, worst_val = None, residue_threshold
+            for l in self.active_links():
+                r = np.median(l.residues(gear=gear))
+                if r > worst_val:
+                    worst, worst_val = l, r
+            if worst is None:
+                break
+            worst.disable()
+            self.optimize_translation(**kwargs)
+
+    # ------------------------- affine cascade ------------------------- #
+
+    def optimize_affine_cascade(self, **kwargs):
+        """Greedy per-mesh affine placement: settled meshes (locked first,
+        else the best-connected one) anchor their neighbors, which are
+        fitted by weighted affine on the link points and marked settled
+        (reference: optimizer.py:1128)."""
+        target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        start_gear = kwargs.get('start_gear', const.MESH_GEAR_FIXED)
+        svd_clip = kwargs.get('svd_clip', (0.5, 2.0))
+        uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
+        n = self.num_meshes
+        settled = self.lock_flags.copy()
+        for m, lk in zip(self.meshes, settled):
+            if not m.vertices_initialized(target_gear):
+                m.set_vertices(m.vertices(start_gear), target_gear,
+                               offset=m.offset(start_gear))
+        links = self.active_links()
+        if not settled.any() and n > 0:
+            # seed: mesh with the most matches
+            counts = np.zeros(n)
+            for l in links:
+                counts[uid2idx[l.uids[0]]] += l.num_matches
+                counts[uid2idx[l.uids[1]]] += l.num_matches
+            settled[int(np.argmax(counts))] = True
+        while not settled.all():
+            # pick the unsettled mesh with the most matches to settled ones
+            score = np.zeros(n)
+            pair_pts = {i: ([], [], []) for i in range(n)}
+            for l in links:
+                i0, i1 = uid2idx[l.uids[0]], uid2idx[l.uids[1]]
+                if settled[i0] == settled[i1]:
+                    continue
+                if settled[i0]:
+                    src, dst = i1, i0
+                    p_src = l.xy1(gear=start_gear)
+                    p_dst = l.xy0(gear=target_gear)
+                else:
+                    src, dst = i0, i1
+                    p_src = l.xy0(gear=start_gear)
+                    p_dst = l.xy1(gear=target_gear)
+                w = l.weight()
+                score[src] += w.sum()
+                pair_pts[src][0].append(p_dst)
+                pair_pts[src][1].append(p_src)
+                pair_pts[src][2].append(w)
+            score[settled] = -1
+            nxt = int(np.argmax(score))
+            if score[nxt] <= 0:
+                # disconnected remainder: keep start positions
+                for i in np.nonzero(~settled)[0]:
+                    settled[i] = True
+                break
+            from feabas_tpu import spatial as sp
+            p0 = np.concatenate(pair_pts[nxt][0])
+            p1 = np.concatenate(pair_pts[nxt][1])
+            w = np.concatenate(pair_pts[nxt][2])
+            T, T_rigid = sp.fit_affine(p0, p1, weights=w, return_rigid=True)
+            s = np.linalg.svd(T[:2, :2], compute_uv=False)
+            if svd_clip is not None and (s.min() < svd_clip[0] or s.max() > svd_clip[1]):
+                T = T_rigid
+            m = self.meshes[nxt]
+            m.apply_affine(T, gear=(start_gear, target_gear))
+            settled[nxt] = True
+        r = self.match_residues(gear=target_gear)
+        return float(r.max()) if r.size else 0.0
+
+    # ------------------------- elastic solve (device) ------------------------- #
+
+    def _build_system(self, shape_gear=const.MESH_GEAR_FIXED):
+        """Concatenate meshes into global device arrays."""
+        offsets = np.cumsum([0] + [m.num_vertices for m in self.meshes])
+        nv = int(offsets[-1])
+        uid2off = {m.uid: offsets[i] for i, m in enumerate(self.meshes)}
+        free = np.ones((nv, 1), np.float32)
+        for i, m in enumerate(self.meshes):
+            if m.locked:
+                free[offsets[i]:offsets[i + 1]] = 0.0
+        groups = []
+        for i, m in enumerate(self.meshes):
+            for g in m.element_arrays(gear=shape_gear):
+                tris = m.triangles[g['start']:g['stop']] + offsets[i]
+                groups.append({
+                    'model': g['model'],
+                    'tris': jnp.asarray(tris),
+                    'B_area': fem.shape_matrices(jnp.asarray(g['tripts'], jnp.float64)),
+                    'multiplier': jnp.asarray(g['multiplier'], jnp.float64),
+                    'poisson': jnp.asarray(g['poisson'], jnp.float64),
+                    'knots': (None if g['knots'] is None else
+                              (jnp.asarray(g['knots'][0], jnp.float64),
+                               jnp.asarray(g['knots'][1], jnp.float64))),
+                })
+        la = [l.global_arrays(uid2off[l.uids[0]], uid2off[l.uids[1]])
+              for l in self.active_links()]
+        if la:
+            idx0 = jnp.asarray(np.concatenate([a[0] for a in la]))
+            bary0 = jnp.asarray(np.concatenate([a[1] for a in la]))
+            idx1 = jnp.asarray(np.concatenate([a[2] for a in la]))
+            bary1 = jnp.asarray(np.concatenate([a[3] for a in la]))
+            weight = jnp.asarray(np.concatenate([a[4] for a in la]))
+        else:
+            idx0 = jnp.zeros((0, 3), jnp.int32)
+            bary0 = jnp.zeros((0, 3))
+            idx1 = jnp.zeros((0, 3), jnp.int32)
+            bary1 = jnp.zeros((0, 3))
+            weight = jnp.zeros((0,))
+        return {
+            'nv': nv, 'offsets': offsets, 'free': jnp.asarray(free),
+            'groups': groups,
+            'links': (idx0, bary0, idx1, bary1, weight),
+        }
+
+    def _gather_positions(self, gear):
+        return np.concatenate([m.vertices_w_offset(gear) for m in self.meshes], axis=0)
+
+    def _scatter_positions(self, pos, target_gear):
+        offs = np.cumsum([0] + [m.num_vertices for m in self.meshes])
+        for i, m in enumerate(self.meshes):
+            if m.locked:
+                continue
+            chunk = pos[offs[i]:offs[i + 1]]
+            center = chunk.mean(axis=0, keepdims=True)
+            m.set_vertices(chunk - center, target_gear, offset=center)
+
+    @staticmethod
+    def _element_terms(groups, u):
+        """Tangent blocks + internal force per element group at displacement
+        u (NV,2). Returns list of (tris, Ke, Pe)."""
+        out = []
+        for g in groups:
+            B, area2 = g['B_area']
+            uv = fem.gather_uv(u, g['tris'])
+            mult = g['multiplier']
+            if g['knots'] is not None:
+                J = fem.area_stretch(B, uv)
+                mult = mult * fem.stiffness_curve_multiplier(J, *g['knots'])
+            if g['model'] == const.MATERIAL_MODEL_ENG:
+                Ke = fem.eng_element_stiffness(B, area2, mult, g['poisson'])
+                Pe = fem.eng_element_stress(Ke, uv)
+            elif g['model'] == const.MATERIAL_MODEL_SVK:
+                Ke, Pe = fem.svk_element(B, area2, uv, mult, g['poisson'])
+            elif g['model'] == const.MATERIAL_MODEL_NHK:
+                Ke, Pe = fem.nhk_element(B, area2, uv, mult)
+            else:
+                raise ValueError(f"unknown material model {g['model']}")
+            out.append((g['tris'], Ke, Pe))
+        return out
+
+    def _balance_lambdas(self, sys_d, terms, lam_s, lam_c):
+        """Negative lambdas -> trace-ratio auto balance (reference
+        optimizer.py:1571): lam_s = |lam_s/lam_c| * tr(C) / tr(K restricted
+        to crosslinked dofs); lam_c = 1."""
+        if lam_s >= 0 and lam_c >= 0:
+            return float(lam_s), float(lam_c)
+        ratio = abs(lam_s / lam_c)
+        nv = sys_d['nv']
+        idx0, bary0, idx1, bary1, weight = sys_d['links']
+        dC = fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
+                                dtype=jnp.float64)
+        dK = jnp.zeros((nv, 2), jnp.float64)
+        for tris, Ke, _ in terms:
+            dK = dK + fem.stiffness_diag(Ke, tris, nv)
+        tr_c = float(jnp.sum(dC))
+        mask = np.asarray(dC) != 0
+        tr_k = float(np.asarray(dK)[mask].sum())
+        if tr_c == 0 or tr_k == 0:
+            return 1.0, 1.0
+        return abs(ratio * tr_c / tr_k), 1.0
+
+    def optimize_linear(self, **kwargs):
+        """One (tangent) elastic solve.
+
+        Energy: lam_s/2 u'Ku + lam_c/2 |W C p|^2 over free meshes, u the
+        displacement from shape_gear geometry, p the world positions.
+        Solves A dx = b matrix-free and writes start + dx into target_gear.
+        Returns (cost_before, cost_after) as weighted residue norms.
+        """
+        tol = kwargs.get('tol', 1e-7)
+        atol = kwargs.get('atol', 0.0)
+        maxiter = kwargs.get('maxiter', None) or 10000
+        shape_gear = kwargs.get('shape_gear', const.MESH_GEAR_FIXED)
+        target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        start_gear = kwargs.get('start_gear', target_gear)
+        lam_s = kwargs.get('stiffness_lambda', self._stiffness_lambda)
+        lam_c = kwargs.get('crosslink_lambda', self._crosslink_lambda)
+        if np.all(self.lock_flags) or self.num_meshes == 0:
+            return 0.0, 0.0
+        sys_d = self._build_system(shape_gear=shape_gear)
+        pos_start = self._gather_positions(start_gear)
+        pos_shape = self._gather_positions(shape_gear)
+        u_cur = jnp.asarray(pos_start - pos_shape)
+        terms = self._element_terms(sys_d['groups'], u_cur)
+        lam_s, lam_c = self._balance_lambdas(sys_d, terms, lam_s, lam_c)
+        idx0, bary0, idx1, bary1, weight = sys_d['links']
+        free = sys_d['free'].astype(u_cur.dtype)
+        nv = sys_d['nv']
+
+        def matvec(x):
+            x = x * free
+            y = jnp.zeros_like(x)
+            for tris, Ke, _ in terms:
+                y = y + fem.stiffness_matvec(x, Ke, tris) * lam_s
+            y = y + fem.crosslink_matvec(x, idx0, bary0, idx1, bary1,
+                                         weight) * lam_c
+            return y * free
+
+        # rhs: -(lam_s * P(u) + lam_c * C^T W r)
+        b = jnp.zeros_like(u_cur)
+        for tris, _, Pe in terms:
+            b = b - fem.scatter_uv(Pe, tris, nv) * lam_s
+        pos0 = jnp.asarray(pos_start)
+        r0 = fem.link_eval(pos0, idx1, bary1) - fem.link_eval(pos0, idx0, bary0)
+        rw = r0 * (weight ** 2)[:, None]
+        b = b.at[idx1].add(-bary1[:, :, None] * rw[:, None, :] * lam_c)
+        b = b.at[idx0].add(bary0[:, :, None] * rw[:, None, :] * lam_c)
+        b = b * free
+
+        diag = jnp.zeros_like(u_cur)
+        for tris, Ke, _ in terms:
+            diag = diag + fem.stiffness_diag(Ke, tris, nv) * lam_s
+        diag = diag + fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
+                                         dtype=u_cur.dtype) * lam_c
+        diag = jnp.where(free > 0, diag, 1.0)
+
+        cost0 = float(jnp.linalg.norm(r0 * weight[:, None]))
+        dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
+                                     maxiter=int(maxiter))
+        dx = np.asarray(dx * free)
+        self._scatter_positions(pos_start + dx, target_gear)
+        r1 = self.match_residues(gear=target_gear)
+        w_all = np.concatenate([l.weight() for l in self.active_links()]) \
+            if self.active_links() else np.zeros(0)
+        cost1 = float(np.linalg.norm(r1 * w_all)) if r1.size else 0.0
+        return cost0, cost1
+
+    def optimize_Newton_Raphson(self, **kwargs):
+        """Newton iterations for nonlinear materials: re-linearize, solve,
+        damp on divergence, stop on small updates (reference:
+        optimizer.py:1440). Each outer step reuses optimize_linear with
+        start=target gear."""
+        max_newtonstep = kwargs.pop('max_newtonstep', 5)
+        target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        kwargs.setdefault('start_gear', target_gear)
+        residue_mode = kwargs.pop('residue_mode', None)
+        residue_len = kwargs.pop('residue_len', 0)
+        # ensure target gear initialized
+        for m in self.meshes:
+            if not m.vertices_initialized(target_gear):
+                m.set_vertices(m.vertices(kwargs['start_gear']), target_gear,
+                               offset=m.offset(kwargs['start_gear']))
+        cost0 = cost1 = None
+        for step in range(max(int(max_newtonstep), 1)):
+            c0, c1 = self.optimize_linear(**{**kwargs, 'start_gear': target_gear})
+            if cost0 is None:
+                cost0 = c0
+            cost1 = c1
+            if residue_mode is not None and residue_len > 0:
+                for l in self.active_links():
+                    l.adjust_weight_from_residue(gear=target_gear,
+                                                 residue_len=residue_len,
+                                                 residue_mode=residue_mode)
+            if c0 <= 0 or abs(c0 - c1) <= 1e-4 * max(c0, 1e-12):
+                break
+        return cost0 or 0.0, cost1 or 0.0
+
+    @property
+    def is_linear(self):
+        for m in self.meshes:
+            uid2mat = m.material_table.uid_to_material()
+            for uid in np.unique(m.material_ids):
+                mat = uid2mat.get(int(uid))
+                if mat is not None and not mat.is_linear:
+                    return False
+        return True
+
+    def optimize_elastic(self, **kwargs):
+        """Dispatcher: single linear solve for all-linear systems, Newton
+        otherwise (reference: optimizer.py:1547)."""
+        if self.is_linear:
+            residue_mode = kwargs.pop('residue_mode', None)
+            residue_len = kwargs.pop('residue_len', 0)
+            max_passes = kwargs.pop('max_residue_passes', 3)
+            out = self.optimize_linear(**kwargs)
+            if residue_mode is not None and residue_len > 0:
+                gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+                for _ in range(max_passes):
+                    changed = False
+                    for l in self.active_links():
+                        ch, _ = l.adjust_weight_from_residue(
+                            gear=gear, residue_len=residue_len,
+                            residue_mode=residue_mode)
+                        changed |= ch
+                    if not changed:
+                        break
+                    out = (out[0], self.optimize_linear(**kwargs)[1])
+            return out
+        return self.optimize_Newton_Raphson(**kwargs)
+
+
+def relax_mesh(mesh, free_vertices=None, **kwargs):
+    """Locally relax a mesh: hold all vertices except ``free_vertices`` and
+    minimize elastic energy (reference relax_mesh: optimizer.py:2110).
+    Operates on the MOVING gear in place."""
+    target_gear = kwargs.pop('target_gear', const.MESH_GEAR_MOVING)
+    if free_vertices is None:
+        free_vertices = np.ones(mesh.num_vertices, bool)
+    free = np.zeros((mesh.num_vertices, 1), np.float32)
+    free[np.asarray(free_vertices)] = 1.0
+    groups = mesh.element_arrays(gear=const.MESH_GEAR_INITIAL)
+    pos = mesh.vertices_w_offset(target_gear)
+    pos_init = mesh.vertices_w_offset(const.MESH_GEAR_INITIAL)
+    u = jnp.asarray(pos - pos_init)
+    freej = jnp.asarray(free, u.dtype)
+    nv = mesh.num_vertices
+    terms = []
+    for g in groups:
+        tris = jnp.asarray(mesh.triangles[g['start']:g['stop']])
+        B, area2 = fem.shape_matrices(jnp.asarray(g['tripts'], u.dtype))
+        Ke = fem.eng_element_stiffness(B, area2, jnp.asarray(g['multiplier'], u.dtype),
+                                       jnp.asarray(g['poisson'], u.dtype))
+        terms.append((tris, Ke))
+
+    def matvec(x):
+        x = x * freej
+        y = jnp.zeros_like(x)
+        for tris, Ke in terms:
+            y = y + fem.stiffness_matvec(x, Ke, tris)
+        return y * freej
+
+    b = jnp.zeros_like(u)
+    for tris, Ke in terms:
+        b = b - fem.stiffness_matvec(u, Ke, tris)
+    b = b * freej
+    diag = jnp.zeros_like(u)
+    for tris, Ke in terms:
+        diag = diag + fem.stiffness_diag(Ke, tris, nv)
+    diag = jnp.where(freej > 0, diag, 1.0)
+    dx, _, _ = fem.cg_solve(matvec, b, diag=diag,
+                            tol=kwargs.get('tol', 1e-7), maxiter=2000)
+    newpos = pos + np.asarray(dx * freej)
+    center = newpos.mean(axis=0, keepdims=True)
+    mesh.set_vertices(newpos - center, target_gear, offset=center)
+    return mesh
+
+
+def relax_mesh_most_deformed(mesh, deform_quantile=0.75, iqr_factor=1.5, **kwargs):
+    """Relax vertices of triangles whose deformation is an IQR outlier
+    (reference: optimizer.py:2157)."""
+    d = mesh.svds_to_deform(gear1=const.MESH_GEAR_MOVING)
+    q1, q3 = np.quantile(d, [0.25, 0.75])
+    thresh = q3 + iqr_factor * (q3 - q1)
+    bad_tris = d > max(thresh, 1e-3)
+    if not bad_tris.any():
+        return mesh, False
+    free = np.zeros(mesh.num_vertices, bool)
+    free[np.unique(mesh.triangles[bad_tris])] = True
+    relax_mesh(mesh, free_vertices=free, **kwargs)
+    return mesh, True

@@ -1,0 +1,149 @@
+"""SLM solver cascade: translation, affine cascade, elastic relaxation."""
+
+import numpy as np
+import pytest
+
+
+def _tile_mesh(bbox, uid, locked=False, mesh_size=25, name=''):
+    from feabas_tpu.mesh import Mesh
+    return Mesh.from_bbox(bbox, cartesian=True, mesh_size=mesh_size,
+                          uid=uid, locked=locked, name=name)
+
+
+def _grid_pts(bbox, n=5, margin=2.0):
+    xs = np.linspace(bbox[0] + margin, bbox[2] - margin, n)
+    ys = np.linspace(bbox[1] + margin, bbox[3] - margin, n)
+    xx, yy = np.meshgrid(xs, ys)
+    return np.stack([xx.ravel(), yy.ravel()], -1)
+
+
+def test_translation_solve_recovers_offsets(workdir):
+    from feabas_tpu.optimizer import SLM
+    # three tiles in a row, overlapping 20px; stage positions perfect for
+    # tile0 (locked); tiles 1,2 are off by known amounts
+    slm = SLM([
+        _tile_mesh((0, 0, 100, 80), 0, locked=True),
+        _tile_mesh((80, 0, 180, 80), 1),
+        _tile_mesh((160, 0, 260, 80), 2),
+    ])
+    true_off = {1: np.array([3.0, -2.0]), 2: np.array([-1.5, 4.0])}
+    # links in overlap regions: xy on each mesh such that after correcting
+    # by true_off the points coincide
+    for (ua, ub), ovl in (((0, 1), (80, 0, 100, 80)), ((1, 2), (160, 0, 180, 80))):
+        pts = _grid_pts(ovl)
+        xa = pts if ua == 0 else pts - true_off[ua]
+        xb = pts - true_off[ub]
+        slm.add_link_from_coordinates(ua, ub, xa, xb)
+    slm.optimize_translation()
+    for uid, off in true_off.items():
+        m = slm.mesh_by_uid(uid)
+        got = m.offset('MOVING') - m.offset('FIXED')
+        assert np.allclose(got.ravel(), off, atol=1e-6), (uid, got, off)
+    assert slm.match_residues(gear='MOVING').max() < 1e-6
+
+
+def test_affine_cascade_recovers_affine(workdir):
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu.spatial import apply_affine
+    slm = SLM([
+        _tile_mesh((0, 0, 100, 100), 0, locked=True),
+        _tile_mesh((80, 0, 180, 100), 1),
+    ])
+    T = np.eye(3)
+    T[:2, :2] = [[1.02, 0.03], [-0.02, 0.99]]
+    T[2, :2] = [5.0, -3.0]
+    pts = _grid_pts((80, 0, 100, 100))
+    # mesh1's points must be mapped by T to land on mesh0's points
+    xy1 = pts
+    xy0 = apply_affine(pts, T)
+    slm.add_link_from_coordinates(0, 1, xy0, xy1)
+    slm.optimize_affine_cascade()
+    assert slm.match_residues(gear='MOVING').max() < 1e-6
+
+
+def test_elastic_solve_pulls_matches_together(workdir):
+    from feabas_tpu.optimizer import SLM
+    slm = SLM([
+        _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=20),
+        _tile_mesh((80, 0, 180, 100), 1, mesh_size=20),
+    ])
+    # smooth non-affine target displacement for mesh1 in the overlap
+    pts = _grid_pts((80, 0, 100, 100), n=7)
+    disp = np.stack([2.0 * np.sin(pts[:, 1] / 30.0), 0.5 + 0.01 * pts[:, 1]], -1)
+    slm.add_link_from_coordinates(0, 1, pts, pts - disp)
+    r_before = slm.match_residues(gear='MOVING')
+    c0, c1 = slm.optimize_elastic(tol=1e-10, stiffness_lambda=-0.001,
+                                  crosslink_lambda=-1)
+    r_after = slm.match_residues(gear='MOVING')
+    assert r_before.max() > 1.0
+    assert r_after.max() < 0.35 * r_before.max()
+    assert c1 < c0
+    # locked mesh untouched
+    m0 = slm.mesh_by_uid(0)
+    assert np.allclose(m0.vertices_w_offset('MOVING'), m0.vertices_w_offset('FIXED'))
+    # no flipped triangles
+    assert slm.mesh_by_uid(1).flipped_triangles('MOVING').size == 0
+
+
+def test_huber_damps_outliers(workdir):
+    from feabas_tpu.optimizer import SLM
+    slm = SLM([
+        _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=25),
+        _tile_mesh((80, 0, 180, 100), 1, mesh_size=25),
+    ])
+    pts = _grid_pts((80, 0, 100, 100), n=6)
+    xy1 = pts - np.array([2.0, 0.0])     # true shift 2px
+    xy1[0] += np.array([40.0, -35.0])    # one gross outlier
+    link = slm.add_link_from_coordinates(0, 1, pts, xy1)
+    slm.optimize_elastic(tol=1e-10, stiffness_lambda=-0.5, crosslink_lambda=-1,
+                         residue_mode='huber', residue_len=2)
+    r = link.residues(gear='MOVING')
+    inliers = np.ones(len(r), bool)
+    inliers[0] = False
+    assert r[inliers].max() < 1.0          # inliers pulled together
+    assert r[0] > 20                        # outlier left behind
+    assert link.weight()[0] < 0.2 * link.weight()[inliers].mean()
+
+
+def test_relax_mesh_restores_perturbed_vertex(workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import relax_mesh
+    m = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=25)
+    v = m.vertices('FIXED').copy()
+    k = m.num_vertices // 2
+    v0 = v[k].copy()
+    v[k] += [7.0, -6.0]
+    m.set_vertices(v, 'MOVING')
+    free = np.zeros(m.num_vertices, bool)
+    free[k] = True
+    relax_mesh(m, free_vertices=free)
+    got = m.vertices_w_offset('MOVING')[k]
+    assert np.linalg.norm(got - v0) < 0.2
+
+
+def test_relax_most_deformed(workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import relax_mesh_most_deformed
+    m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=20)
+    v = m.vertices('FIXED').copy()
+    k = m.num_vertices // 2
+    v[k] += [9.0, 9.0]
+    m.set_vertices(v, 'MOVING')
+    d_before = m.svds_to_deform(gear1='MOVING').max()
+    _, did = relax_mesh_most_deformed(m)
+    assert did
+    d_after = m.svds_to_deform(gear1='MOVING').max()
+    assert d_after < 0.5 * d_before
+
+
+def test_link_from_coordinates_residues(workdir):
+    from feabas_tpu.optimizer import Link
+    m0 = _tile_mesh((0, 0, 50, 50), 10, mesh_size=25)
+    m1 = _tile_mesh((0, 0, 50, 50), 11, mesh_size=25)
+    pts = _grid_pts((5, 5, 45, 45), n=4)
+    link = Link.from_coordinates(m0, m1, pts, pts)
+    assert link.num_matches == 16
+    assert np.allclose(link.residues(gear='INITIAL'), 0, atol=1e-9)
+    m1.set_translation((3, 4))
+    r = link.residues(gear='MOVING')
+    assert np.allclose(r, 5.0, atol=1e-9)
