@@ -219,10 +219,11 @@ def render_by_subregions(map_x, map_y, mask, img_loader, fileid=None, **kwargs):
     fully load (reference behavior: common.py:256). The coordinate maps are
     split into blocks; each block crops only its source bbox then samples.
     """
-    rintp = kwargs.get('interpolation', cv2.INTER_LINEAR)
-    fillval = kwargs.get('fillval', getattr(img_loader, 'default_fillval', 0))
-    dtype_out = kwargs.get('dtype_out', getattr(img_loader, 'dtype', np.uint8))
-    block_size = kwargs.get('block_size', 4096)
+    rintp = kwargs.pop('interpolation', cv2.INTER_LINEAR)
+    fillval = kwargs.pop('fillval', getattr(img_loader, 'default_fillval', 0))
+    dtype_out = kwargs.pop('dtype_out', getattr(img_loader, 'dtype', np.uint8))
+    block_size = kwargs.pop('block_size', 4096)
+    kwargs.pop('return_empty', None)  # we manage emptiness per block
     if map_x.size == 0:
         return None
     out_shape = map_x.shape

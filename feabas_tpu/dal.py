@@ -1,0 +1,317 @@
+"""Data access layer: image loaders with caching and preprocessing.
+
+Loaders serve ``crop(bbox)`` requests composed from tiles on disk, cloud
+buckets, in-memory arrays, or tensorstore volumes (capability parity with
+reference ``feabas/dal.py``). All loaders JSON-round-trip so worker
+processes rebuild them from specs.
+"""
+
+import json
+
+import cv2
+import numpy as np
+
+from feabas_tpu import common, storage
+from feabas_tpu.caching import generate_cache
+from feabas_tpu.utils.spatial_index import GridIndex
+
+
+def _apply_clahe(img, cliplimit=2.0):
+    clahe = cv2.createCLAHE(clipLimit=cliplimit, tileGridSize=(8, 8))
+    if img.ndim == 2:
+        return clahe.apply(img)
+    return np.stack([clahe.apply(img[..., c]) for c in range(img.shape[-1])], -1)
+
+
+class AbstractImageLoader:
+    """Common crop/preprocess/caching machinery (reference: dal.py:121)."""
+
+    def __init__(self, **kwargs):
+        self._dtype = kwargs.get('dtype', None)
+        self._default_fillval = kwargs.get('fillval', 0)
+        self._apply_CLAHE = kwargs.get('apply_CLAHE', False)
+        self._CLAHE_cliplimit = kwargs.get('CLAHE_cliplimit', 2.0)
+        self._inverse = kwargs.get('inverse', False)
+        self._number_of_channels = kwargs.get('number_of_channels', None)
+        self.resolution = kwargs.get('resolution', None)
+        cache_size = kwargs.get('cache_size', 0)
+        cache_type = kwargs.get('cache_type', 'lru')
+        self._cache = generate_cache(cache_type if cache_size else 'none',
+                                     maxlen=cache_size or None)
+        self._preprocess = kwargs.get('preprocess', None)
+
+    # -- to be provided by subclasses --
+    def crop(self, bbox, **kwargs):
+        raise NotImplementedError
+
+    @property
+    def dtype(self):
+        return self._dtype if self._dtype is not None else np.uint8
+
+    @property
+    def default_fillval(self):
+        return self._default_fillval
+
+    @property
+    def number_of_channels(self):
+        return self._number_of_channels
+
+    def preprocess(self, img):
+        if img is None:
+            return None
+        if self._apply_CLAHE and np.issubdtype(img.dtype, np.integer):
+            img = _apply_clahe(img, self._CLAHE_cliplimit)
+        if self._inverse:
+            if np.issubdtype(img.dtype, np.integer):
+                img = np.iinfo(img.dtype).max - img
+            else:
+                img = img.max() - img
+        if self._preprocess is not None:
+            img = self._preprocess(img)
+        if self._dtype is not None:
+            img = img.astype(np.dtype(self._dtype), copy=False)
+        return img
+
+    def _settings_dict(self):
+        return {
+            'dtype': None if self._dtype is None else np.dtype(self._dtype).name,
+            'fillval': self._default_fillval,
+            'apply_CLAHE': self._apply_CLAHE,
+            'CLAHE_cliplimit': self._CLAHE_cliplimit,
+            'inverse': self._inverse,
+            'number_of_channels': self._number_of_channels,
+            'resolution': self.resolution,
+            'cache_size': getattr(self._cache, '_maxlen', None) or 0,
+        }
+
+    def to_dict(self):
+        d = self._settings_dict()
+        d['loader_type'] = type(self).__name__
+        return d
+
+    def to_json(self, path=None):
+        s = json.dumps(self.to_dict())
+        if path is not None:
+            with storage.File(path, 'w') as f:
+                f.write(s)
+        return s
+
+    def clear_cache(self):
+        self._cache.clear()
+
+    def _read_image(self, path):
+        if path in self._cache:
+            return self._cache[path]
+        img = common.imread(path, flag=cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise RuntimeError(f'failed to read {path}')
+        img = self.preprocess(img)
+        self._cache[path] = img
+        return img
+
+    def _blank(self, bbox, fillval=None):
+        w = int(round(bbox[2] - bbox[0]))
+        h = int(round(bbox[3] - bbox[1]))
+        fv = self._default_fillval if fillval is None else fillval
+        shape = (h, w) if not self._number_of_channels or self._number_of_channels == 1 \
+            else (h, w, self._number_of_channels)
+        return np.full(shape, fv, dtype=self.dtype)
+
+
+class DynamicImageLoader(AbstractImageLoader):
+    """Path provided at crop time (reference: dal.py:516)."""
+
+    def crop(self, bbox, imgpath, img_bbox=None, return_empty=False, **kwargs):
+        img = self._read_image(imgpath)
+        if img_bbox is None:
+            img_bbox = (0, 0, img.shape[1], img.shape[0])
+        return _paste_crop(self._blank(bbox, kwargs.get('fillval')), bbox,
+                           img, img_bbox, return_empty=return_empty)
+
+
+class StaticImageLoader(AbstractImageLoader):
+    """Indexed tile list with bboxes in a shared world frame
+    (reference: dal.py:604)."""
+
+    def __init__(self, imgpaths, bboxes, root_dir=None, **kwargs):
+        super().__init__(**kwargs)
+        self.imgpaths = list(imgpaths)
+        self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
+        self.root_dir = root_dir
+        self._index = None
+        if self._dtype is None or self._number_of_channels is None:
+            self._probe_meta(kwargs)
+
+    def _probe_meta(self, kwargs):
+        if not self.imgpaths:
+            return
+        try:
+            img = common.imread(self.abs_path(0), flag=cv2.IMREAD_UNCHANGED)
+            if img is not None:
+                if self._dtype is None:
+                    self._dtype = img.dtype.name
+                if self._number_of_channels is None:
+                    self._number_of_channels = 1 if img.ndim == 2 else img.shape[-1]
+        except Exception:
+            pass
+
+    @classmethod
+    def from_coordinate_file(cls, filename, **kwargs):
+        imgpaths, bboxes, root_dir, resolution = common.parse_coordinate_files(
+            filename, **{k: kwargs.pop(k) for k in ('root_dir', 'tile_size', 'delimiter')
+                         if k in kwargs})
+        if resolution is not None:
+            kwargs.setdefault('resolution', resolution)
+        return cls(imgpaths, bboxes, root_dir=root_dir, **kwargs)
+
+    def abs_path(self, fileid):
+        p = self.imgpaths[fileid]
+        if self.root_dir:
+            return storage.join_paths(self.root_dir, p)
+        return p
+
+    @property
+    def file_index(self):
+        if self._index is None:
+            self._index = GridIndex(self.bboxes)
+        return self._index
+
+    def crop(self, bbox, fileid=None, return_empty=False, **kwargs):
+        """Crop the mosaic (or one indexed tile when fileid given)."""
+        out = self._blank(bbox, kwargs.get('fillval'))
+        if fileid is not None:
+            img = self._read_image(self.abs_path(fileid))
+            return _paste_crop(out, bbox, img, self.bboxes[fileid],
+                               return_empty=return_empty)
+        hits = self.file_index.query(bbox)
+        filled = False
+        for fid in hits:
+            img = self._read_image(self.abs_path(int(fid)))
+            res = _paste_crop(out, bbox, img, self.bboxes[fid], return_empty=True)
+            filled = filled or (res is not None)
+        if not filled and return_empty:
+            return None
+        return out
+
+    def to_dict(self):
+        d = super().to_dict()
+        d.update({'imgpaths': self.imgpaths, 'bboxes': self.bboxes.tolist(),
+                  'root_dir': self.root_dir})
+        return d
+
+
+MosaicLoader = StaticImageLoader  # mosaic composition is built into crop()
+
+
+class StreamLoader(AbstractImageLoader):
+    """Wraps an in-memory array (reference: dal.py:1008)."""
+
+    def __init__(self, img, offset=(0, 0), **kwargs):
+        super().__init__(**kwargs)
+        self._img = np.asarray(img)
+        self._offset = np.asarray(offset, np.float64)
+        if self._dtype is None:
+            self._dtype = self._img.dtype.name
+        if self._number_of_channels is None:
+            self._number_of_channels = 1 if self._img.ndim == 2 else self._img.shape[-1]
+
+    @property
+    def bbox(self):
+        h, w = self._img.shape[:2]
+        return (self._offset[0], self._offset[1],
+                self._offset[0] + w, self._offset[1] + h)
+
+    def crop(self, bbox, return_empty=False, **kwargs):
+        img = self.preprocess(self._img)
+        return _paste_crop(self._blank(bbox, kwargs.get('fillval')), bbox, img,
+                           self.bbox, return_empty=return_empty)
+
+    def to_dict(self):
+        raise NotImplementedError('StreamLoader holds raw memory; not serializable')
+
+
+class TensorStoreLoader(AbstractImageLoader):
+    """Chunked-volume loader over tensorstore (reference: dal.py:1156)."""
+
+    def __init__(self, spec=None, dataset=None, z=0, **kwargs):
+        super().__init__(**kwargs)
+        self._spec = spec
+        self._z = int(z)
+        self._dataset = dataset
+
+    @property
+    def dataset(self):
+        if self._dataset is None:
+            import tensorstore as ts
+            self._dataset = ts.open(self._spec).result()
+        return self._dataset
+
+    def crop(self, bbox, return_empty=False, **kwargs):
+        ds = self.dataset
+        x0, y0, x1, y1 = [int(round(v)) for v in bbox]
+        dom = ds.domain
+        xi = dom[0].inclusive_min, dom[0].exclusive_max
+        yi = dom[1].inclusive_min, dom[1].exclusive_max
+        cx0, cx1 = max(x0, xi[0]), min(x1, xi[1])
+        cy0, cy1 = max(y0, yi[0]), min(y1, yi[1])
+        out = self._blank(bbox, kwargs.get('fillval'))
+        if cx0 >= cx1 or cy0 >= cy1:
+            return None if return_empty else out
+        if ds.rank == 4:
+            blk = ds[cx0:cx1, cy0:cy1, self._z, 0].read().result()
+        elif ds.rank == 3:
+            blk = ds[cx0:cx1, cy0:cy1, self._z].read().result()
+        else:
+            blk = ds[cx0:cx1, cy0:cy1].read().result()
+        blk = np.swapaxes(np.asarray(blk), 0, 1)  # ts is x-major; images y-major
+        out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = self.preprocess(blk)
+        return out
+
+    def to_dict(self):
+        d = super().to_dict()
+        d.update({'spec': self._spec, 'z': self._z})
+        return d
+
+
+def _paste_crop(out, bbox, img, img_bbox, return_empty=False):
+    """Paste the part of img (located at img_bbox) visible in bbox into out."""
+    x0, y0 = int(round(bbox[0])), int(round(bbox[1]))
+    x1, y1 = int(round(bbox[2])), int(round(bbox[3]))
+    ix0, iy0 = int(round(img_bbox[0])), int(round(img_bbox[1]))
+    h, w = img.shape[:2]
+    cx0, cx1 = max(x0, ix0), min(x1, ix0 + w)
+    cy0, cy1 = max(y0, iy0), min(y1, iy0 + h)
+    if cx0 >= cx1 or cy0 >= cy1:
+        return None if return_empty else out
+    out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = \
+        img[cy0 - iy0:cy1 - iy0, cx0 - ix0:cx1 - ix0]
+    return out
+
+
+_LOADER_TYPES = {}
+for _cls in (DynamicImageLoader, StaticImageLoader, StreamLoader, TensorStoreLoader):
+    _LOADER_TYPES[_cls.__name__] = _cls
+_LOADER_TYPES['MosaicLoader'] = StaticImageLoader
+
+
+def get_loader_from_json(spec, **kwargs):
+    """Factory from a dict / JSON string / JSON file path
+    (reference: dal.py:88)."""
+    if isinstance(spec, AbstractImageLoader):
+        return spec
+    if isinstance(spec, str):
+        if spec.lstrip().startswith('{'):
+            spec = json.loads(spec)
+        else:
+            with storage.File(spec, 'r') as f:
+                spec = json.load(f)
+    spec = dict(spec)
+    spec.update(kwargs)
+    loader_type = spec.pop('loader_type', 'StaticImageLoader')
+    cls = _LOADER_TYPES[loader_type]
+    if cls is StaticImageLoader:
+        return cls(spec.pop('imgpaths'), spec.pop('bboxes'),
+                   root_dir=spec.pop('root_dir', None), **spec)
+    if cls is TensorStoreLoader:
+        return cls(spec.pop('spec'), z=spec.pop('z', 0), **spec)
+    return cls(**spec)

@@ -1,0 +1,151 @@
+"""Loaders and mesh-warped rendering against analytic ground truth."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def tile_set(tmp_path, rng):
+    """2x2 tiles of a procedural texture saved to disk, 10px overlap."""
+    from feabas_tpu.common import imwrite
+    from scipy.ndimage import gaussian_filter
+    world = (gaussian_filter(rng.normal(0, 1, (220, 220)), 2) * 40 + 128).astype(np.uint8)
+    paths, bboxes = [], []
+    for r in range(2):
+        for c in range(2):
+            x0, y0 = c * 100, r * 100
+            tile = world[y0:y0 + 120, x0:x0 + 120]
+            p = str(tmp_path / f'tile_r{r}c{c}.png')
+            imwrite(p, tile)
+            paths.append(p)
+            bboxes.append((x0, y0, x0 + 120, y0 + 120))
+    return world, paths, bboxes
+
+
+def test_static_loader_mosaic(tile_set, workdir):
+    from feabas_tpu.dal import StaticImageLoader
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes, cache_size=10)
+    blk = loader.crop((50, 40, 180, 150))
+    assert blk.shape == (110, 130)
+    assert np.array_equal(blk, world[40:150, 50:180])
+    # out-of-range crop fills
+    blk2 = loader.crop((-20, -20, 10, 10))
+    assert blk2[0, 0] == 0 and np.array_equal(blk2[20:, 20:], world[:10, :10])
+    assert loader.crop((1000, 1000, 1100, 1100), return_empty=True) is None
+
+
+def test_loader_json_roundtrip(tile_set, workdir):
+    from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes, cache_size=5, fillval=7)
+    spec = loader.to_json()
+    loader2 = get_loader_from_json(spec)
+    assert np.array_equal(loader2.crop((0, 0, 50, 50)), world[:50, :50])
+    assert loader2.default_fillval == 7
+
+
+def test_stream_loader(rng, workdir):
+    from feabas_tpu.dal import StreamLoader
+    img = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    ld = StreamLoader(img, offset=(10, 20))
+    blk = ld.crop((10, 20, 30, 40))
+    assert np.array_equal(blk, img[:20, :20])
+
+
+def test_coordinate_file_loader(tile_set, tmp_path, workdir):
+    from feabas_tpu.dal import StaticImageLoader
+    world, paths, bboxes = tile_set
+    coord = tmp_path / 'coords.txt'
+    lines = ['{RESOLUTION}\t4']
+    for p, b in zip(paths, bboxes):
+        lines.append(f'{p}\t{b[0]}\t{b[1]}\t{b[2]}\t{b[3]}')
+    coord.write_text('\n'.join(lines) + '\n')
+    loader = StaticImageLoader.from_coordinate_file(str(coord))
+    assert loader.resolution == 4
+    assert np.array_equal(loader.crop((0, 0, 220, 220)), world[:220, :220])
+
+
+def test_rasterize_mesh_covers_interior(workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.renderer import rasterize_mesh
+    m = Mesh.from_bbox((0, 0, 60, 40), cartesian=True, mesh_size=20)
+    tid = rasterize_mesh(m, (-10, -10, 70, 50), gear='INITIAL')
+    assert tid.shape == (60, 80)
+    assert (tid[:10] == -1).all() and (tid[:, :10] == -1).all()
+    inner = tid[12:48, 12:68]
+    assert (inner >= 0).all()
+
+
+def test_identity_render_reproduces_source(tile_set, workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    blk = r.crop((20, 30, 120, 130))
+    inner = blk[2:-2, 2:-2]
+    want = world[32:128, 22:118]
+    assert np.mean(np.abs(inner.astype(int) - want.astype(int))) < 1.0
+
+
+def test_translated_render(tile_set, workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    m.set_translation((15, -10))   # content moves by (+15, -10) in output
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    blk = r.crop((50, 30, 150, 130))
+    want = world[30 + 10:130 + 10, 50 - 15:150 - 15]
+    inner = slice(2, -2)
+    assert np.mean(np.abs(blk[inner, inner].astype(int)
+                          - want[inner, inner].astype(int))) < 1.0
+
+
+def test_affine_render_matches_cv2(tile_set, workdir):
+    import cv2
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu import constant as const
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=40)
+    T = np.eye(3)
+    T[:2, :2] = [[1.05, 0.04], [-0.03, 0.97]]
+    T[2, :2] = [6.0, -4.0]
+    m.apply_affine(T, gear=(const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING))
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    bbox = (40, 40, 160, 160)
+    blk = r.cropping if False else r.crop(bbox)
+    # ground truth: inverse-affine sample of world
+    Tinv = np.linalg.inv(T)
+    gx, gy = np.meshgrid(np.arange(40, 160), np.arange(40, 160))
+    sx = gx * Tinv[0, 0] + gy * Tinv[1, 0] + Tinv[2, 0]
+    sy = gx * Tinv[0, 1] + gy * Tinv[1, 1] + Tinv[2, 1]
+    want = cv2.remap(world, sx.astype(np.float32), sy.astype(np.float32),
+                     cv2.INTER_LINEAR)
+    valid = (sx > 1) & (sx < 218) & (sy > 1) & (sy < 218)
+    diff = np.abs(blk.astype(int) - want.astype(int))[valid]
+    assert np.mean(diff) < 1.0, np.mean(diff)
+
+
+def test_render_whole_mesh_tiles(tile_set, tmp_path, workdir):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import render_whole_mesh
+    from feabas_tpu.common import imread
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    out = render_whole_mesh(m, loader, str(tmp_path / 'out' / 'sec0'),
+                            tile_size=(128, 128))
+    assert len(out) == 4
+    for fname, bbox in out.items():
+        img = imread(fname)
+        assert img.shape == (128, 128)
