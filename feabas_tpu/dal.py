@@ -203,6 +203,35 @@ class StaticImageLoader(AbstractImageLoader):
 MosaicLoader = StaticImageLoader  # mosaic composition is built into crop()
 
 
+class TileView:
+    """A view of one indexed tile in its own pixel frame (origin at the
+    tile's corner), exposing the loader crop API. Used when sampling a
+    tile through a mesh whose INITIAL gear is tile-local."""
+
+    def __init__(self, loader, fileid):
+        self._loader = loader
+        self._fileid = int(fileid)
+        self._origin = loader.bboxes[self._fileid, :2]
+
+    @property
+    def dtype(self):
+        return self._loader.dtype
+
+    @property
+    def default_fillval(self):
+        return self._loader.default_fillval
+
+    @property
+    def number_of_channels(self):
+        return self._loader.number_of_channels
+
+    def crop(self, bbox, return_empty=False, **kwargs):
+        world = (bbox[0] + self._origin[0], bbox[1] + self._origin[1],
+                 bbox[2] + self._origin[0], bbox[3] + self._origin[1])
+        return self._loader.crop(world, fileid=self._fileid,
+                                 return_empty=return_empty, **kwargs)
+
+
 class StreamLoader(AbstractImageLoader):
     """Wraps an in-memory array (reference: dal.py:1008)."""
 

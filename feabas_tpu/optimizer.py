@@ -25,6 +25,11 @@ from feabas_tpu.mesh import Mesh
 from feabas_tpu.ops import fem
 
 
+def _solver_dtype():
+    """f64 when x64 is enabled (CPU validation), else f32 (TPU prod)."""
+    return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
 class Link:
     """Point correspondences between two meshes (reference: optimizer.py:17).
 
@@ -385,12 +390,12 @@ class SLM:
                 groups.append({
                     'model': g['model'],
                     'tris': jnp.asarray(tris),
-                    'B_area': fem.shape_matrices(jnp.asarray(g['tripts'], jnp.float64)),
-                    'multiplier': jnp.asarray(g['multiplier'], jnp.float64),
-                    'poisson': jnp.asarray(g['poisson'], jnp.float64),
+                    'B_area': fem.shape_matrices(jnp.asarray(g['tripts'], _solver_dtype())),
+                    'multiplier': jnp.asarray(g['multiplier'], _solver_dtype()),
+                    'poisson': jnp.asarray(g['poisson'], _solver_dtype()),
                     'knots': (None if g['knots'] is None else
-                              (jnp.asarray(g['knots'][0], jnp.float64),
-                               jnp.asarray(g['knots'][1], jnp.float64))),
+                              (jnp.asarray(g['knots'][0], _solver_dtype()),
+                               jnp.asarray(g['knots'][1], _solver_dtype()))),
                 })
         la = [l.global_arrays(uid2off[l.uids[0]], uid2off[l.uids[1]])
               for l in self.active_links()]
@@ -458,8 +463,8 @@ class SLM:
         nv = sys_d['nv']
         idx0, bary0, idx1, bary1, weight = sys_d['links']
         dC = fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
-                                dtype=jnp.float64)
-        dK = jnp.zeros((nv, 2), jnp.float64)
+                                dtype=_solver_dtype())
+        dK = jnp.zeros((nv, 2), _solver_dtype())
         for tris, Ke, _ in terms:
             dK = dK + fem.stiffness_diag(Ke, tris, nv)
         tr_c = float(jnp.sum(dC))

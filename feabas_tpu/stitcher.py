@@ -1,0 +1,459 @@
+"""Per-section 2D stitching pipeline.
+
+`Stitcher` carries one section's tile set through overlap detection, pairwise
+matching, mesh initialization, and the solver cascade; `MontageRenderer`
+composes the solved tiles into seamless output tiles (capability parity with
+reference ``feabas/stitcher.py``; file-keyed artifacts make every stage
+idempotent and resumable).
+"""
+
+import numpy as np
+
+from feabas_tpu import common, config
+from feabas_tpu import constant as const
+from feabas_tpu.concurrent import submit_to_workers
+from feabas_tpu.dal import StaticImageLoader, StreamLoader, get_loader_from_json
+from feabas_tpu.matcher import stitching_matcher
+from feabas_tpu.mesh import Mesh
+from feabas_tpu.optimizer import SLM
+from feabas_tpu.renderer import MeshRenderer
+from feabas_tpu.storage import H5File, join_paths
+from feabas_tpu.common import (Match, bbox_centers, intersect_bbox,
+                               numpy_to_str_ascii, str_to_numpy_ascii, z_order)
+from feabas_tpu.utils.spatial_index import GridIndex
+
+
+class Stitcher:
+    """One section: tiles + matches + meshes (reference: stitcher.py:34)."""
+
+    def __init__(self, imgpaths, bboxes, root_dir=None, **kwargs):
+        self.imgpaths = list(imgpaths)
+        self.init_bboxes = np.asarray(bboxes, np.float64).reshape(-1, 4)
+        self.root_dir = root_dir
+        self.resolution = kwargs.get('resolution', None) or config.data_resolution()
+        self.name = kwargs.get('name', '')
+        self.matches = {}      # (i, j) -> Match in tile-local coords
+        self.meshes = None     # list[Mesh] after initialize_meshes
+        self.groupings = kwargs.get('groupings', None)
+
+    @classmethod
+    def from_coordinate_file(cls, filename, **kwargs):
+        imgpaths, bboxes, root_dir, resolution = common.parse_coordinate_files(filename)
+        name = kwargs.pop('name', None)
+        if name is None:
+            name = join_paths(filename).split('/')[-1].rsplit('.', 1)[0] \
+                if '/' in str(filename) else str(filename).rsplit('.', 1)[0]
+        return cls(imgpaths, bboxes, root_dir=root_dir, resolution=resolution,
+                   name=name, **kwargs)
+
+    @property
+    def num_tiles(self):
+        return len(self.imgpaths)
+
+    def loader(self, **kwargs):
+        return StaticImageLoader(self.imgpaths, self.init_bboxes,
+                                 root_dir=self.root_dir,
+                                 resolution=self.resolution, **kwargs)
+
+    # ------------------------- matching ------------------------- #
+
+    def find_overlaps(self, min_overlap_width=0):
+        """Tile pairs whose stage bboxes overlap, z-ordered
+        (reference: stitcher.py:418)."""
+        gi = GridIndex(self.init_bboxes)
+        pairs = gi.all_pairs()
+        keep = []
+        for i, j in pairs:
+            ovl, valid = intersect_bbox(self.init_bboxes[i], self.init_bboxes[j])
+            if not valid:
+                continue
+            if min(ovl[2] - ovl[0], ovl[3] - ovl[1]) < min_overlap_width:
+                continue
+            keep.append((i, j))
+        if not keep:
+            return np.zeros((0, 2), dtype=np.int64)
+        keep = np.asarray(keep, dtype=np.int64)
+        centers = (bbox_centers(self.init_bboxes[keep[:, 0]])
+                   + bbox_centers(self.init_bboxes[keep[:, 1]])) / 2
+        order = z_order(np.round(centers / max(np.ptp(centers, 0).max() / 64, 1)).astype(int))
+        return keep[order]
+
+    def dispatch_matchers(self, **settings):
+        """Match all overlapping pairs; fills ``self.matches``
+        (reference: stitcher.py:334). Returns the number of matched pairs."""
+        num_workers = settings.pop('num_workers', 1)
+        min_overlap_width = settings.pop('min_overlap_width', 25)
+        margin = settings.pop('margin', 100)
+        num_overlaps_per_job = settings.pop('num_overlaps_per_job', 180)
+        loader_config = settings.pop('loader_config', {})
+        matcher_config = settings.pop('matcher_config', {})
+        overlaps = self.find_overlaps(min_overlap_width=min_overlap_width)
+        overlaps = [tuple(p) for p in overlaps if tuple(p) not in self.matches]
+        if not overlaps:
+            return 0
+        loader_spec = self.loader(**loader_config).to_dict()
+        jobs = [overlaps[i:i + num_overlaps_per_job]
+                for i in range(0, len(overlaps), num_overlaps_per_job)]
+        args = [(loader_spec, list(job), margin, matcher_config) for job in jobs]
+        n = 0
+        for result in submit_to_workers(subprocess_match_list_of_overlaps, args,
+                                        num_workers=num_workers):
+            for key, match, err in result:
+                if err is not None:
+                    continue
+                if match is not None:
+                    self.matches[tuple(key)] = match
+                    n += 1
+        return n
+
+    # ------------------------- H5 IO ------------------------- #
+
+    def save_to_h5(self, fname, save_matches=True, save_meshes=True):
+        with H5File(fname, 'w') as f:
+            f.create_dataset('imgpaths', data=str_to_numpy_ascii('\n'.join(self.imgpaths)))
+            f.create_dataset('bboxes', data=self.init_bboxes)
+            if self.root_dir:
+                f.create_dataset('root_dir', data=str_to_numpy_ascii(self.root_dir))
+            f.create_dataset('resolution', data=float(self.resolution))
+            f.create_dataset('name', data=str_to_numpy_ascii(self.name or ''))
+            if save_matches:
+                for (i, j), m in self.matches.items():
+                    g = f'matches/{i}_{j}/'
+                    f.create_dataset(g + 'xy0', data=m.xy0)
+                    f.create_dataset(g + 'xy1', data=m.xy1)
+                    f.create_dataset(g + 'weight', data=m.weight)
+                    f.create_dataset(g + 'strain', data=float(m.strain))
+            if save_meshes and self.meshes is not None:
+                for i, mesh in enumerate(self.meshes):
+                    mesh.save_to_h5(f, prefix=f'meshes/{i}', save_material=(i == 0))
+
+    @classmethod
+    def from_h5(cls, fname, load_matches=True, load_meshes=True):
+        with H5File(fname, 'r') as f:
+            imgpaths = numpy_to_str_ascii(f['imgpaths'][()]).split('\n')
+            bboxes = f['bboxes'][()]
+            root_dir = numpy_to_str_ascii(f['root_dir'][()]) if 'root_dir' in f else None
+            resolution = float(f['resolution'][()])
+            name = numpy_to_str_ascii(f['name'][()])
+            obj = cls(imgpaths, bboxes, root_dir=root_dir, resolution=resolution,
+                      name=name)
+            if load_matches and 'matches' in f:
+                for key in f['matches'].keys():
+                    i, j = (int(s) for s in key.split('_'))
+                    g = f[f'matches/{key}']
+                    obj.matches[(i, j)] = Match(
+                        g['xy0'][()], g['xy1'][()], g['weight'][()],
+                        float(g['strain'][()]))
+            if load_meshes and 'meshes' in f:
+                keys = sorted(f['meshes'].keys(), key=int)
+                mt = None
+                meshes = []
+                for k in keys:
+                    mesh = Mesh.from_h5(f, prefix=f'meshes/{k}')
+                    if mt is None:
+                        mt = mesh.material_table
+                    meshes.append(mesh)
+                obj.meshes = meshes
+        return obj
+
+    # ------------------------- optimization ------------------------- #
+
+    def initialize_meshes(self, mesh_sizes=(100, 300), border_width=None,
+                          soft_top=0.2, soft_top_width=0.0, **kwargs):
+        """Per-tile border-refined meshes; mesh size picked from observed
+        match strain (distorted sections get finer meshes; reference:
+        stitcher.py:625)."""
+        strains = [m.strain for m in self.matches.values()] or [config.DEFAULT_AVG_DEFORM]
+        strain = float(np.median(strains))
+        mesh_sizes = sorted(np.atleast_1d(mesh_sizes))
+        # heavier distortion -> finer mesh
+        idx = 0 if strain > 2 * config.DEFAULT_AVG_DEFORM else len(mesh_sizes) - 1
+        mesh_size = float(mesh_sizes[idx])
+        if border_width is None:
+            # size the fine border band from typical overlap widths
+            ovw = []
+            for i, j in self.matches.keys():
+                ovl, valid = intersect_bbox(self.init_bboxes[i], self.init_bboxes[j])
+                if valid:
+                    ovw.append(min(ovl[2] - ovl[0], ovl[3] - ovl[1]))
+            border_width = float(np.median(ovw)) if ovw else np.inf
+        self.meshes = []
+        for i, bbox in enumerate(self.init_bboxes):
+            wd = bbox[2] - bbox[0]
+            ht = bbox[3] - bbox[1]
+            m = Mesh.from_boarder_bbox((0, 0, wd, ht), bd_width=border_width,
+                                       mesh_size=mesh_size,
+                                       resolution=self.resolution,
+                                       uid=i, name=f'tile{i}')
+            m.set_translation((bbox[0], bbox[1]),
+                              gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_FIXED))
+            self.meshes.append(m)
+        return mesh_size
+
+    def initialize_optimizer(self, minweight=0.1, **kwargs):
+        if self.meshes is None:
+            self.initialize_meshes(**kwargs.pop('mesh_settings', {}))
+        slm = SLM(self.meshes)
+        for (i, j), m in self.matches.items():
+            w = np.asarray(m.weight)
+            keep = w >= minweight
+            if not keep.any():
+                continue
+            slm.add_link_from_coordinates(
+                i, j, m.xy0[keep], m.xy1[keep], weight=w[keep],
+                gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+        self._slm = slm
+        return slm
+
+    def optimize_translation(self, **kwargs):
+        """Stage 1: tile translations from stage coords (reference:
+        stitcher.py:819). Uses FIXED (stage) as the start state."""
+        slm = getattr(self, '_slm', None) or self.initialize_optimizer(**kwargs)
+        slm.optimize_translation_w_filtering(
+            start_gear=const.MESH_GEAR_FIXED,
+            target_gear=const.MESH_GEAR_MOVING,
+            residue_threshold=kwargs.get('residue_threshold', None))
+        return slm
+
+    def optimize_elastic(self, **kwargs):
+        """Final elastic relaxation (reference: stitcher.py:961)."""
+        slm = getattr(self, '_slm', None) or self.initialize_optimizer()
+        kwargs.setdefault('stiffness_lambda', -1.0)
+        kwargs.setdefault('crosslink_lambda', -1.0)
+        kwargs.setdefault('residue_mode', 'huber')
+        kwargs.setdefault('residue_len', 3)
+        cost = slm.optimize_elastic(
+            **{k: v for k, v in kwargs.items()
+               if k in ('stiffness_lambda', 'crosslink_lambda', 'residue_mode',
+                        'residue_len', 'tol', 'atol', 'maxiter', 'max_residue_passes')})
+        return cost
+
+    def connect_isolated_subsystem(self, explode_factor=1.0, **kwargs):
+        """Re-place link-disconnected components by their stage coordinates
+        (reference: stitcher.py:1024)."""
+        slm = self._slm
+        labels = slm.mesh_connectivity()
+        if labels.max() == 0:
+            return 0
+        # component containing the most tiles anchors the frame
+        anchor = np.argmax(np.bincount(labels))
+        for lbl in np.unique(labels):
+            if lbl == anchor:
+                continue
+            sel = labels == lbl
+            # current mean placement error vs stage coords
+            dxy = []
+            for i in np.nonzero(sel)[0]:
+                m = slm.meshes[i]
+                dxy.append(m.offset(const.MESH_GEAR_MOVING)
+                           - m.offset(const.MESH_GEAR_FIXED))
+            mean_d = np.mean(dxy, axis=0)
+            for i in np.nonzero(sel)[0]:
+                m = slm.meshes[i]
+                want = m.offset(const.MESH_GEAR_FIXED) * explode_factor + mean_d
+                m.set_offset(want, const.MESH_GEAR_MOVING)
+        return int(labels.max())
+
+    def normalize_coordinates(self, rotation_threshold=None, offset=(1, 1), **kwargs):
+        """Shift (and optionally de-rotate) the solved section so its bbox
+        corner sits at ``offset`` (reference: stitcher.py:1085)."""
+        if self.meshes is None:
+            return
+        bboxes = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING) for m in self.meshes])
+        corner = bboxes[:, :2].min(axis=0)
+        shift = np.asarray(offset, np.float64) - corner
+        for m in self.meshes:
+            m.apply_translation(shift, const.MESH_GEAR_MOVING)
+        return shift
+
+    def match_residues(self):
+        slm = getattr(self, '_slm', None)
+        if slm is None:
+            return np.zeros(0)
+        return slm.match_residues(gear=const.MESH_GEAR_MOVING)
+
+
+def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
+                                      matcher_config):
+    """Worker: match a batch of overlap pairs (reference: stitcher.py:475).
+
+    Returns list of ((i, j), Match|None, error|None) with matches in
+    tile-local pixel coordinates. Exceptions are contained per overlap."""
+    loader = get_loader_from_json(loader_spec)
+    out = []
+    for i, j in overlaps:
+        try:
+            bbox_i = loader.bboxes[i]
+            bbox_j = loader.bboxes[j]
+            ovl, valid = intersect_bbox(bbox_i, bbox_j)
+            if not valid:
+                out.append(((i, j), None, None))
+                continue
+            ovl_m = common.bbox_enlarge(ovl, margin)
+            crop_i, _ = intersect_bbox(ovl_m, bbox_i)
+            crop_j, _ = intersect_bbox(ovl_m, bbox_j)
+            img_i = loader.crop(crop_i, fileid=i)
+            img_j = loader.crop(crop_j, fileid=j)
+            match = stitching_matcher(img_i, img_j, **matcher_config)
+            if match is not None:
+                off_i = np.asarray(crop_i[:2]) - bbox_i[:2]
+                off_j = np.asarray(crop_j[:2]) - bbox_j[:2]
+                match = Match(match.xy0 + off_i, match.xy1 + off_j,
+                              match.weight, match.strain)
+            out.append(((i, j), match, None))
+        except Exception as e:  # contain per-overlap failures
+            out.append(((i, j), None, f'{type(e).__name__}: {e}'))
+    return out
+
+
+class MontageRenderer:
+    """Compose solved tile meshes into output images
+    (reference: stitcher.py:1279)."""
+
+    BLEND_MODES = ('LINEAR', 'NEAREST', 'PYRAMID', 'MAX', 'MIN', 'NONE')
+
+    def __init__(self, meshes, loader, name='', **kwargs):
+        self.meshes = meshes
+        self.loader = loader
+        self.name = name
+        self._blend = str(kwargs.get('blend', 'LINEAR')).upper()
+        self._blend_margin = kwargs.get('blend_margin', None)
+        self._renderers = [MeshRenderer.from_mesh(m) for m in meshes]
+        self._bounds = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING)
+                                   for m in meshes])
+        self._index = GridIndex(self._bounds)
+        self._tile_sizes = (loader.bboxes[:, 2:] - loader.bboxes[:, :2])
+
+    @classmethod
+    def from_stitcher(cls, stitcher, loader_config=None, **kwargs):
+        loader = stitcher.loader(**(loader_config or {}))
+        return cls(stitcher.meshes, loader, name=stitcher.name, **kwargs)
+
+    @classmethod
+    def from_h5(cls, fname, loader_config=None, **kwargs):
+        st = Stitcher.from_h5(fname, load_matches=False, load_meshes=True)
+        return cls.from_stitcher(st, loader_config=loader_config, **kwargs)
+
+    @property
+    def bounds(self):
+        return (self._bounds[:, 0].min(), self._bounds[:, 1].min(),
+                self._bounds[:, 2].max(), self._bounds[:, 3].max())
+
+    def crop(self, bbox, **kwargs):
+        """Render one output block with tile blending
+        (reference: stitcher.py:1399)."""
+        blend = str(kwargs.pop('blend', self._blend)).upper()
+        fillval = kwargs.pop('fillval', self.loader.default_fillval)
+        hits = self._index.query(bbox)
+        H = int(np.ceil(bbox[3])) - int(np.floor(bbox[1]))
+        W = int(np.ceil(bbox[2])) - int(np.floor(bbox[0]))
+        if hits.size == 0:
+            if kwargs.get('return_empty', False):
+                return None
+            return np.full((H, W), fillval, dtype=self.loader.dtype)
+        acc = np.zeros((H, W), np.float64)
+        wacc = np.zeros((H, W), np.float64)
+        best_w = np.full((H, W), -np.inf)
+        best_img = np.zeros((H, W), np.float64)
+        mn = np.full((H, W), np.inf)
+        mx = np.full((H, W), -np.inf)
+        any_mask = np.zeros((H, W), bool)
+        for t in hits:
+            r = self._renderers[int(t)]
+            map_x, map_y, mask = r.crop_field(bbox)
+            if not mask.any():
+                continue
+            from feabas_tpu.dal import TileView
+            img = common.render_by_subregions(
+                map_x, map_y, mask, TileView(self.loader, int(t)),
+                dtype_out=np.float32, **kwargs)
+            if img is None:
+                continue
+            tw, th = self._tile_sizes[int(t)]
+            margin = self._blend_margin
+            if margin is None:
+                margin = max(min(tw, th) / 16.0, 1.0)
+            # blending weight: distance to the source-tile border
+            d = np.minimum.reduce([map_x, tw - map_x, map_y, th - map_y])
+            w = np.clip(np.nan_to_num(d, nan=0.0) / margin, 0, 1.0)
+            w = np.where(mask, w, 0.0)
+            m = mask & (w > 0)
+            any_mask |= m
+            imgf = img.astype(np.float64)
+            acc[m] += imgf[m] * w[m]
+            wacc[m] += w[m]
+            upd = m & (w > best_w)
+            best_w[upd] = w[upd]
+            best_img[upd] = imgf[upd]
+            mn[m] = np.minimum(mn[m], imgf[m])
+            mx[m] = np.maximum(mx[m], imgf[m])
+        if not any_mask.any() and kwargs.get('return_empty', False):
+            return None
+        out = np.full((H, W), float(fillval), np.float64)
+        if blend in ('LINEAR', 'PYRAMID'):
+            nz = wacc > 0
+            out[nz] = acc[nz] / wacc[nz]
+        elif blend in ('NEAREST', 'NONE'):
+            out[any_mask] = best_img[any_mask]
+        elif blend == 'MAX':
+            out[any_mask] = mx[any_mask]
+        elif blend == 'MIN':
+            out[any_mask] = mn[any_mask]
+        else:
+            raise ValueError(f'unknown blend mode {blend}')
+        dtype = self.loader.dtype
+        if np.issubdtype(dtype, np.integer):
+            info = np.iinfo(dtype)
+            out = np.clip(np.round(out), info.min, info.max)
+        return out.astype(dtype)
+
+    def plan_render_series(self, tile_size=(4096, 4096), canvas_bbox=None,
+                           one_based=True, pattern='_tr{ROW_IND}-tc{COL_IND}.png',
+                           prefix=''):
+        """Z-ordered output tile plan (reference: stitcher.py:1617).
+        Returns list of (filename, bbox)."""
+        if canvas_bbox is None:
+            canvas_bbox = self.bounds
+        x0 = int(np.floor(canvas_bbox[0]))
+        y0 = int(np.floor(canvas_bbox[1]))
+        cols = int(np.ceil((canvas_bbox[2] - x0) / tile_size[1]))
+        rows = int(np.ceil((canvas_bbox[3] - y0) / tile_size[0]))
+        rr, cc = np.meshgrid(np.arange(rows), np.arange(cols))
+        rc = np.stack([rr.ravel(), cc.ravel()], -1)
+        plan = []
+        offset = 1 if one_based else 0
+        for r, c in rc[z_order(rc)]:
+            bbox = (x0 + c * tile_size[1], y0 + r * tile_size[0],
+                    x0 + (c + 1) * tile_size[1], y0 + (r + 1) * tile_size[0])
+            fname = prefix + pattern.format(ROW_IND=r + offset, COL_IND=c + offset)
+            plan.append((fname, bbox))
+        return plan
+
+    def render_series_to_file(self, out_dir, **kwargs):
+        """Render all output tiles as images; writes a metadata coordinate
+        file so later stages can mosaic-load the result
+        (reference: stitcher.py:1567)."""
+        from feabas_tpu import storage
+        tile_size = kwargs.pop('tile_size', (4096, 4096))
+        pattern = kwargs.pop('pattern', '_tr{ROW_IND}-tc{COL_IND}.png')
+        one_based = kwargs.pop('one_based', True)
+        prefix = self.name or 'section'
+        plan = self.plan_render_series(tile_size=tile_size, pattern=pattern,
+                                       one_based=one_based, prefix=prefix,
+                                       canvas_bbox=kwargs.pop('canvas_bbox', None))
+        rendered = []
+        for fname, bbox in plan:
+            blk = self.crop(bbox, return_empty=True, **kwargs)
+            if blk is None:
+                continue
+            path = join_paths(out_dir, fname)
+            common.imwrite(path, blk)
+            rendered.append((fname, bbox))
+        meta_path = join_paths(out_dir, 'metadata.txt')
+        with storage.File(meta_path, 'w') as f:
+            f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')
+            if self.loader.resolution:
+                f.write('{RESOLUTION}\t' + str(self.loader.resolution) + '\n')
+            for fname, bbox in rendered:
+                f.write(f'{fname}\t{bbox[0]}\t{bbox[1]}\t{bbox[2]}\t{bbox[3]}\n')
+        return rendered
