@@ -1,0 +1,440 @@
+"""Cross-section 3D alignment.
+
+`Stack` manages the per-section meshes/matches of a serial stack and runs
+the sliding-window elastic relaxation; `Aligner` is the state machine over
+mesh versions (UNALIGNED -> CHUNK_ALIGNED -> PREDEFORMED -> ALIGNED) that
+drives window or hierarchical chunked alignment (capability parity with
+reference ``feabas/aligner.py``). The filesystem is the database: meshes in
+``mesh_dir``, solved transforms in ``tform_dir``, matches in ``match_dir``;
+a tform's existence marks a section as a locked reference for later runs.
+"""
+
+import os
+
+import numpy as np
+
+from feabas_tpu import common, config, storage
+from feabas_tpu import constant as const
+from feabas_tpu.caching import generate_cache
+from feabas_tpu.mesh import Mesh, transform_mesh
+from feabas_tpu.optimizer import SLM, relax_mesh_most_deformed
+from feabas_tpu.storage import H5File, join_paths
+from feabas_tpu.common import Match
+
+MESH_VERSION_UNALIGNED = 'UNALIGNED'
+MESH_VERSION_CHUNK_ALIGNED = 'CHUNK_ALIGNED'
+MESH_VERSION_PREDEFORMED = 'PREDEFORMED'
+MESH_VERSION_ALIGNED = 'ALIGNED'
+
+DELIMITER = '__to__'
+
+
+def read_matches_from_h5(fname, target_resolution=None):
+    """Load a match H5 (xy0/xy1/weight/strain/resolution), rescaled to
+    ``target_resolution`` (reference: aligner.py:26)."""
+    with H5File(fname, 'r') as f:
+        xy0 = f['xy0'][()]
+        xy1 = f['xy1'][()]
+        weight = f['weight'][()] if 'weight' in f else np.ones(xy0.shape[0])
+        strain = float(f['strain'][()]) if 'strain' in f else config.DEFAULT_AVG_DEFORM
+        resolution = float(f['resolution'][()]) if 'resolution' in f \
+            else config.montage_resolution()
+    if target_resolution is not None and resolution != target_resolution:
+        s = resolution / target_resolution
+        xy0 = xy0 * s
+        xy1 = xy1 * s
+    return Match(xy0, xy1, weight, strain)
+
+
+def save_matches_to_h5(fname, match, resolution):
+    with H5File(fname, 'w') as f:
+        f.create_dataset('xy0', data=match.xy0, compression='gzip')
+        f.create_dataset('xy1', data=match.xy1, compression='gzip')
+        f.create_dataset('weight', data=match.weight, compression='gzip')
+        f.create_dataset('strain', data=float(match.strain))
+        f.create_dataset('resolution', data=float(resolution))
+
+
+def match_name(sec0, sec1, delimiter=DELIMITER):
+    return f'{sec0}{delimiter}{sec1}.h5'
+
+
+def parse_match_name(fname, delimiter=DELIMITER):
+    stem = storage.base_name(fname).rsplit('.', 1)[0]
+    a, _, b = stem.partition(delimiter)
+    return a, b
+
+
+def match_section_from_initial_matches(match_file, mesh_dir, loaders,
+                                       out_dir, **matcher_config):
+    """Fine matching between two sections seeded by coarse matches
+    (reference: aligner.py:47).
+
+    Loads the two section meshes, applies the coarse matches as an initial
+    placement, runs the mesh-deforming block matcher on the section images,
+    and writes the match H5. Returns the output path or None."""
+    from feabas_tpu.matcher import section_matcher
+    from feabas_tpu.optimizer import SLM as _SLM
+    sec0, sec1 = parse_match_name(match_file)
+    outname = join_paths(out_dir, match_name(sec0, sec1))
+    if storage.file_exists(outname, use_cache=True):
+        return outname
+    resolution = matcher_config.pop('working_resolution', config.align_resolution())
+    coarse = read_matches_from_h5(match_file, target_resolution=resolution)
+    mesh0 = Mesh.from_h5(join_paths(mesh_dir, sec0 + '.h5'))
+    mesh1 = Mesh.from_h5(join_paths(mesh_dir, sec1 + '.h5'))
+    mesh0.change_resolution(resolution)
+    mesh1.change_resolution(resolution)
+    mesh0.uid, mesh1.uid = 0.0, 1.0
+    mesh0.locked = True
+    # place mesh1 from the coarse matches
+    slm = _SLM([mesh0, mesh1])
+    slm.add_link_from_coordinates(0.0, 1.0, coarse.xy0, coarse.xy1,
+                                  weight=coarse.weight)
+    slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_INITIAL)
+    loader0, loader1 = loaders
+    match = section_matcher(mesh0, mesh1, loader0, loader1, **matcher_config)
+    if match is None:
+        return None
+    save_matches_to_h5(outname, match, resolution)
+    return outname
+
+
+class Stack:
+    """Section & match bookkeeping for one alignment stack
+    (reference: aligner.py:176)."""
+
+    def __init__(self, section_list=None, match_list=None, **kwargs):
+        self.mesh_dir = kwargs.get('mesh_dir', None)
+        self.tform_dir = kwargs.get('tform_dir', None)
+        self.match_dir = kwargs.get('match_dir', None)
+        self.mesh_cache = generate_cache('lru', maxlen=kwargs.get('mesh_cache_size', 256))
+        self._mesh_overrides = kwargs.get('meshes', None)   # in-memory mode
+        self._match_overrides = kwargs.get('matches', None)
+        if section_list is None:
+            section_list = self._discover_sections()
+        self.section_list = list(section_list)
+        self._z = {s: z for z, s in enumerate(self.section_list)}
+        if match_list is None:
+            match_list = self._discover_matches()
+        self.match_list = list(match_list)
+        self.resolution = kwargs.get('resolution', None) or config.montage_resolution()
+
+    def _discover_sections(self):
+        if self._mesh_overrides is not None:
+            return sorted(self._mesh_overrides.keys())
+        files = storage.list_folder_content(join_paths(self.mesh_dir, '*.h5'))
+        return [storage.base_name(f).rsplit('.', 1)[0] for f in files]
+
+    def _discover_matches(self):
+        if self._match_overrides is not None:
+            return sorted(self._match_overrides.keys())
+        if self.match_dir is None:
+            return []
+        files = storage.list_folder_content(join_paths(self.match_dir, '*.h5'))
+        out = []
+        for f in files:
+            a, b = parse_match_name(f)
+            if a in self._z and b in self._z:
+                out.append((a, b))
+        return out
+
+    @property
+    def num_sections(self):
+        return len(self.section_list)
+
+    def section_z(self, name):
+        return self._z[name]
+
+    def get_mesh(self, name):
+        """Load a section mesh; a tform in tform_dir supersedes (and locks)
+        the raw mesh (reference lock discipline: aligner.py:260)."""
+        if name in self.mesh_cache:
+            return self.mesh_cache[name]
+        if self._mesh_overrides is not None:
+            mesh = self._mesh_overrides[name]
+        else:
+            tform = join_paths(self.tform_dir, name + '.h5') if self.tform_dir else None
+            if tform and storage.file_exists(tform):
+                mesh = Mesh.from_h5(tform)
+                mesh.locked = True
+            else:
+                mesh = Mesh.from_h5(join_paths(self.mesh_dir, name + '.h5'))
+                mesh.locked = False
+        mesh.change_resolution(self.resolution)
+        mesh.uid = float(self._z[name])
+        if not mesh.name:
+            mesh._name = name
+        self.mesh_cache[name] = mesh
+        return mesh
+
+    def get_match(self, pair):
+        if self._match_overrides is not None:
+            return self._match_overrides[pair]
+        return read_matches_from_h5(
+            join_paths(self.match_dir, match_name(*pair)),
+            target_resolution=self.resolution)
+
+    def initialize_SLM(self, sections, lock_outside=True):
+        """Build an SLM over a window of sections (+ links among them)
+        (reference: aligner.py:510)."""
+        secset = set(sections)
+        meshes = [self.get_mesh(s) for s in sections]
+        slm = SLM(meshes)
+        for (a, b) in self.match_list:
+            if a in secset and b in secset:
+                m = self.get_match((a, b))
+                slm.add_link_from_coordinates(
+                    float(self._z[a]), float(self._z[b]), m.xy0, m.xy1,
+                    weight=m.weight,
+                    gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+        return slm
+
+    def optimize_section_list(self, sections, **kwargs):
+        """Affine cascade + elastic relaxation over a window
+        (reference: aligner.py:678)."""
+        slm = self.initialize_SLM(sections)
+        if np.all(slm.lock_flags):
+            return slm
+        residue_mode = kwargs.pop('residue_mode', 'huber')
+        residue_len = kwargs.pop('residue_len', -3)
+        if residue_len < 0:
+            residue_len = abs(residue_len) * config.section_thickness() / self.resolution
+        elastic_params = dict(kwargs.pop('elastic_params', {}) or {})
+        elastic_params.pop('callback_settings', None)
+        elastic_params.pop('precondition', None)
+        lam = elastic_params.pop('stiffness_lambda', 1.0)
+        slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_FIXED)
+        slm.optimize_elastic(stiffness_lambda=-abs(lam),
+                             crosslink_lambda=-1.0,
+                             residue_mode=residue_mode,
+                             residue_len=residue_len,
+                             **elastic_params)
+        return slm
+
+    def optimize_slide_window(self, **kwargs):
+        """Sliding-window relaxation over the whole stack
+        (reference: aligner.py:538).
+
+        Windows of ``window_size + buffer_size`` slide from a start
+        location; only sections at least ``buffer_size`` from the leading
+        edge commit (and lock); the buffer re-optimizes in the next window
+        to kill fringe effects. Returns the list of committed sections.
+        """
+        window_size = int(kwargs.pop('window_size', 64))
+        buffer_size = int(kwargs.pop('buffer_size', 16))
+        start_loc = str(kwargs.pop('start_loc', 'M')).upper()
+        commit_fn = kwargs.pop('commit_fn', None)
+        n = self.num_sections
+        committed = np.asarray([self.get_mesh(s).locked
+                                for s in self.section_list])
+        out = []
+        total = max(window_size + buffer_size, 2)
+
+        def do_commit(i):
+            name = self.section_list[i]
+            mesh = self.get_mesh(name)
+            mesh.locked = True
+            committed[i] = True
+            out.append(name)
+            if commit_fn is not None:
+                commit_fn(name, mesh)
+
+        while not committed.all():
+            unc = np.nonzero(~committed)[0]
+            if committed.any():
+                # frontier: uncommitted section nearest committed territory;
+                # window hugs the committed side for context
+                comm = np.nonzero(committed)[0]
+                dists = np.min(np.abs(unc[:, None] - comm[None, :]), axis=1)
+                i = int(unc[np.argmin(dists)])
+                grow_right = committed[max(i - 1, 0)] or i == 0
+                if grow_right:
+                    lo = max(0, i - buffer_size)
+                else:
+                    lo = max(0, min(i + buffer_size + 1, n) - total)
+            else:
+                if start_loc == 'L':
+                    lo = 0
+                elif start_loc == 'R':
+                    lo = max(0, n - total)
+                else:
+                    lo = max(0, (n - total) // 2)
+            hi = min(lo + total, n)
+            win = list(range(lo, hi))
+            self.optimize_section_list([self.section_list[k] for k in win],
+                                       **dict(kwargs))
+            # a window edge is "open" when uncommitted sections lie beyond
+            # it; sections within buffer_size of an open edge stay
+            # uncommitted and re-relax in the next window
+            open_left = (lo > 0) and not committed[:lo].all()
+            open_right = (hi < n) and not committed[hi:].all()
+            commit_set = [k for k in win if not committed[k]
+                          and not (open_left and k < lo + buffer_size)
+                          and not (open_right and k >= hi - buffer_size)]
+            if not commit_set:
+                # degenerate window (smaller than the buffers): commit the
+                # section farthest from any open edge to guarantee progress
+                cand = [k for k in win if not committed[k]]
+                score = [min(k - lo if open_left else n,
+                             hi - 1 - k if open_right else n) for k in cand]
+                commit_set = [cand[int(np.argmax(score))]]
+            for k in commit_set:
+                do_commit(k)
+        return out
+
+
+class Aligner:
+    """State machine over mesh versions driving window / chunked alignment
+    (reference: aligner.py:916)."""
+
+    def __init__(self, mesh_dir, tform_dir, match_dir, **kwargs):
+        self.mesh_dir = mesh_dir
+        self.tform_dir = tform_dir
+        self.match_dir = match_dir
+        self.section_order_file = kwargs.get('section_order_file', None)
+        self.resolution = kwargs.get('resolution', None)
+        self.logger = kwargs.get('logger', None)
+
+    def get_section_list(self):
+        files = storage.list_folder_content(join_paths(self.mesh_dir, '*.h5'))
+        names = [storage.base_name(f).rsplit('.', 1)[0] for f in files]
+        names, _ = common.rearrange_section_order(names, self.section_order_file)
+        return names
+
+    def run(self, **kwargs):
+        """Align the stack. chunked_to_depth=0 -> plain sliding window;
+        >0 -> hierarchical chunking (reference: aligner.py:1158)."""
+        chunk_settings = kwargs.pop('chunk_settings', {}) or {}
+        depth = int(chunk_settings.get('chunked_to_depth', 0))
+        slide = dict(kwargs.pop('slide_window', {}) or {})
+        if depth > 0:
+            return self._run_chunked(slide, chunk_settings, **kwargs)
+        return self._run_window(slide, **kwargs)
+
+    def _run_window(self, slide, **kwargs):
+        sections = self.get_section_list()
+        stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
+                      tform_dir=self.tform_dir, match_dir=self.match_dir,
+                      resolution=self.resolution)
+
+        def commit(name, mesh):
+            out = join_paths(self.tform_dir, name + '.h5')
+            mesh.save_to_h5(out)
+            storage.clear_exists_cache()
+
+        committed = stack.optimize_slide_window(commit_fn=commit, **slide)
+        if self.logger:
+            self.logger.info(f'aligned {len(committed)} section(s)')
+        return committed
+
+    def _run_chunked(self, slide, chunk_settings, **kwargs):
+        """Hierarchical chunked alignment: align within chunks, then treat
+        chunks as rigid meta-units aligned by a second pass, then apply the
+        meta transforms and re-smooth junctions (reference: aligner.py:1272).
+        Depth 1 implementation: chunk -> window -> junction smoothing."""
+        chunk_size = int(chunk_settings.get('default_chunk_size', 16))
+        junction_width = chunk_settings.get('junction_width', 0.2)
+        sections = self.get_section_list()
+        if junction_width < 1:
+            junction_width = max(int(round(junction_width * chunk_size)), 1)
+        junction_width = int(junction_width)
+        chunks = [sections[i:i + chunk_size]
+                  for i in range(0, len(sections), chunk_size)]
+        committed = []
+        # pass 1: window-align within each chunk independently (first section
+        # of each chunk anchors it)
+        for chunk in chunks:
+            stack = Stack(section_list=chunk, mesh_dir=self.mesh_dir,
+                          tform_dir=self.tform_dir, match_dir=self.match_dir,
+                          resolution=self.resolution)
+
+            def commit(name, mesh):
+                mesh.save_to_h5(join_paths(self.tform_dir, name + '.h5'))
+                storage.clear_exists_cache()
+
+            committed += stack.optimize_slide_window(commit_fn=commit, **slide)
+        # pass 2: place each chunk globally — fit a weighted affine from the
+        # cross-chunk matches and chain it down the stack (the depth-1
+        # analog of the reference's meta-section alignment,
+        # aligner.py:1568-1630)
+        from feabas_tpu.spatial import fit_affine
+        from feabas_tpu.optimizer import Link
+        full_stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
+                           tform_dir=self.tform_dir, match_dir=self.match_dir,
+                           resolution=self.resolution)
+        chunk_of = {}
+        for k, chunk in enumerate(chunks):
+            for s in chunk:
+                chunk_of[s] = k
+        for k in range(1, len(chunks)):
+            p0s, p1s, ws = [], [], []
+            for (a, b) in full_stack.match_list:
+                ka, kb = chunk_of.get(a), chunk_of.get(b)
+                if {ka, kb} != {k - 1, k}:
+                    continue
+                m = full_stack.get_match((a, b))
+                xy_a, xy_b = m.xy0, m.xy1
+                if ka == k:  # orient so side0 is the placed (previous) chunk
+                    a, b = b, a
+                    xy_a, xy_b = xy_b, xy_a
+                link = Link.from_coordinates(full_stack.get_mesh(a),
+                                             full_stack.get_mesh(b),
+                                             xy_a, xy_b, weight=m.weight)
+                p0s.append(link.xy0(gear=const.MESH_GEAR_MOVING))
+                p1s.append(link.xy1(gear=const.MESH_GEAR_MOVING))
+                ws.append(link.weight())
+            if not p0s:
+                continue
+            T = fit_affine(np.concatenate(p0s), np.concatenate(p1s),
+                           weights=np.concatenate(ws))
+            for s in chunks[k]:
+                mesh = full_stack.get_mesh(s)
+                mesh.apply_affine(T, gear=(const.MESH_GEAR_MOVING,
+                                           const.MESH_GEAR_MOVING))
+                mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
+            storage.clear_exists_cache()
+        # pass 3: re-relax junction neighborhoods across chunk boundaries
+        for k in range(1, len(chunks)):
+            junction = chunks[k - 1][-junction_width:] + chunks[k][:junction_width]
+            if len(junction) < 2:
+                continue
+            stack = Stack(section_list=junction, mesh_dir=self.mesh_dir,
+                          tform_dir=self.tform_dir, match_dir=self.match_dir,
+                          resolution=self.resolution)
+            for s in junction:
+                m = stack.get_mesh(s)
+                m.locked = False
+            # anchor the two outermost sections
+            stack.get_mesh(junction[0]).locked = True
+            stack.get_mesh(junction[-1]).locked = True
+            slm = stack.optimize_section_list(junction, **dict(slide))
+            for s in junction[1:-1]:
+                mesh = stack.get_mesh(s)
+                mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
+            storage.clear_exists_cache()
+        return committed
+
+    def write_residue_file(self, out_csv):
+        """Per-pair residue report (reference: aligner.py:1512)."""
+        sections = self.get_section_list()
+        stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
+                      tform_dir=self.tform_dir, match_dir=self.match_dir,
+                      resolution=self.resolution)
+        rows = ['sec0,sec1,num_matches,residue_median,residue_p90,residue_max']
+        for pair in stack.match_list:
+            try:
+                m0 = stack.get_mesh(pair[0])
+                m1 = stack.get_mesh(pair[1])
+                match = stack.get_match(pair)
+                from feabas_tpu.optimizer import Link
+                link = Link.from_coordinates(m0, m1, match.xy0, match.xy1,
+                                             weight=match.weight)
+                r = link.residues(gear=const.MESH_GEAR_MOVING)
+                rows.append(f'{pair[0]},{pair[1]},{len(r)},'
+                            f'{np.median(r):.3f},{np.quantile(r, 0.9):.3f},{r.max():.3f}')
+            except Exception as e:
+                rows.append(f'{pair[0]},{pair[1]},error,{e},,')
+        with storage.File(out_csv, 'w') as f:
+            f.write('\n'.join(rows) + '\n')
+        return out_csv

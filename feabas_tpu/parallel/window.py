@@ -1,0 +1,164 @@
+"""Multi-chip sliding-window elastic solve.
+
+The 3D alignment relaxation couples consecutive sections with crosslinks
+while each section carries its own stiffness — a block-tridiagonal system
+along z. Here sections shard across devices on a 1-D ``jax.sharding.Mesh``
+('z' axis): intra-section element stiffness matvecs are fully local
+(vmapped over the section axis), and the z-neighbor crosslink coupling
+slices across the section axis, which XLA lowers to ICI halo exchanges.
+CG dot products become global ``psum``-style reductions automatically.
+
+This is the TPU replacement for the reference's buffer-overlap sliding
+window (``feabas/aligner.py:538-675``): instead of re-solving overlapping
+windows sequentially on one host, one window spans all chips with exact
+coupling. Sections are bucketed to one topology (same V, T) by padding —
+EM alignment meshes come from the same meshing config, so bucket counts
+stay small.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec as P
+
+from feabas_tpu.ops import fem
+
+
+def build_stack_system(meshes, links_per_pair, dtype=jnp.float32):
+    """Pack S same-topology meshes + neighbor links into batched arrays.
+
+    Args:
+        meshes: list of S Mesh objects with IDENTICAL triangles (topology);
+            vertices may differ per section.
+        links_per_pair: list of S-1 dicts with keys idx0, bary0, idx1,
+            bary1, weight — section-local vertex indices linking z to z+1,
+            padded to a common length L (weight 0 rows are inert).
+    Returns dict of batched numpy arrays ready for sharding.
+    """
+    S = len(meshes)
+    T = meshes[0].triangles
+    verts0 = np.stack([m.vertices_w_offset(-1) for m in meshes])  # INITIAL
+    pos = np.stack([m.vertices_w_offset(1) for m in meshes])      # MOVING
+    mult = []
+    poisson = []
+    for m in meshes:
+        groups = m.element_arrays(gear=-1)
+        mm = np.concatenate([g['multiplier'] for g in groups])
+        pp = np.concatenate([g['poisson'] for g in groups])
+        mult.append(mm)
+        poisson.append(pp)
+    L = max((l['weight'].shape[0] for l in links_per_pair), default=0)
+    idx0 = np.zeros((max(S - 1, 1), L, 3), np.int32)
+    bary0 = np.zeros((max(S - 1, 1), L, 3), np.float32)
+    idx1 = np.zeros((max(S - 1, 1), L, 3), np.int32)
+    bary1 = np.zeros((max(S - 1, 1), L, 3), np.float32)
+    weight = np.zeros((max(S - 1, 1), L), np.float32)
+    for k, l in enumerate(links_per_pair):
+        n = l['weight'].shape[0]
+        idx0[k, :n] = l['idx0']
+        bary0[k, :n] = l['bary0']
+        idx1[k, :n] = l['idx1']
+        bary1[k, :n] = l['bary1']
+        weight[k, :n] = l['weight']
+    locked = np.asarray([m.locked for m in meshes], np.float32)
+    return {
+        'tris': np.asarray(T, np.int32),
+        'verts0': verts0.astype(np.float32),
+        'pos': pos.astype(np.float32),
+        'multiplier': np.stack(mult).astype(np.float32),
+        'poisson': np.stack(poisson).astype(np.float32),
+        'links': (idx0, bary0, idx1, bary1, weight),
+        'free': (1.0 - locked)[:, None, None].astype(np.float32),
+    }
+
+
+def _stack_matvec(x, Ke, tris, links, free, lam_s):
+    """A @ x for the stacked system; x: (S, V, 2)."""
+    x = x * free
+    y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec(xi, Ki, tris))(x, Ke) * lam_s
+    idx0, bary0, idx1, bary1, weight = links
+    # link k couples section k (side0) and k+1 (side1); slicing x across the
+    # sharded z axis produces the halo exchange
+    x0 = x[:-1]
+    x1 = x[1:]
+    p0 = jax.vmap(fem.link_eval)(x0, idx0, bary0)
+    p1 = jax.vmap(fem.link_eval)(x1, idx1, bary1)
+    r = (p1 - p0) * (weight ** 2)[..., None]
+
+    def scatter(xi, idx, b, rr, sign):
+        return jnp.zeros_like(xi).at[idx].add(sign * b[:, :, None] * rr[:, None, :])
+
+    y0 = jax.vmap(lambda xi, idx, b, rr: scatter(xi, idx, b, rr, -1.0))(
+        x0, idx0, bary0, r)
+    y1 = jax.vmap(lambda xi, idx, b, rr: scatter(xi, idx, b, rr, 1.0))(
+        x1, idx1, bary1, r)
+    y = y.at[:-1].add(y0)
+    y = y.at[1:].add(y1)
+    return y * free
+
+
+@functools.partial(jax.jit, static_argnames=('maxiter',))
+def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
+                lam_s=1.0, tol=1e-7, maxiter=500):
+    """One window relaxation: returns updated positions (S, V, 2).
+
+    Minimizes lam_s/2 u'Ku + 1/2 |W C p|^2 over free sections, CG under
+    while_loop; all arrays may be sharded along the leading z axis.
+    """
+    # per-section element matrices (local work)
+    def per_section(v0):
+        B, area2 = fem.shape_matrices(v0[tris])
+        return B, area2
+    B, area2 = jax.vmap(per_section)(verts0)
+    Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
+    u = pos - verts0
+
+    def matvec(x):
+        return _stack_matvec(x, Ke, tris, links, free, lam_s)
+
+    # rhs = -(lam_s K u + C^T W r(pos))
+    idx0, bary0, idx1, bary1, weight = links
+    b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(u, Ke) * lam_s
+    p0 = jax.vmap(fem.link_eval)(pos[:-1], idx0, bary0)
+    p1 = jax.vmap(fem.link_eval)(pos[1:], idx1, bary1)
+    r0 = (p1 - p0) * (weight ** 2)[..., None]
+    b = b.at[:-1].add(jax.vmap(
+        lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
+            bb[:, :, None] * rr[:, None, :]))(pos[:-1], idx0, bary0, r0))
+    b = b.at[1:].add(jax.vmap(
+        lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
+            -bb[:, :, None] * rr[:, None, :]))(pos[1:], idx1, bary1, r0))
+    b = b * free
+
+    diag = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, verts0.shape[1]))(Ke) * lam_s
+    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((verts0.shape[1], 2), verts0.dtype)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), verts0.dtype)))(idx0, bary0, weight)
+    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((verts0.shape[1], 2), verts0.dtype)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), verts0.dtype)))(idx1, bary1, weight)
+    diag = diag.at[:-1].add(dC0).at[1:].add(dC1)
+    diag = jnp.where(free > 0, diag, 1.0)
+
+    dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, maxiter=maxiter)
+    return pos + dx * free, n_it, res
+
+
+def shard_stack_system(system, device_mesh):
+    """Place the batched arrays on a 1-D device mesh along z."""
+    z = NamedSharding(device_mesh, P('z'))
+    rep = NamedSharding(device_mesh, P())
+    out = dict(system)
+    for k in ('verts0', 'pos', 'multiplier', 'poisson', 'free'):
+        out[k] = jax.device_put(system[k], z)
+    out['tris'] = jax.device_put(system['tris'], rep)
+    # links live on the left-neighbor shard; S-1 entries shard like z when
+    # divisible, else replicate (tiny)
+    links = system['links']
+    if links[4].shape[0] % device_mesh.devices.size == 0:
+        out['links'] = tuple(jax.device_put(a, z) for a in links)
+    else:
+        out['links'] = tuple(jax.device_put(a, rep) for a in links)
+    return out

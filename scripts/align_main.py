@@ -1,0 +1,270 @@
+"""Alignment driver: meshing -> matching -> optimization -> rendering.
+
+Usage (reference CLI parity, scripts/align_main.py:301):
+    python align_main.py --mode meshing|matching|optimization|rendering
+                         [--start S --stop E --step K --reverse]
+
+Work-dir protocol: stitched sections under ``stitched_sections/mip0/{sec}``
+(metadata.txt coordinate files from the stitch renderer); meshes to
+``align/mesh``, matches to ``align/matches``, transforms to ``align/tform``,
+rendered sections to ``aligned_stack/mip0``. Coarse seeds from
+``thumbnail_align/matches`` are used when present, else neighbor sections
+are seeded by whole-image translation.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feabas_tpu import config, storage
+from feabas_tpu.logging import initialize_main_logger, terminate_logger
+from feabas_tpu.storage import join_paths
+
+
+def stitched_section_list(work_dir, slicing=None):
+    root = join_paths(work_dir, 'stitched_sections', 'mip0')
+    metas = storage.list_folder_content(join_paths(root, '*', 'metadata.txt'))
+    pairs = [(m.rstrip('/').split('/')[-2], m) for m in sorted(metas)]
+    if slicing is not None:
+        if slicing.reverse:
+            pairs = pairs[::-1]
+        pairs = pairs[slice(slicing.start, slicing.stop, slicing.step)]
+    return pairs
+
+
+def meshing_main(args, conf, logger):
+    """Per-section mesh generation from material masks (or the section
+    bbox when no mask exists) (reference: align_main.py:16)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.spatial import Geometry
+    from feabas_tpu.dal import StaticImageLoader
+    work_dir = config.get_work_dir()
+    mconf = conf.get('meshing', {})
+    mesh_size = mconf.get('mesh_size', 600)
+    mask_dir = mconf.get('mask_dir') or join_paths(work_dir, 'align', 'material_masks')
+    mask_mip = int(mconf.get('mask_mip_level', 4))
+    out_dir = join_paths(work_dir, 'align', 'mesh')
+    res = config.montage_resolution()
+    for name, meta in stitched_section_list(work_dir, args):
+        out = join_paths(out_dir, name + '.h5')
+        if storage.file_exists(out, use_cache=True):
+            continue
+        mask_file = join_paths(mask_dir, name + '.png')
+        if storage.file_exists(mask_file):
+            geom = Geometry.from_image(mask_file, scale=2 ** mask_mip,
+                                       material_table=config.material_table())
+            mesh = Mesh.from_geometry(
+                geom, mesh_size=mesh_size,
+                simplify_tol=mconf.get('simplify_tol', 2),
+                area_thresh=mconf.get('area_thresh', 25),
+                resolution=res, name=name)
+        else:
+            loader = StaticImageLoader.from_coordinate_file(meta)
+            bbox = (loader.bboxes[:, 0].min(), loader.bboxes[:, 1].min(),
+                    loader.bboxes[:, 2].max(), loader.bboxes[:, 3].max())
+            mesh = Mesh.from_bbox(bbox, cartesian=False, mesh_size=mesh_size,
+                                  resolution=res, name=name)
+        mesh.save_to_h5(out)
+        logger.info(f'{name}: mesh {mesh.num_vertices}v/{mesh.num_triangles}t')
+
+
+def matching_main(args, conf, logger):
+    """Fine matching between neighboring sections
+    (reference: align_main.py:102)."""
+    from feabas_tpu.aligner import (match_section_from_initial_matches,
+                                    match_name, save_matches_to_h5)
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.matcher import section_matcher, global_translation_matcher
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu import constant as const
+    work_dir = config.get_work_dir()
+    mconf = dict(conf.get('matching', {}))
+    matcher_config = dict(mconf.get('matcher_config', {}) or {})
+    compare_distance = int(mconf.pop('compare_distance', 1) or 1)
+    out_dir = join_paths(work_dir, 'align', 'matches')
+    mesh_dir = join_paths(work_dir, 'align', 'mesh')
+    thumb_match_dir = join_paths(work_dir, 'thumbnail_align', 'matches')
+    sections = stitched_section_list(work_dir, None)
+    names = [n for n, _ in sections]
+    metas = dict(sections)
+    res = config.align_resolution()
+    matcher_config.setdefault('spacings', [400, 100])
+    matcher_config['spacings'] = (
+        np.asarray(matcher_config['spacings'], np.float64)
+        * config.montage_resolution() / res)
+    rlen = matcher_config.get('residue_len', -2)
+    if rlen is not None and rlen < 0:
+        matcher_config['residue_len'] = abs(rlen) * config.section_thickness() / res
+    pairs = []
+    for d in range(1, compare_distance + 1):
+        pairs += [(names[i], names[i + d]) for i in range(len(names) - d)]
+    if args.reverse:
+        pairs = pairs[::-1]
+    pairs = pairs[slice(args.start, args.stop, args.step)]
+    for sec0, sec1 in pairs:
+        out = join_paths(out_dir, match_name(sec0, sec1))
+        if storage.file_exists(out, use_cache=True):
+            continue
+        t0 = time.time()
+        scale = config.montage_resolution() / res
+        mesh0 = Mesh.from_h5(join_paths(mesh_dir, sec0 + '.h5'))
+        mesh1 = Mesh.from_h5(join_paths(mesh_dir, sec1 + '.h5'))
+        mesh0.change_resolution(res)
+        mesh1.change_resolution(res)
+        mesh0.uid, mesh1.uid = 0.0, 1.0
+        mesh0.locked = True
+        loader0 = StaticImageLoader.from_coordinate_file(
+            metas[sec0], **(mconf.get('loader_config') or {}))
+        loader1 = StaticImageLoader.from_coordinate_file(
+            metas[sec1], **(mconf.get('loader_config') or {}))
+        if scale != 1.0:
+            loader0 = _ScaledLoader(loader0, scale)
+            loader1 = _ScaledLoader(loader1, scale)
+        thumb_match = join_paths(thumb_match_dir, match_name(sec0, sec1))
+        if storage.file_exists(thumb_match):
+            from feabas_tpu.aligner import read_matches_from_h5
+            coarse = read_matches_from_h5(thumb_match, target_resolution=res)
+            slm = SLM([mesh0, mesh1])
+            slm.add_link_from_coordinates(0.0, 1.0, coarse.xy0, coarse.xy1,
+                                          weight=coarse.weight)
+            slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_INITIAL)
+        else:
+            # translation seed from whole-section overlap
+            bb0 = mesh0.bbox(gear=const.MESH_GEAR_INITIAL)
+            bb1 = mesh1.bbox(gear=const.MESH_GEAR_INITIAL)
+            img0 = loader0.crop(bb0)
+            img1 = loader1.crop(bb1)
+            dx, dy, conf_v = global_translation_matcher(
+                img0.astype(np.float32), img1.astype(np.float32),
+                sigma=matcher_config.get('sigma', 3.5))
+            c0 = np.array([(bb0[0] + bb0[2]) / 2, (bb0[1] + bb0[3]) / 2])
+            c1 = np.array([(bb1[0] + bb1[2]) / 2, (bb1[1] + bb1[3]) / 2])
+            mesh1.set_translation(c0 - c1 - np.array([dx, dy]))
+        match = section_matcher(
+            mesh0, mesh1, loader0, loader1,
+            **{k: v for k, v in matcher_config.items()
+               if k in ('spacings', 'sigma', 'conf_thresh', 'pad',
+                        'residue_mode', 'residue_len', 'batch_size',
+                        'shrink_factor', 'min_boundary_distance')})
+        if match is None:
+            logger.warning(f'{sec0} -> {sec1}: matching failed')
+            continue
+        save_matches_to_h5(out, match, res)
+        logger.info(f'{sec0} -> {sec1}: {len(match.weight)} matches '
+                    f'in {time.time() - t0:.1f}s')
+
+
+class _ScaledLoader:
+    """Serve crops at a coarser working resolution by scaling a mip0
+    loader's output (stop-gap until mipmaps exist on disk)."""
+
+    def __init__(self, loader, scale):
+        self._loader = loader
+        self._scale = float(scale)  # working px -> mip0 px
+        self.default_fillval = loader.default_fillval
+        self.dtype = loader.dtype
+        self.number_of_channels = loader.number_of_channels
+
+    def crop(self, bbox, return_empty=False, **kwargs):
+        import cv2
+        b0 = [v * self._scale for v in bbox]
+        img = self._loader.crop(b0, return_empty=return_empty, **kwargs)
+        if img is None:
+            return None
+        h = int(round(bbox[3] - bbox[1]))
+        w = int(round(bbox[2] - bbox[0]))
+        return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
+
+
+def optimize_main(args, conf, logger):
+    from feabas_tpu.aligner import Aligner
+    work_dir = config.get_work_dir()
+    oconf = conf.get('optimization', {})
+    al = Aligner(join_paths(work_dir, 'align', 'mesh'),
+                 join_paths(work_dir, 'align', 'tform'),
+                 join_paths(work_dir, 'align', 'matches'),
+                 resolution=config.montage_resolution(), logger=logger)
+    committed = al.run(chunk_settings=oconf.get('chunk_settings'),
+                       slide_window=oconf.get('slide_window'))
+    logger.info(f'optimization: committed {len(committed)} section(s)')
+    al.write_residue_file(join_paths(work_dir, 'align', 'residues.csv'))
+
+
+def render_main(args, conf, logger):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import render_whole_mesh
+    work_dir = config.get_work_dir()
+    rconf = conf.get('rendering', {})
+    out_root = rconf.get('out_dir') or join_paths(work_dir, 'aligned_stack')
+    out_root = join_paths(out_root, 'mip0')
+    tform_dir = join_paths(work_dir, 'align', 'tform')
+    sections = stitched_section_list(work_dir, args)
+    # shared canvas so all sections render on the same grid
+    canvas = rconf.get('canvas_bbox', None)
+    if canvas is None and rconf.get('offset_bbox', True):
+        boxes = []
+        for name, _ in sections:
+            t = join_paths(tform_dir, name + '.h5')
+            if storage.file_exists(t):
+                boxes.append(Mesh.from_h5(t).bbox(gear='MOVING'))
+        if boxes:
+            boxes = np.asarray(boxes)
+            canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
+                      float(boxes[:, 2].max()), float(boxes[:, 3].max()))
+    for z, (name, meta) in enumerate(sections):
+        t = join_paths(tform_dir, name + '.h5')
+        if not storage.file_exists(t):
+            continue
+        prefix_name = f'{z:05d}_{name}' if rconf.get('prefix_z_number', True) else name
+        out_dir = join_paths(out_root, prefix_name)
+        if storage.file_exists(join_paths(out_dir, 'metadata.txt'), use_cache=True):
+            continue
+        t0 = time.time()
+        mesh = Mesh.from_h5(t)
+        loader = StaticImageLoader.from_coordinate_file(
+            meta, **(rconf.get('loader_config') or {}))
+        tiles = render_whole_mesh(
+            mesh, loader, join_paths(out_dir, prefix_name),
+            tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
+            pattern=rconf.get('pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
+            one_based=rconf.get('one_based', True),
+            canvas_bbox=canvas)
+        with storage.File(join_paths(out_dir, 'metadata.txt'), 'w') as f:
+            f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')
+            for fname, bbox in tiles.items():
+                f.write(f'{storage.base_name(fname)}\t{bbox[0]}\t{bbox[1]}'
+                        f'\t{bbox[2]}\t{bbox[3]}\n')
+        logger.info(f'{name}: rendered {len(tiles)} tiles in {time.time() - t0:.1f}s')
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='alignment pipeline driver')
+    p.add_argument('--mode', default='matching',
+                   choices=['meshing', 'matching', 'optimization', 'rendering'])
+    p.add_argument('--start', type=int, default=0)
+    p.add_argument('--stop', type=int, default=None)
+    p.add_argument('--step', type=int, default=1)
+    p.add_argument('--reverse', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    conf = config.align_configs()
+    info, logger = initialize_main_logger(prefix=f'align_{args.mode}', mp_queue=False)
+    logger.info(f'align {args.mode}')
+    {'meshing': meshing_main, 'matching': matching_main,
+     'optimization': optimize_main, 'rendering': render_main}[args.mode](
+        args, conf, logger)
+    terminate_logger(info, logger)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,112 @@
+"""End-to-end 3D alignment: stitched sections -> mesh -> match -> optimize
+-> render, with warped synthetic sections."""
+
+import numpy as np
+import pytest
+
+from synthutil import texture
+
+
+@pytest.fixture()
+def align_workdir(workdir, rng):
+    """Three 'stitched' sections: cumulatively drifted + warped copies of a
+    base texture, written in the stitched_sections layout."""
+    import cv2
+    from feabas_tpu import storage
+    from feabas_tpu.common import imwrite
+    h = w = 320
+    base = texture(rng, h + 80, w + 80)
+    drift = np.array([[0.0, 0.0], [6.0, -4.0], [-3.0, 8.0]])
+    amp, period = 2.0, 150.0
+    sections = []
+    for z in range(3):
+        gx, gy = np.meshgrid(np.arange(w, dtype=np.float32),
+                             np.arange(h, dtype=np.float32))
+        cum = drift[:z + 1].sum(axis=0)
+        dx = cum[0] + z * amp * np.sin(2 * np.pi * gy / period)
+        dy = cum[1] + z * amp * np.cos(2 * np.pi * gx / period)
+        img = cv2.remap(base, (gx + 40 + dx).astype(np.float32),
+                        (gy + 40 + dy).astype(np.float32), cv2.INTER_LINEAR)
+        sections.append(img)
+    root = storage.join_paths(str(workdir), 'stitched_sections', 'mip0')
+    names = [f'sec{z:04d}' for z in range(3)]
+    for name, img in zip(names, sections):
+        d = storage.join_paths(root, name)
+        imwrite(storage.join_paths(d, name + '_tr1-tc1.png'), img)
+        with storage.File(storage.join_paths(d, 'metadata.txt'), 'w') as f:
+            f.write('{ROOT_DIR}\t' + d + '\n')
+            f.write('{RESOLUTION}\t4\n')
+            f.write(f'{name}_tr1-tc1.png\t0\t0\t{w}\t{h}\n')
+    # project overrides sized for the small synthetic sections
+    storage.save_yaml(
+        storage.join_paths(str(workdir), 'configs', 'alignment_configs.yaml'),
+        {'meshing': {'mesh_size': 30},
+         'matching': {'working_mip_level': 0,
+                      'matcher_config': {'spacings': [100, 50, 25],
+                                         'conf_thresh': 0.25, 'sigma': 2.5,
+                                         'min_boundary_distance': 20,
+                                         'residue_len': 3}},
+         'optimization': {'slide_window': {'window_size': 3, 'buffer_size': 1,
+                                           'start_loc': 'L',
+                                           'residue_len': 3}},
+         'rendering': {'tile_size': [512, 512],
+                       'loader_config': {'apply_CLAHE': False,
+                                         'inverse': False}}})
+    from feabas_tpu import config
+    config.clear_config_caches()
+    return workdir, names, sections, drift
+
+
+def test_align_pipeline_end_to_end(align_workdir):
+    workdir, names, sections, drift = align_workdir
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu import storage
+
+    align_main.main(['--mode', 'meshing'])
+    for n in names:
+        assert storage.file_exists(
+            storage.join_paths(str(workdir), 'align', 'mesh', n + '.h5'))
+
+    align_main.main(['--mode', 'matching'])
+    from feabas_tpu.aligner import read_matches_from_h5, match_name
+    m01 = read_matches_from_h5(storage.join_paths(
+        str(workdir), 'align', 'matches', match_name(names[0], names[1])))
+    assert m01.xy0.shape[0] >= 6
+    # ground truth: content at p in sec1 equals content at p + delta in
+    # sec0 where delta = disp1(p) - disp0(p); for z=0 disp0=0, so
+    # xy0 ~ xy1 + drift[1] + warp1(xy1)
+    amp, period = 2.0, 150.0
+    w1 = np.stack([
+        1 * amp * np.sin(2 * np.pi * m01.xy1[:, 1] / period),
+        1 * amp * np.cos(2 * np.pi * m01.xy1[:, 0] / period)], -1)
+    want = m01.xy1 + drift[1] + w1
+    err = np.linalg.norm(m01.xy0 - want, axis=-1)
+    assert np.median(err) < 1.0, np.median(err)
+
+    align_main.main(['--mode', 'optimization'])
+    for n in names:
+        assert storage.file_exists(
+            storage.join_paths(str(workdir), 'align', 'tform', n + '.h5'))
+    assert storage.file_exists(
+        storage.join_paths(str(workdir), 'align', 'residues.csv'))
+
+    align_main.main(['--mode', 'rendering'])
+    from feabas_tpu.dal import StaticImageLoader
+    rendered = []
+    out_root = storage.join_paths(str(workdir), 'aligned_stack', 'mip0')
+    for z, n in enumerate(names):
+        meta = storage.join_paths(out_root, f'{z:05d}_{n}', 'metadata.txt')
+        assert storage.file_exists(meta), n
+        ld = StaticImageLoader.from_coordinate_file(meta)
+        rendered.append(ld.crop((0, 0, 320, 320)))
+    # aligned sections must overlay: high correlation in the shared interior
+    inner = (slice(60, 260), slice(60, 260))
+    for z in range(1, 3):
+        a = rendered[0][inner].astype(np.float64).ravel()
+        b = rendered[z][inner].astype(np.float64).ravel()
+        ok = (a > 0) & (b > 0)
+        cc = np.corrcoef(a[ok], b[ok])[0, 1]
+        assert cc > 0.85, (z, cc)

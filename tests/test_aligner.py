@@ -1,0 +1,125 @@
+"""Stack sliding-window alignment with on-disk mesh/match/tform protocol."""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def stack_dirs(workdir, rng):
+    """S sections on disk: meshes + neighbor matches from a known drift."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import save_matches_to_h5, match_name
+    from feabas_tpu.common import Match
+    S = 10
+    mesh_dir = storage.join_paths(str(workdir), 'align', 'mesh')
+    tform_dir = storage.join_paths(str(workdir), 'align', 'tform')
+    match_dir = storage.join_paths(str(workdir), 'align', 'matches')
+    storage.makedirs(mesh_dir)
+    storage.makedirs(tform_dir)
+    storage.makedirs(match_dir)
+    drift = np.cumsum(rng.normal(0, 2.0, (S, 2)), axis=0)
+    drift -= drift[0]
+    names = [f'sec{z:04d}' for z in range(S)]
+    xs, ys = np.meshgrid(np.linspace(10, 110, 5), np.linspace(10, 110, 5))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    for z, name in enumerate(names):
+        m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=30,
+                           name=name, resolution=4)
+        m.save_to_h5(storage.join_paths(mesh_dir, name + '.h5'))
+    for z in range(S - 1):
+        delta = drift[z + 1] - drift[z]
+        # feature at p in section z appears at p + delta in section z+1
+        match = Match(pts, pts + delta, np.ones(len(pts)), 0.01)
+        save_matches_to_h5(storage.join_paths(
+            match_dir, match_name(names[z], names[z + 1])), match, 4)
+    return workdir, mesh_dir, tform_dir, match_dir, names, drift
+
+
+def _check_alignment(tform_dir, names, drift, atol=0.25):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    offs = []
+    for name in names:
+        m = Mesh.from_h5(storage.join_paths(tform_dir, name + '.h5'))
+        d = m.vertices_w_offset('MOVING') - m.vertices_w_offset('INITIAL')
+        assert np.ptp(d, axis=0).max() < 0.2, 'should be near-rigid'
+        offs.append(d.mean(axis=0))
+    offs = np.asarray(offs)
+    offs -= offs[0]
+    # aligned: section z's correction cancels drift (relative to section 0)
+    err = offs - (-(drift - drift[0]))
+    assert np.abs(err).max() < atol, np.abs(err).max()
+
+
+def test_slide_window_alignment(stack_dirs):
+    workdir, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Aligner
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    committed = al.run(slide_window={'window_size': 4, 'buffer_size': 2,
+                                     'start_loc': 'L',
+                                     'residue_len': 3,
+                                     'elastic_params': {'tol': 1e-10}})
+    assert len(committed) == len(names)
+    _check_alignment(tform_dir, names, drift)
+    # resume: tforms exist -> everything locked, nothing recommitted
+    committed2 = al.run(slide_window={'window_size': 4, 'buffer_size': 2})
+    assert committed2 == []
+
+
+def test_slide_window_from_middle(stack_dirs):
+    workdir, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Aligner
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    committed = al.run(slide_window={'window_size': 4, 'buffer_size': 2,
+                                     'start_loc': 'M', 'residue_len': 3})
+    assert sorted(committed) == sorted(names)
+    _check_alignment(tform_dir, names, drift)
+
+
+def test_chunked_alignment(stack_dirs):
+    workdir, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Aligner
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    al.run(chunk_settings={'chunked_to_depth': 1, 'default_chunk_size': 4,
+                           'junction_width': 0.5},
+           slide_window={'window_size': 4, 'buffer_size': 1,
+                         'start_loc': 'L', 'residue_len': 3})
+    # chunked mode only guarantees smoothness within/near chunks; check the
+    # per-pair residues instead of absolute drift
+    from feabas_tpu.aligner import Stack
+    stack = Stack(section_list=names, mesh_dir=mesh_dir, tform_dir=tform_dir,
+                  match_dir=match_dir, resolution=4)
+    from feabas_tpu.optimizer import Link
+    for pair in stack.match_list:
+        m0, m1 = stack.get_mesh(pair[0]), stack.get_mesh(pair[1])
+        mt = stack.get_match(pair)
+        link = Link.from_coordinates(m0, m1, mt.xy0, mt.xy1, weight=mt.weight)
+        r = link.residues(gear='MOVING')
+        assert np.median(r) < 1.0, (pair, np.median(r))
+
+
+def test_residue_report(stack_dirs):
+    workdir, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Aligner
+    from feabas_tpu import storage
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    al.run(slide_window={'window_size': 4, 'buffer_size': 2, 'start_loc': 'L',
+                         'residue_len': 3})
+    csv = al.write_residue_file(storage.join_paths(str(workdir), 'residues.csv'))
+    with storage.File(csv, 'r') as f:
+        lines = f.read().strip().split('\n')
+    assert len(lines) == len(names)  # header + S-1 pairs
+    assert lines[0].startswith('sec0,sec1')
+
+
+def test_match_h5_roundtrip(workdir, tmp_path):
+    from feabas_tpu.aligner import save_matches_to_h5, read_matches_from_h5
+    from feabas_tpu.common import Match
+    m = Match(np.random.rand(5, 2) * 100, np.random.rand(5, 2) * 100,
+              np.ones(5), 0.02)
+    p = str(tmp_path / 'm.h5')
+    save_matches_to_h5(p, m, resolution=8)
+    back = read_matches_from_h5(p, target_resolution=4)
+    assert np.allclose(back.xy0, m.xy0 * 2)
+    assert np.allclose(back.weight, m.weight)
