@@ -1,0 +1,335 @@
+"""Coarse section alignment from downsampled thumbnails.
+
+Keypoint pipeline (capability parity with reference ``feabas/thumbnail.py``):
+DoG extrema detection, local-Radon (LRadon) descriptors — beam integrals at
+``proj_num`` orientations x ``beam_num`` offsets, rotation-normalizable by
+cyclic shifts — exhaustive normalized-dot matching (one big matmul over
+rotations, MXU-friendly), geometric consistency filters (pairwise strain +
+affine RANSAC), and a template fallback. Produces coarse ``Match`` sets that
+seed the fine PMCC block matcher.
+"""
+
+import numpy as np
+from scipy.ndimage import maximum_filter, uniform_filter1d
+
+from feabas_tpu import common, config
+from feabas_tpu import constant as const
+from feabas_tpu.common import Match
+from feabas_tpu.spatial import fit_affine, apply_affine
+
+
+class KeyPoints:
+    """Keypoint set: xy (N,2), response (N,), class_id (N,) region labels,
+    descriptors (N, proj_num, beam_num), orientation offsets (N,)
+    (reference: thumbnail.py:29)."""
+
+    def __init__(self, xy, response=None, class_id=None):
+        self.xy = np.asarray(xy, np.float64).reshape(-1, 2)
+        n = self.xy.shape[0]
+        self.response = (np.zeros(n) if response is None
+                         else np.asarray(response, np.float64).ravel())
+        self.class_id = (np.zeros(n, np.int32) if class_id is None
+                         else np.asarray(class_id, np.int32).ravel())
+        self.des = None
+
+    @property
+    def num_points(self):
+        return self.xy.shape[0]
+
+    def filter_by_mask(self, keep):
+        kp = KeyPoints(self.xy[keep], self.response[keep], self.class_id[keep])
+        if self.des is not None:
+            kp.des = self.des[keep]
+        return kp
+
+
+def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
+                       num_features=5000):
+    """DoG band-pass + local-maximum keypoints (reference:
+    thumbnail.py:605). Returns a KeyPoints (both polarities kept)."""
+    f = common.masked_dog_filter(np.asarray(img, np.float32), sigma,
+                                 mask=mask, signed=False)
+    size = max(int(round(min_spacing)), 3)
+    mx = maximum_filter(f, size=size, mode='nearest')
+    peaks = (f >= mx) & (f > 0)
+    if mask is not None:
+        peaks &= np.asarray(mask) > 0
+    yy, xx = np.nonzero(peaks)
+    resp = f[yy, xx]
+    if num_features and num_features > 0 and resp.size > num_features:
+        order = np.argsort(resp)[::-1][:num_features]
+        yy, xx, resp = yy[order], xx[order], resp[order]
+    kp = KeyPoints(np.stack([xx, yy], -1), resp)
+    if mask is not None and np.asarray(mask).dtype != bool:
+        kp.class_id = np.asarray(mask)[yy, xx].astype(np.int32)
+    return kp
+
+
+def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
+                           beam_radius=15, **kwargs):
+    """Local Radon descriptors (reference: thumbnail.py:634).
+
+    For each keypoint, a disk patch is sampled at ``proj_num`` rotations;
+    each rotation integrates the patch along one axis (a Radon projection)
+    and samples ``beam_num`` smoothed offsets. Descriptors are L2-normalized
+    per keypoint; rotation acts as a cyclic shift of the projection axis
+    (with sign flip of the offset axis after half a turn).
+    """
+    img = np.asarray(img, np.float32)
+    h, w = img.shape
+    n = kps.num_points
+    if n == 0:
+        kps.des = np.zeros((0, proj_num, beam_num), np.float32)
+        return kps
+    r = float(beam_radius)
+    # rotated sampling grids: (proj_num, D, D, 2)
+    D = int(2 * beam_radius + 1)
+    ax = np.linspace(-r, r, D)
+    gx, gy = np.meshgrid(ax, ax)
+    base = np.stack([gx, gy], -1)
+    thetas = np.arange(proj_num) * np.pi / proj_num
+    grids = []
+    for t in thetas:
+        R = np.array([[np.cos(t), np.sin(t)], [-np.sin(t), np.cos(t)]])
+        grids.append(base @ R.T)
+    grids = np.stack(grids)                                   # (P,D,D,2)
+    # sample patches for all kps and all rotations (nearest-neighbor is
+    # plenty at thumbnail resolution)
+    pts = kps.xy[:, None, None, None, :] + grids[None]        # (N,P,D,D,2)
+    xs = np.clip(np.round(pts[..., 0]).astype(np.int64), 0, w - 1)
+    ys = np.clip(np.round(pts[..., 1]).astype(np.int64), 0, h - 1)
+    patches = img[ys, xs]                                     # (N,P,D,D)
+    # Radon projection: integrate along rows -> profile over the offset axis
+    prof = patches.mean(axis=-1)                              # (N,P,D)
+    prof = uniform_filter1d(prof, size=max(int(beam_wd), 1), axis=-1,
+                            mode='nearest')
+    idx = np.linspace(0, D - 1, beam_num).round().astype(np.int64)
+    des = prof[:, :, idx].astype(np.float32)                  # (N,P,B)
+    des -= des.mean(axis=(1, 2), keepdims=True)
+    nrm = np.linalg.norm(des.reshape(n, -1), axis=-1, keepdims=True)
+    des /= np.clip(nrm, 1e-6, None)[:, None]
+    kps.des = des
+    return kps
+
+
+def _rotation_variants(des, proj_num):
+    """All cyclic rotations of the descriptor set: rotating the image by
+    k*pi/proj_num shifts projections by k and flips the offset axis once
+    past the wrap. Returns (2*proj_num, N, P*B)."""
+    n = des.shape[0]
+    out = []
+    for k in range(proj_num):
+        rolled = np.roll(des, -k, axis=1)
+        if k > 0:
+            rolled = rolled.copy()
+            rolled[:, -k:, :] = rolled[:, -k:, ::-1]
+        out.append(rolled.reshape(n, -1))
+    for k in range(proj_num):  # + half-turn (full flip)
+        rolled = np.roll(des[:, :, ::-1], -k, axis=1)
+        if k > 0:
+            rolled = rolled.copy()
+            rolled[:, -k:, :] = rolled[:, -k:, ::-1]
+        out.append(rolled.reshape(n, -1))
+    return np.stack(out)
+
+
+def match_LRadon_feature(kps0, kps1, exhaustive=True, conf_thresh=0.5,
+                         **kwargs):
+    """Descriptor matching over rotations with ratio-test confidence
+    (reference: thumbnail.py:703). Returns (idx0, idx1, conf, rot_k)."""
+    if kps0.num_points == 0 or kps1.num_points == 0:
+        return (np.zeros(0, int), np.zeros(0, int), np.zeros(0), 0)
+    proj_num = kps0.des.shape[1]
+    d0 = kps0.des.reshape(kps0.num_points, -1)
+    variants = _rotation_variants(kps1.des, proj_num) if exhaustive \
+        else kps1.des.reshape(1, kps1.num_points, -1)
+    # device matmul: (R, N1, D) x (D, N0) -> (R, N1, N0)
+    import jax.numpy as jnp
+    sims = np.asarray(jnp.einsum('rnd,md->rnm', jnp.asarray(variants),
+                                 jnp.asarray(d0)))
+    best_rot = int(np.argmax(sims.max(axis=(1, 2))))
+    S = sims[best_rot]                                        # (N1, N0)
+    i1 = np.arange(S.shape[0])
+    i0 = np.argmax(S, axis=1)
+    top = S[i1, i0]
+    S2 = S.copy()
+    S2[i1, i0] = -np.inf
+    second = S2.max(axis=1)
+    # mutual check
+    back = np.argmax(S, axis=0)
+    mutual = back[i0] == i1
+    conf = np.where(top > 0, 1 - np.clip(second, 0, None) / np.clip(top, 1e-6, None), 0)
+    keep = mutual & (conf > conf_thresh) & (top > 0.1)
+    return i0[keep], i1[keep], conf[keep], best_rot
+
+
+def filter_match_pairwise_strain(xy0, xy1, conf=None, strain_limit=0.2,
+                                 shear_limit=45, sample_ratio=0.05,
+                                 inlier_thresh=0.5, maxiter=1000, **kwargs):
+    """Keep matches whose pairwise distances agree (reference:
+    thumbnail.py:766): for random match pairs, |d0|/|d1| must stay within
+    the strain limit and relative angles within the shear limit; matches in
+    the largest consistent set survive."""
+    n = xy0.shape[0]
+    if n < 4:
+        return np.ones(n, bool)
+    rng = np.random.default_rng(0)
+    votes = np.zeros(n)
+    trials = np.zeros(n) + 1e-6
+    npairs = min(max(int(n * n * sample_ratio), 4 * n), maxiter * 4)
+    ii = rng.integers(0, n, npairs)
+    jj = rng.integers(0, n, npairs)
+    ok_pair = ii != jj
+    ii, jj = ii[ok_pair], jj[ok_pair]
+    d0 = xy0[ii] - xy0[jj]
+    d1 = xy1[ii] - xy1[jj]
+    L0 = np.linalg.norm(d0, axis=-1)
+    L1 = np.linalg.norm(d1, axis=-1)
+    valid = (L0 > 1) & (L1 > 1)
+    ratio = np.where(valid, L1 / np.clip(L0, 1e-6, None), np.inf)
+    ang = np.abs(np.rad2deg(
+        np.arctan2(common.cross2d(d0, d1), (d0 * d1).sum(-1))))
+    good = valid & (np.abs(np.log(np.clip(ratio, 1e-6, None)))
+                    < np.log(1 + strain_limit)) & (ang < shear_limit)
+    np.add.at(votes, ii, good)
+    np.add.at(votes, jj, good)
+    np.add.at(trials, ii, valid)
+    np.add.at(trials, jj, valid)
+    return votes / trials >= inlier_thresh
+
+
+def filter_match_global_ransac(xy0, xy1, conf=None, dis_tol=4, maxiter=10000,
+                               **kwargs):
+    """Weighted affine RANSAC (reference: thumbnail.py:835). Returns
+    (inlier_mask, T) with T the best row-vector affine xy1->xy0."""
+    n = xy0.shape[0]
+    if n < 3:
+        return np.ones(n, bool), np.eye(3)
+    rng = np.random.default_rng(0)
+    best_mask = np.zeros(n, bool)
+    best_T = np.eye(3)
+    iters = min(maxiter, 500)
+    p = None
+    if conf is not None and np.sum(conf) > 0:
+        p = np.asarray(conf, np.float64)
+        p = p / p.sum()
+    for _ in range(iters):
+        sel = rng.choice(n, 3, replace=False, p=p)
+        try:
+            T = fit_affine(xy0[sel], xy1[sel], avoid_flip=True)
+        except np.linalg.LinAlgError:
+            continue
+        r = np.linalg.norm(apply_affine(xy1, T) - xy0, axis=-1)
+        mask = r < dis_tol
+        if mask.sum() > best_mask.sum():
+            best_mask = mask
+            best_T = T
+            if mask.mean() > 0.8:
+                break
+    if best_mask.sum() >= 3:
+        best_T = fit_affine(xy0[best_mask], xy1[best_mask])
+        r = np.linalg.norm(apply_affine(xy1, best_T) - xy0, axis=-1)
+        best_mask = r < dis_tol
+    return best_mask, best_T
+
+
+def prepare_image(img, mask=None, **settings):
+    """Detect + describe in one call; cached by callers
+    (reference: thumbnail.py:279)."""
+    detect = dict(settings.get('detect_settings', {}) or {})
+    extract = dict(settings.get('extract_settings', {}) or {})
+    kp = detect_extrema_log(img, mask=mask, **detect)
+    return extract_LRadon_feature(np.asarray(img, np.float32), kp, **extract)
+
+
+def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
+    """Feature-based coarse matching (reference: thumbnail.py:336).
+
+    detect -> describe -> rotation-exhaustive matching -> pairwise-strain
+    filter -> global affine RANSAC. Returns a ``common.Match`` or None."""
+    matching = dict(settings.get('matching_settings', {}) or {})
+    strain_f = dict(settings.get('strain_filter_settings', {}) or {})
+    ransac_f = dict(settings.get('ransac_filter_settings', {}) or {})
+    kp0 = settings.get('kps0') or prepare_image(img0, mask=mask0, **settings)
+    kp1 = settings.get('kps1') or prepare_image(img1, mask=mask1, **settings)
+    i0, i1, conf, rot = match_LRadon_feature(
+        kp0, kp1, exhaustive=matching.get('exhaustive', True),
+        conf_thresh=matching.get('conf_thresh', 0.3))
+    if i0.size < 3:
+        return None
+    xy0 = kp0.xy[i0]
+    xy1 = kp1.xy[i1]
+    keep = filter_match_pairwise_strain(xy0, xy1, conf, **strain_f)
+    if keep.sum() < 3:
+        return None
+    xy0, xy1, conf = xy0[keep], xy1[keep], conf[keep]
+    inl, T = filter_match_global_ransac(xy0, xy1, conf, **ransac_f)
+    if inl.sum() < 3:
+        return None
+    return Match(xy0[inl], xy1[inl], conf[inl], config.DEFAULT_AVG_DEFORM)
+
+
+def match_two_thumbnails_pmcc(img0, img1, mask0=None, mask1=None,
+                              initial_match=None, **settings):
+    """Mesh-based block refinement of a coarse match
+    (reference: thumbnail.py:490)."""
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.matcher import section_matcher
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import SLM
+    h0, w0 = np.asarray(img0).shape[:2]
+    h1, w1 = np.asarray(img1).shape[:2]
+    mesh_size = settings.get('mesh_size', max(min(h0, w0) / 6.0, 20))
+    mesh0 = Mesh.from_bbox((0, 0, w0, h0), cartesian=True,
+                           mesh_size=mesh_size, uid=0, locked=True)
+    mesh1 = Mesh.from_bbox((0, 0, w1, h1), cartesian=True,
+                           mesh_size=mesh_size, uid=1)
+    if initial_match is not None and initial_match.xy0.shape[0] >= 3:
+        slm = SLM([mesh0, mesh1])
+        slm.add_link_from_coordinates(0, 1, initial_match.xy0,
+                                      initial_match.xy1,
+                                      weight=initial_match.weight)
+        slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_INITIAL)
+    block = dict(settings.get('block_matching', {}) or {})
+    block.setdefault('spacings', [150, 50])
+    block.setdefault('sigma', 3.5)
+    return section_matcher(mesh0, mesh1, StreamLoader(np.asarray(img0)),
+                           StreamLoader(np.asarray(img1)),
+                           **{k: v for k, v in block.items()
+                              if k in ('spacings', 'sigma', 'conf_thresh',
+                                       'pad', 'residue_mode', 'residue_len',
+                                       'min_boundary_distance', 'batch_size',
+                                       'shrink_factor')})
+
+
+def align_two_thumbnails(img0, img1, mask0=None, mask1=None, **settings):
+    """Full coarse alignment of a section pair: feature (or template)
+    stage, then PMCC refinement (reference: thumbnail.py:529).
+    Returns a ``common.Match`` or None."""
+    mode = settings.get('match_mode', 'feature')
+    if mode == 'feature':
+        coarse = match_two_thumbnails_LRadon(
+            img0, img1, mask0=mask0, mask1=mask1,
+            **dict(settings.get('feature_matching', {}) or {}))
+    else:
+        from feabas_tpu.matcher import global_translation_matcher
+        dx, dy, cf = global_translation_matcher(
+            np.asarray(img0, np.float32), np.asarray(img1, np.float32),
+            sigma=settings.get('sigma', 3.5))
+        if cf < settings.get('conf_thresh', 0.3):
+            coarse = None
+        else:
+            h0, w0 = np.asarray(img0).shape[:2]
+            h1, w1 = np.asarray(img1).shape[:2]
+            c0 = np.array([w0 / 2, h0 / 2])
+            c1 = np.array([w1 / 2, h1 / 2])
+            t = c0 - c1 - np.array([dx, dy])
+            pts1 = np.stack(np.meshgrid(np.linspace(0, w1, 4),
+                                        np.linspace(0, h1, 4)), -1).reshape(-1, 2)
+            coarse = Match(pts1 + t, pts1, np.full(pts1.shape[0], cf),
+                           config.DEFAULT_AVG_DEFORM)
+    if coarse is None:
+        return None
+    refined = match_two_thumbnails_pmcc(img0, img1, mask0=mask0, mask1=mask1,
+                                        initial_match=coarse, **settings)
+    return refined if refined is not None else coarse

@@ -1,0 +1,236 @@
+"""Thumbnail driver: downsample -> matching -> optimization -> render.
+
+Usage (reference CLI parity, scripts/thumbnail_main.py:374):
+    python thumbnail_main.py --mode downsample|matching|optimization|render
+                             [--start S --stop E --step K --reverse]
+
+Work-dir protocol: mipmaps to ``stitched_sections/mip{n}``, thumbnails to
+``thumbnail_align/thumbnails``, coarse matches to
+``thumbnail_align/matches``, thumbnail meshes/transforms to
+``thumbnail_align/{mesh,tform}``. Long-range anchor pairs may be listed in
+``thumbnail_align/match_name.txt`` (one 'sec0 sec1' per line).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from feabas_tpu import config, storage
+from feabas_tpu.logging import initialize_main_logger, terminate_logger
+from feabas_tpu.storage import join_paths
+
+
+def stitched_sections(work_dir, slicing=None):
+    root = join_paths(work_dir, 'stitched_sections', 'mip0')
+    metas = storage.list_folder_content(join_paths(root, '*', 'metadata.txt'))
+    pairs = [(m.rstrip('/').split('/')[-2], m) for m in sorted(metas)]
+    if slicing is not None:
+        if slicing.reverse:
+            pairs = pairs[::-1]
+        pairs = pairs[slice(slicing.start, slicing.stop, slicing.step)]
+    return pairs
+
+
+def thumb_path(work_dir, name, fmt='png'):
+    return join_paths(work_dir, 'thumbnail_align', 'thumbnails',
+                      f'{name}.{fmt}')
+
+
+def downsample_main(args, conf, logger):
+    from feabas_tpu.mipmap import (create_thumbnail, mip_map_one_section,
+                                   generate_thumbnail_mask)
+    work_dir = config.get_work_dir()
+    dconf = conf.get('downsample', {})
+    thumb_mip = int(conf.get('thumbnail_mip_level', 6))
+    max_mip = int(dconf.get('max_mip', thumb_mip))
+    fmt = dconf.get('thumbnail_format', 'png')
+    for name, meta in stitched_sections(work_dir, args):
+        t0 = time.time()
+        mip_map_one_section(name, meta,
+                            join_paths(work_dir, 'stitched_sections'),
+                            max_mip=min(max_mip, 4),
+                            fmt=dconf.get('format', 'jpg'))
+        out = thumb_path(work_dir, name, fmt)
+        create_thumbnail(meta, out, thumbnail_mip=thumb_mip,
+                         highpass=dconf.get('thumbnail_highpass', True),
+                         highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+        tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
+        if storage.file_exists(tform):
+            generate_thumbnail_mask(
+                tform,
+                join_paths(work_dir, 'thumbnail_align', 'material_masks',
+                           name + '.png'),
+                thumbnail_mip=thumb_mip,
+                mask_erode=dconf.get('mask_erode', 2))
+        logger.info(f'{name}: downsampled in {time.time() - t0:.1f}s')
+
+
+def _pair_list(names, compare_distance, work_dir):
+    pairs = []
+    for d in range(1, int(compare_distance) + 1):
+        pairs += [(names[i], names[i + d]) for i in range(len(names) - d)]
+    anchor_file = join_paths(work_dir, 'thumbnail_align', 'match_name.txt')
+    if storage.file_exists(anchor_file):
+        with storage.File(anchor_file, 'r') as f:
+            for line in f:
+                t = line.split()
+                if len(t) >= 2 and (t[0], t[1]) not in pairs:
+                    pairs.append((t[0], t[1]))
+    return pairs
+
+
+def matching_main(args, conf, logger):
+    from feabas_tpu.thumbnail import align_two_thumbnails, prepare_image
+    from feabas_tpu.aligner import save_matches_to_h5, match_name
+    from feabas_tpu.common import imread
+    from feabas_tpu.caching import generate_cache
+    import cv2
+    work_dir = config.get_work_dir()
+    aconf = dict(conf.get('alignment', {}) or {})
+    thumb_mip = int(conf.get('thumbnail_mip_level', 6))
+    res = config.montage_resolution() * (2 ** thumb_mip)
+    fmt = conf.get('downsample', {}).get('thumbnail_format', 'png')
+    names = [n for n, _ in stitched_sections(work_dir, None)]
+    pairs = _pair_list(names, aconf.get('compare_distance', 2), work_dir)
+    if args.reverse:
+        pairs = pairs[::-1]
+    pairs = pairs[slice(args.start, args.stop, args.step)]
+    out_dir = join_paths(work_dir, 'thumbnail_align', 'matches')
+    mask_dir = join_paths(work_dir, 'thumbnail_align', 'material_masks')
+    cache = generate_cache('lru', maxlen=aconf.get('cache_size', 3) * 2)
+    for sec0, sec1 in pairs:
+        out = join_paths(out_dir, match_name(
+            sec0, sec1, aconf.get('match_name_delimiter', '__to__')))
+        if storage.file_exists(out, use_cache=True):
+            continue
+        t0 = time.time()
+
+        def load(name):
+            if name in cache:
+                return cache[name]
+            img = imread(thumb_path(work_dir, name, fmt), flag=cv2.IMREAD_GRAYSCALE)
+            mfile = join_paths(mask_dir, name + '.png')
+            mask = None
+            if storage.file_exists(mfile):
+                mask = imread(mfile, flag=cv2.IMREAD_GRAYSCALE) != 255
+            kps = prepare_image(img, mask=mask,
+                                **dict(aconf.get('feature_matching', {}) or {}))
+            cache[name] = (img, mask, kps)
+            return cache[name]
+
+        img0, mask0, kps0 = load(sec0)
+        img1, mask1, kps1 = load(sec1)
+        settings = {
+            'match_mode': aconf.get('match_mode', 'feature'),
+            'feature_matching': dict(aconf.get('feature_matching', {}) or {},
+                                     kps0=kps0, kps1=kps1),
+            'block_matching': aconf.get('block_matching', {}),
+        }
+        match = align_two_thumbnails(img0, img1, mask0=mask0, mask1=mask1,
+                                     **settings)
+        if match is None:
+            logger.warning(f'{sec0} -> {sec1}: thumbnail matching failed')
+            continue
+        save_matches_to_h5(out, match, res)
+        logger.info(f'{sec0} -> {sec1}: {len(match.weight)} coarse matches '
+                    f'in {time.time() - t0:.1f}s')
+
+
+def optimize_main(args, conf, logger):
+    """Rough alignment at thumbnail resolution: mesh each thumbnail, run
+    the sliding-window relaxation, save thumbnail tforms."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.aligner import Aligner
+    from feabas_tpu.common import imread
+    import cv2
+    work_dir = config.get_work_dir()
+    oconf = dict(conf.get('alignment', {}).get('optimization', {}) or {})
+    thumb_mip = int(conf.get('thumbnail_mip_level', 6))
+    res = config.montage_resolution() * (2 ** thumb_mip)
+    fmt = conf.get('downsample', {}).get('thumbnail_format', 'png')
+    mesh_dir = join_paths(work_dir, 'thumbnail_align', 'mesh')
+    names = [n for n, _ in stitched_sections(work_dir, None)]
+    mconf = oconf.get('meshing_config', {}) or {}
+    for name in names:
+        out = join_paths(mesh_dir, name + '.h5')
+        if storage.file_exists(out, use_cache=True):
+            continue
+        img = imread(thumb_path(work_dir, name, fmt), flag=cv2.IMREAD_GRAYSCALE)
+        mesh = Mesh.from_bbox((0, 0, img.shape[1], img.shape[0]),
+                              cartesian=True,
+                              mesh_size=mconf.get('mesh_size', 100),
+                              resolution=res, name=name)
+        mesh.save_to_h5(out)
+    al = Aligner(mesh_dir,
+                 join_paths(work_dir, 'thumbnail_align', 'tform'),
+                 join_paths(work_dir, 'thumbnail_align', 'matches'),
+                 resolution=res, logger=logger)
+    committed = al.run(chunk_settings=oconf.get('chunk_settings'),
+                       slide_window=oconf.get('slide_window'))
+    logger.info(f'thumbnail optimization: committed {len(committed)}')
+
+
+def render_main(args, conf, logger):
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.common import imread, imwrite
+    import cv2
+    work_dir = config.get_work_dir()
+    fmt = conf.get('downsample', {}).get('thumbnail_format', 'png')
+    tform_dir = join_paths(work_dir, 'thumbnail_align', 'tform')
+    out_dir = join_paths(work_dir, 'thumbnail_align', 'aligned')
+    names = [n for n, _ in stitched_sections(work_dir, args)]
+    boxes = []
+    meshes = {}
+    for name in names:
+        t = join_paths(tform_dir, name + '.h5')
+        if storage.file_exists(t):
+            meshes[name] = Mesh.from_h5(t)
+            boxes.append(meshes[name].bbox(gear='MOVING'))
+    if not boxes:
+        return
+    boxes = np.asarray(boxes)
+    canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
+              float(boxes[:, 2].max()), float(boxes[:, 3].max()))
+    for name, mesh in meshes.items():
+        out = join_paths(out_dir, f'{name}.{fmt}')
+        if storage.file_exists(out, use_cache=True):
+            continue
+        img = imread(thumb_path(work_dir, name, fmt), flag=cv2.IMREAD_GRAYSCALE)
+        r = MeshRenderer.from_mesh(mesh, image_loader=StreamLoader(img))
+        blk = r.crop(canvas)
+        imwrite(out, blk)
+        logger.info(f'{name}: aligned thumbnail rendered')
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description='thumbnail pipeline driver')
+    p.add_argument('--mode', default='downsample',
+                   choices=['downsample', 'matching', 'optimization', 'render'])
+    p.add_argument('--start', type=int, default=0)
+    p.add_argument('--stop', type=int, default=None)
+    p.add_argument('--step', type=int, default=1)
+    p.add_argument('--reverse', action='store_true')
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    conf = config.thumbnail_configs()
+    info, logger = initialize_main_logger(prefix=f'thumb_{args.mode}',
+                                          mp_queue=False)
+    logger.info(f'thumbnail {args.mode}')
+    {'downsample': downsample_main, 'matching': matching_main,
+     'optimization': optimize_main, 'render': render_main}[args.mode](
+        args, conf, logger)
+    terminate_logger(info, logger)
+
+
+if __name__ == '__main__':
+    main()

@@ -1,0 +1,109 @@
+"""Thumbnail keypoint/feature pipeline against synthetic transforms."""
+
+import numpy as np
+import pytest
+
+from synthutil import texture
+
+
+def _rotate(img, deg, scale=1.0):
+    import cv2
+    h, w = img.shape
+    M = cv2.getRotationMatrix2D((w / 2, h / 2), deg, scale)
+    return cv2.warpAffine(img, M, (w, h), flags=cv2.INTER_LINEAR,
+                          borderMode=cv2.BORDER_REFLECT), M
+
+
+def test_detect_extrema(rng, workdir):
+    from feabas_tpu.thumbnail import detect_extrema_log
+    img = texture(rng, 200, 200, blur=3)
+    kp = detect_extrema_log(img, sigma=3.0, min_spacing=8, num_features=300)
+    assert 50 < kp.num_points <= 300
+    # respect mask
+    mask = np.zeros((200, 200), bool)
+    mask[:100] = True
+    kp2 = detect_extrema_log(img, mask=mask, sigma=3.0, min_spacing=8)
+    assert (kp2.xy[:, 1] < 104).all()
+
+
+def test_lradon_matching_translation(rng, workdir):
+    from feabas_tpu.thumbnail import match_two_thumbnails_LRadon
+    img0 = texture(rng, 240, 240, blur=3)
+    shift = (12, -7)
+    img1 = np.roll(img0, (shift[1], shift[0]), axis=(0, 1))
+    m = match_two_thumbnails_LRadon(img0, img1)
+    assert m is not None and m.xy0.shape[0] >= 10
+    d = m.xy0 - m.xy1
+    # xy1 + d = xy0; content moved by +shift: feature at p in img0 is at
+    # p + shift in img1 -> xy0 = xy1 - shift
+    med = np.median(d, axis=0)
+    assert np.allclose(med, [-shift[0], -shift[1]], atol=1.0), med
+
+
+def test_lradon_matching_rotation(rng, workdir):
+    from feabas_tpu.thumbnail import match_two_thumbnails_LRadon
+    from feabas_tpu.spatial import fit_affine, apply_affine
+    img0 = texture(rng, 260, 260, blur=3)
+    img1, M = _rotate(img0, 30)
+    m = match_two_thumbnails_LRadon(img0, img1)
+    assert m is not None and m.xy0.shape[0] >= 8
+    # matched pairs must satisfy the known rotation: img1(p1) == img0(p0)
+    # with p0 = M @ [p1... actually warpAffine: dst(x,y)=src(M^-1 (x,y))
+    A = np.vstack([M, [0, 0, 1]])
+    Ainv = np.linalg.inv(A)
+    p0_want = (np.c_[m.xy1, np.ones(len(m.xy1))] @ Ainv.T)[:, :2]
+    err = np.linalg.norm(m.xy0 - p0_want, axis=-1)
+    assert np.median(err) < 2.0, np.median(err)
+
+
+def test_ransac_rejects_outliers(rng, workdir):
+    from feabas_tpu.thumbnail import filter_match_global_ransac
+    n = 60
+    xy1 = rng.uniform(0, 200, (n, 2))
+    T = np.eye(3)
+    T[:2, :2] = [[0.98, 0.05], [-0.05, 1.01]]
+    T[2, :2] = [10, -4]
+    from feabas_tpu.spatial import apply_affine
+    xy0 = apply_affine(xy1, T)
+    xy0[:15] += rng.uniform(20, 60, (15, 2))  # outliers
+    mask, T_est = filter_match_global_ransac(xy0, xy1, dis_tol=3)
+    assert mask[15:].all() and not mask[:15].any()
+    assert np.allclose(T_est, T, atol=0.05)
+
+
+def test_pairwise_strain_filter(rng, workdir):
+    from feabas_tpu.thumbnail import filter_match_pairwise_strain
+    n = 50
+    xy1 = rng.uniform(0, 300, (n, 2))
+    xy0 = xy1 + [5, 3]
+    bad = rng.choice(n, 8, replace=False)
+    xy0 = xy0.copy()
+    xy0[bad] += rng.uniform(-80, 80, (8, 2))
+    keep = filter_match_pairwise_strain(xy0, xy1, strain_limit=0.1)
+    good = np.setdiff1d(np.arange(n), bad)
+    assert keep[good].mean() > 0.9
+    assert keep[bad].mean() < 0.3
+
+
+def test_align_two_thumbnails_full(rng, workdir):
+    from feabas_tpu.thumbnail import align_two_thumbnails
+    img0 = texture(rng, 240, 240, blur=2)
+    img1 = np.roll(img0, (6, 9), axis=(0, 1))
+    m = align_two_thumbnails(img0, img1,
+                             block_matching={'spacings': [60, 30],
+                                             'conf_thresh': 0.25})
+    assert m is not None and m.xy0.shape[0] >= 6
+    d = np.median(m.xy0 - m.xy1, axis=0)
+    assert np.allclose(d, [-9, -6], atol=0.5), d
+
+
+def test_template_mode(rng, workdir):
+    from feabas_tpu.thumbnail import align_two_thumbnails
+    img0 = texture(rng, 200, 200, blur=2)
+    img1 = np.roll(img0, (-4, 11), axis=(0, 1))
+    m = align_two_thumbnails(img0, img1, match_mode='template',
+                             block_matching={'spacings': [60, 30],
+                                             'conf_thresh': 0.25})
+    assert m is not None
+    d = np.median(m.xy0 - m.xy1, axis=0)
+    assert np.allclose(d, [-11, 4], atol=0.5), d
