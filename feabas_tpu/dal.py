@@ -344,3 +344,152 @@ def get_loader_from_json(spec, **kwargs):
     if cls is TensorStoreLoader:
         return cls(spec.pop('spec'), z=spec.pop('z', 0), **spec)
     return cls(**spec)
+
+
+class TensorStoreWriter:
+    """Chunk-aligned writer for 3D output volumes
+    (reference: dal.py:1367-1538).
+
+    Supports neuroglancer_precomputed / zarr / n5 via tensorstore. The
+    volume frame is (x, y, z[, channel]); images are (y, x) so writes
+    transpose. Chunk grid helpers + Morton ordering drive render planning.
+    """
+
+    def __init__(self, spec, dataset=None):
+        self._spec = spec
+        self._dataset = dataset
+
+    @classmethod
+    def create(cls, out_dir, canvas_bbox, num_sections, **kwargs):
+        driver = kwargs.get('driver', 'neuroglancer_precomputed')
+        chunk_shape = list(kwargs.get('chunk_shape', (2048, 2048, 16)))
+        resolution = kwargs.get('resolution', 4)
+        thickness = kwargs.get('thickness', 30)
+        dtype = np.dtype(kwargs.get('dtype', 'uint8'))
+        jpeg = kwargs.get('jpeg_compression', False)
+        x0, y0, x1, y1 = (int(v) for v in canvas_bbox)
+        size = [x1 - x0, y1 - y0, int(num_sections)]
+        kv = {'driver': 'file', 'path': str(out_dir)} \
+            if not storage.is_cloud_path(str(out_dir)) else \
+            {'driver': 'gcs', 'bucket': str(out_dir)[5:].split('/')[0],
+             'path': '/'.join(str(out_dir)[5:].split('/')[1:])}
+        if driver == 'neuroglancer_precomputed':
+            spec = {
+                'driver': driver, 'kvstore': kv,
+                'scale_metadata': {
+                    'size': size,
+                    'resolution': [resolution, resolution, thickness],
+                    'chunk_size': chunk_shape,
+                    'encoding': 'jpeg' if jpeg else 'raw'},
+                'multiscale_metadata': {'data_type': dtype.name,
+                                        'num_channels': 1, 'type': 'image'},
+                'create': True, 'open': True,
+            }
+        elif driver in ('zarr', 'n5'):
+            spec = {
+                'driver': driver, 'kvstore': kv,
+                'metadata': ({'shape': size, 'chunks': chunk_shape,
+                              'dtype': dtype.str} if driver == 'zarr' else
+                             {'dimensions': size, 'blockSize': chunk_shape,
+                              'dataType': dtype.name}),
+                'create': True, 'open': True,
+            }
+        else:
+            raise ValueError(f'unsupported volume driver {driver}')
+        w = cls(spec)
+        w._offset = (x0, y0)
+        w._chunk_shape = chunk_shape
+        w._size = size
+        return w
+
+    @property
+    def dataset(self):
+        if self._dataset is None:
+            import tensorstore as ts
+            self._dataset = ts.open(self._spec).result()
+        return self._dataset
+
+    @property
+    def offset(self):
+        return getattr(self, '_offset', (0, 0))
+
+    @property
+    def chunk_shape(self):
+        return getattr(self, '_chunk_shape', None) or \
+            list(self.dataset.chunk_layout.read_chunk.shape[:3])
+
+    @property
+    def size(self):
+        return getattr(self, '_size', None) or \
+            [int(d.exclusive_max) for d in self.dataset.domain][:3]
+
+    def plan_chunks(self, bbox=None):
+        """Morton-ordered write-chunk bboxes (world xy) covering bbox."""
+        from feabas_tpu.common import z_order
+        cx, cy = self.chunk_shape[0], self.chunk_shape[1]
+        x0, y0 = self.offset
+        W, H = self.size[0], self.size[1]
+        if bbox is None:
+            bbox = (x0, y0, x0 + W, y0 + H)
+        i0 = max(int((bbox[0] - x0) // cx), 0)
+        i1 = min(int(np.ceil((bbox[2] - x0) / cx)), int(np.ceil(W / cx)))
+        j0 = max(int((bbox[1] - y0) // cy), 0)
+        j1 = min(int(np.ceil((bbox[3] - y0) / cy)), int(np.ceil(H / cy)))
+        if i1 <= i0 or j1 <= j0:
+            return []
+        ii, jj = np.meshgrid(np.arange(i0, i1), np.arange(j0, j1))
+        ij = np.stack([ii.ravel(), jj.ravel()], -1)
+        ij = ij[z_order(ij)]
+        out = []
+        for i, j in ij:
+            bx0 = x0 + i * cx
+            by0 = y0 + j * cy
+            out.append((bx0, by0, min(bx0 + cx, x0 + W), min(by0 + cy, y0 + H)))
+        return out
+
+    def write_single_chunk(self, bbox, z, img):
+        """Write one (y, x) image block at world bbox into section z
+        (reference: dal.py:1372)."""
+        x0, y0 = self.offset
+        a = int(bbox[0] - x0)
+        b = int(bbox[1] - y0)
+        c = a + img.shape[1]
+        d = b + img.shape[0]
+        ds = self.dataset
+        blk = np.ascontiguousarray(np.swapaxes(img, 0, 1))
+        if ds.rank == 4:
+            ds[a:c, b:d, int(z), 0] = blk
+        else:
+            ds[a:c, b:d, int(z)] = blk
+
+    def read_chunk(self, bbox, z):
+        x0, y0 = self.offset
+        a, b = int(bbox[0] - x0), int(bbox[1] - y0)
+        c, d = int(bbox[2] - x0), int(bbox[3] - y0)
+        ds = self.dataset
+        blk = ds[a:c, b:d, int(z), 0] if ds.rank == 4 else ds[a:c, b:d, int(z)]
+        return np.swapaxes(np.asarray(blk.read().result()), 0, 1)
+
+    def to_dict(self):
+        return {'spec': self._spec, 'offset': list(self.offset),
+                'chunk_shape': self.chunk_shape, 'size': self.size}
+
+    @classmethod
+    def from_dict(cls, d):
+        w = cls(d['spec'])
+        w._offset = tuple(d['offset'])
+        w._chunk_shape = d['chunk_shape']
+        w._size = d['size']
+        return w
+
+
+def get_tensorstore_spec(base_spec, mip=0):
+    """Stack tensorstore 'downsample' drivers to serve mip levels from a
+    full-resolution volume (reference: dal.py:1125)."""
+    spec = base_spec
+    if mip > 0:
+        spec = {'driver': 'downsample',
+                'downsample_factors': [2 ** mip, 2 ** mip, 1],
+                'downsample_method': 'mean',
+                'base': base_spec}
+    return spec

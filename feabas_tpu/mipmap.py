@@ -147,3 +147,68 @@ def generate_thumbnail_mask(tform_h5, out_file, thumbnail_mip=6,
         mask = np.where(roi > 0, 0, 255).astype(np.uint8)
     common.imwrite(out_file, mask)
     return out_file
+
+
+def mip_one_level_tensorstore_3d(src_dir, out_dir, mip_levels=(1, 3, 5, 7),
+                                 downsample_z='auto', z_range=None,
+                                 logger=None, chunk=1024):
+    """Generate lower-resolution scales of a 3D tensorstore volume
+    (reference: mipmap.py:434). xy downsampling is mean-pooled; z follows
+    'auto' (downsample z to keep voxels near-isotropic) or an explicit list.
+    Returns the number of scales written."""
+    import tensorstore as ts
+    base_spec = {'driver': 'neuroglancer_precomputed',
+                 'kvstore': {'driver': 'file', 'path': str(src_dir)}}
+    src = ts.open(base_spec).result()
+    size = [int(d) for d in src.shape[:3]]
+    dims = src.spec().to_json().get('scale_metadata', {})
+    res = dims.get('resolution', [4, 4, 30])
+    n_done = 0
+    for mip in mip_levels:
+        fxy = 2 ** int(mip)
+        if downsample_z == 'auto':
+            # keep z no finer than xy
+            fz = max(int((res[0] * fxy) // res[2]), 1)
+        elif isinstance(downsample_z, (list, tuple)):
+            fz = int(downsample_z[list(mip_levels).index(mip)])
+        else:
+            fz = int(downsample_z)
+        fz = min(fz, size[2]) or 1
+        ds_spec = {'driver': 'downsample',
+                   'downsample_factors': [fxy, fxy, fz, 1][:src.rank],
+                   'downsample_method': 'mean',
+                   'base': base_spec}
+        ds = ts.open(ds_spec).result()
+        out_size = [int(d) for d in ds.shape[:3]]
+        out_spec = {
+            'driver': 'neuroglancer_precomputed',
+            'kvstore': {'driver': 'file', 'path': str(out_dir)},
+            'scale_metadata': {
+                'size': out_size,
+                'resolution': [res[0] * fxy, res[1] * fxy, res[2] * fz],
+                'chunk_size': [min(chunk, out_size[0]),
+                               min(chunk, out_size[1]),
+                               min(16, out_size[2])],
+                'encoding': 'raw'},
+            'multiscale_metadata': {
+                'data_type': str(np.dtype(src.dtype.name)),
+                'num_channels': 1, 'type': 'image'},
+            'create': True, 'open': True,
+        }
+        out = ts.open(out_spec).result()
+        zs = range(out_size[2]) if z_range is None else range(*z_range)
+        for z in zs:
+            for x0 in range(0, out_size[0], chunk):
+                for y0 in range(0, out_size[1], chunk):
+                    x1 = min(x0 + chunk, out_size[0])
+                    y1 = min(y0 + chunk, out_size[1])
+                    if src.rank == 4:
+                        blk = ds[x0:x1, y0:y1, z, :].read().result()
+                        out[x0:x1, y0:y1, z, :] = blk
+                    else:
+                        blk = ds[x0:x1, y0:y1, z].read().result()
+                        out[x0:x1, y0:y1, z] = blk
+        n_done += 1
+        if logger:
+            logger.info(f'tsd: mip{mip} ({fxy}x{fxy}x{fz}) -> {out_size}')
+    return n_done

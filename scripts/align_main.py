@@ -244,10 +244,76 @@ def render_main(args, conf, logger):
         logger.info(f'{name}: rendered {len(tiles)} tiles in {time.time() - t0:.1f}s')
 
 
+def tsr_main(args, conf, logger):
+    """Render the aligned stack into a chunked tensorstore volume
+    (reference: align_main.py:477)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import TensorStoreWriter
+    from feabas_tpu.renderer import VolumeRenderer
+    work_dir = config.get_work_dir()
+    tconf = conf.get('tensorstore_rendering', {}) or {}
+    out_dir = tconf.get('out_dir') or join_paths(work_dir, 'aligned_tensorstore')
+    tform_dir = join_paths(work_dir, 'align', 'tform')
+    sections = stitched_section_list(work_dir, None)
+    tform_list = []
+    boxes = []
+    loaders = {}
+    for z, (name, meta) in enumerate(sections):
+        t = join_paths(tform_dir, name + '.h5')
+        if not storage.file_exists(t):
+            continue
+        mesh = Mesh.from_h5(t)
+        boxes.append(mesh.bbox(gear='MOVING'))
+        tform_list.append((z, name, mesh))
+        loaders[name] = meta
+    if not tform_list:
+        logger.warning('tsr: no aligned sections found')
+        return
+    z_lo = args.start or 0
+    z_hi = args.stop if args.stop is not None else len(tform_list)
+    canvas = tconf.get('canvas_bbox', None)
+    if canvas is None:
+        boxes = np.asarray(boxes)
+        canvas = [int(np.floor(boxes[:, 0].min())), int(np.floor(boxes[:, 1].min())),
+                  int(np.ceil(boxes[:, 2].max())), int(np.ceil(boxes[:, 3].max()))]
+    z_max = tconf.get('z_max') or (max(z for z, _, _ in tform_list) + 1)
+    writer = TensorStoreWriter.create(
+        out_dir, canvas, z_max,
+        driver=tconf.get('driver', 'neuroglancer_precomputed'),
+        chunk_shape=tconf.get('chunk_shape', [2048, 2048, 16]),
+        resolution=config.montage_resolution(),
+        thickness=config.section_thickness(),
+        jpeg_compression=tconf.get('jpeg_compression', False))
+    vr = VolumeRenderer(tform_list[z_lo:z_hi:args.step], loaders, writer,
+                        flag_dir=join_paths(out_dir, 'render_flags'),
+                        logger=logger,
+                        remap_interp=tconf.get('remap_interp', 'LINEAR'))
+    n = vr.render_volume()
+    logger.info(f'tsr: wrote {n} chunks to {out_dir}')
+
+
+def tsd_main(args, conf, logger):
+    """Downsample the rendered tensorstore volume to lower mips
+    (reference: align_main.py:519)."""
+    from feabas_tpu.mipmap import mip_one_level_tensorstore_3d
+    work_dir = config.get_work_dir()
+    tconf = conf.get('tensorstore_downsample', {}) or {}
+    src_dir = conf.get('tensorstore_rendering', {}).get('out_dir') \
+        or join_paths(work_dir, 'aligned_tensorstore')
+    out_dir = tconf.get('out_dir') or src_dir
+    mips = tconf.get('mip_levels', [1, 3, 5, 7])
+    downsample_z = tconf.get('downsample_z', 'auto')
+    n = mip_one_level_tensorstore_3d(
+        src_dir, out_dir, mip_levels=mips, downsample_z=downsample_z,
+        z_range=tconf.get('z_range'), logger=logger)
+    logger.info(f'tsd: generated {n} mip level(s)')
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='alignment pipeline driver')
     p.add_argument('--mode', default='matching',
-                   choices=['meshing', 'matching', 'optimization', 'rendering'])
+                   choices=['meshing', 'matching', 'optimization', 'rendering',
+                            'tsr', 'tsd'])
     p.add_argument('--start', type=int, default=0)
     p.add_argument('--stop', type=int, default=None)
     p.add_argument('--step', type=int, default=1)
@@ -261,8 +327,8 @@ def main(argv=None):
     info, logger = initialize_main_logger(prefix=f'align_{args.mode}', mp_queue=False)
     logger.info(f'align {args.mode}')
     {'meshing': meshing_main, 'matching': matching_main,
-     'optimization': optimize_main, 'rendering': render_main}[args.mode](
-        args, conf, logger)
+     'optimization': optimize_main, 'rendering': render_main,
+     'tsr': tsr_main, 'tsd': tsd_main}[args.mode](args, conf, logger)
     terminate_logger(info, logger)
 
 
