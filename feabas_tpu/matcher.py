@@ -84,6 +84,21 @@ def distributor_cartesian_bbox(bbox, spacing, block_size,
     return np.stack([gx.ravel(), gy.ravel()], axis=-1)
 
 
+_BLOCK_SIZES = np.array([16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512])
+
+
+def _quantize_block(size):
+    """Round block sizes up to a small set so jit caches stay bounded."""
+    size = int(round(size))
+    i = int(np.searchsorted(_BLOCK_SIZES, size))
+    return int(_BLOCK_SIZES[min(i, len(_BLOCK_SIZES) - 1)])
+
+
+def _pad_pow2(n, lo=8):
+    k = max(lo, 1 << (int(n - 1).bit_length()))
+    return k
+
+
 def _render_blocks(renderer, centers, block_size):
     """Render equal-size blocks centered at world points. Returns
     (stack (N,h,w) float32, kept_indices)."""
@@ -130,8 +145,25 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     spacings = sorted(np.atleast_1d(spacings).astype(np.float64), reverse=True)
     render0 = None
     link = None
+    # device render path: when sources are in-memory images, ship them to
+    # HBM once and render match blocks with the batched local-affine warp
+    # kernel — the whole round (warp -> DoG -> xcorr) is then device-only
+    use_device = (kwargs.get('device_render', True)
+                  and isinstance(loader0, StreamLoader)
+                  and isinstance(loader1, StreamLoader)
+                  and np.allclose(loader0._offset, 0)
+                  and np.allclose(loader1._offset, 0))
+    if use_device:
+        import jax.numpy as jnp
+        from feabas_tpu.ops import warp as warp_ops
+        src0 = jnp.asarray(np.asarray(loader0.preprocess(loader0._img),
+                                      np.float32))
+        src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img),
+                                      np.float32))
     for i_s, spacing in enumerate(spacings):
         block_size = max(int(round(spacing * shrink_factor)), 16)
+        if use_device:
+            block_size = _quantize_block(block_size)
         bbox0 = mesh0.bbox(gear=const.MESH_GEAR_MOVING)
         bbox1 = mesh1.bbox(gear=const.MESH_GEAR_MOVING)
         ovl, valid = common.intersect_bbox(bbox0, bbox1)
@@ -144,27 +176,43 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
             continue
         if centers.shape[0] == 0:
             return None
-        render0 = MeshRenderer.from_mesh(mesh0, image_loader=loader0)
-        render1 = MeshRenderer.from_mesh(mesh1, image_loader=loader1)
-        stack0, kept0 = _render_blocks(render0, centers, block_size)
-        stack1, kept1 = _render_blocks(render1, centers, block_size)
+        if use_device:
+            stack0, kept0 = warp_ops.mesh_blocks_device(mesh0, src0, centers,
+                                                        block_size)
+            stack1, kept1 = warp_ops.mesh_blocks_device(mesh1, src1, centers,
+                                                        block_size)
+        else:
+            render0 = MeshRenderer.from_mesh(mesh0, image_loader=loader0)
+            render1 = MeshRenderer.from_mesh(mesh1, image_loader=loader1)
+            stack0, kept0 = _render_blocks(render0, centers, block_size)
+            stack1, kept1 = _render_blocks(render1, centers, block_size)
         keep = np.intersect1d(kept0, kept1)
         if keep.size == 0:
             return None
         s0 = stack0[np.searchsorted(kept0, keep)]
         s1 = stack1[np.searchsorted(kept1, keep)]
         centers_k = centers[keep]
+        n_real = int(s0.shape[0])
+        if use_device:
+            # pad the batch to a power of two so compiled shapes are reused
+            import jax.numpy as jnp
+            nb = _pad_pow2(n_real)
+            if nb > n_real:
+                s0 = jnp.concatenate(
+                    [s0, jnp.broadcast_to(s0[:1], (nb - n_real,) + s0.shape[1:])])
+                s1 = jnp.concatenate(
+                    [s1, jnp.broadcast_to(s1[:1], (nb - n_real,) + s1.shape[1:])])
         dxs, dys, confs = [], [], []
-        for b0 in range(0, s0.shape[0], batch_size):
+        for b0 in range(0, int(s0.shape[0]), batch_size):
             dx, dy, cf = xcorr_fft(s0[b0:b0 + batch_size], s1[b0:b0 + batch_size],
                                    conf_mode=conf_mode, sigma=sigma, pad=pad,
                                    subpixel=(i_s == len(spacings) - 1))
             dxs.append(np.atleast_1d(dx))
             dys.append(np.atleast_1d(dy))
             confs.append(np.atleast_1d(cf))
-        dx = np.concatenate(dxs)
-        dy = np.concatenate(dys)
-        conf = np.concatenate(confs)
+        dx = np.concatenate(dxs)[:n_real]
+        dy = np.concatenate(dys)[:n_real]
+        conf = np.concatenate(confs)[:n_real]
         ok = conf >= conf_thresh
         if not ok.any():
             if i_s == len(spacings) - 1:

@@ -308,10 +308,16 @@ class SLM:
     # ------------------------- affine cascade ------------------------- #
 
     def optimize_affine_cascade(self, **kwargs):
-        """Greedy per-mesh affine placement: settled meshes (locked first,
-        else the best-connected one) anchor their neighbors, which are
-        fitted by weighted affine on the link points and marked settled
-        (reference: optimizer.py:1128)."""
+        """Greedy per-mesh (or per-group) affine placement: settled meshes
+        (locked first, else the best-connected) anchor their neighbors,
+        which are fitted by weighted affine on the link points and marked
+        settled (reference: optimizer.py:1128). With ``groupings`` (array of
+        group ids per mesh), all meshes of a group share one affine — used
+        to bundle mFoV fixed-pattern distortion (reference:
+        stitcher.py:844)."""
+        groupings = kwargs.pop('groupings', None)
+        if groupings is not None:
+            return self._optimize_affine_grouped(np.asarray(groupings), **kwargs)
         target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
         start_gear = kwargs.get('start_gear', const.MESH_GEAR_FIXED)
         svd_clip = kwargs.get('svd_clip', (0.5, 2.0))
@@ -369,6 +375,64 @@ class SLM:
             m = self.meshes[nxt]
             m.apply_affine(T, gear=(start_gear, target_gear))
             settled[nxt] = True
+        r = self.match_residues(gear=target_gear)
+        return float(r.max()) if r.size else 0.0
+
+    def _optimize_affine_grouped(self, groupings, **kwargs):
+        """Greedy affine cascade over mesh groups: links crossing group
+        boundaries drive one weighted affine per group."""
+        target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
+        start_gear = kwargs.get('start_gear', const.MESH_GEAR_FIXED)
+        svd_clip = kwargs.get('svd_clip', (0.5, 2.0))
+        from feabas_tpu import spatial as sp
+        uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
+        for m in self.meshes:
+            if not m.vertices_initialized(target_gear):
+                m.set_vertices(m.vertices(start_gear), target_gear,
+                               offset=m.offset(start_gear))
+        groups = np.unique(groupings)
+        gsettled = {g: bool(np.any(self.lock_flags[groupings == g]))
+                    for g in groups}
+        links = self.active_links()
+        if not any(gsettled.values()):
+            counts = {g: 0 for g in groups}
+            for l in links:
+                counts[groupings[uid2idx[l.uids[0]]]] += l.num_matches
+                counts[groupings[uid2idx[l.uids[1]]]] += l.num_matches
+            gsettled[max(counts, key=counts.get)] = True
+        while not all(gsettled.values()):
+            score = {g: 0.0 for g in groups if not gsettled[g]}
+            pts = {g: ([], [], []) for g in groups if not gsettled[g]}
+            for l in links:
+                g0 = groupings[uid2idx[l.uids[0]]]
+                g1 = groupings[uid2idx[l.uids[1]]]
+                if gsettled.get(g0) == gsettled.get(g1):
+                    continue
+                if gsettled[g0]:
+                    src, p_dst, p_src = g1, l.xy0(gear=target_gear), l.xy1(gear=start_gear)
+                else:
+                    src, p_dst, p_src = g0, l.xy1(gear=target_gear), l.xy0(gear=start_gear)
+                w = l.weight()
+                score[src] += w.sum()
+                pts[src][0].append(p_dst)
+                pts[src][1].append(p_src)
+                pts[src][2].append(w)
+            if not score or max(score.values()) <= 0:
+                for g in score:
+                    gsettled[g] = True
+                break
+            nxt = max(score, key=score.get)
+            T, T_rigid = sp.fit_affine(np.concatenate(pts[nxt][0]),
+                                       np.concatenate(pts[nxt][1]),
+                                       weights=np.concatenate(pts[nxt][2]),
+                                       return_rigid=True)
+            s = np.linalg.svd(T[:2, :2], compute_uv=False)
+            if svd_clip is not None and (s.min() < svd_clip[0] or s.max() > svd_clip[1]):
+                T = T_rigid
+            for i in np.nonzero(groupings == nxt)[0]:
+                if not self.meshes[i].locked:
+                    self.meshes[i].apply_affine(T, gear=(start_gear, target_gear))
+            gsettled[nxt] = True
         r = self.match_residues(gear=target_gear)
         return float(r.max()) if r.size else 0.0
 

@@ -35,6 +35,8 @@ class Stitcher:
         self.matches = {}      # (i, j) -> Match in tile-local coords
         self.meshes = None     # list[Mesh] after initialize_meshes
         self.groupings = kwargs.get('groupings', None)
+        self.photometrics = {}  # (i, j) -> (mean_i, std_i, mean_j, std_j)
+        self.tile_transfers = None  # (N, 2) per-tile (gain, offset)
 
     @classmethod
     def from_coordinate_file(cls, filename, **kwargs):
@@ -80,31 +82,89 @@ class Stitcher:
 
     def dispatch_matchers(self, **settings):
         """Match all overlapping pairs; fills ``self.matches``
-        (reference: stitcher.py:334). Returns the number of matched pairs."""
+        (reference: stitcher.py:334).
+
+        After the first pass, stage positions are refined from successful
+        matches and failed overlaps get a second chance with an enlarged
+        margin (reference: stitcher.py:405-414). Returns matched count."""
         num_workers = settings.pop('num_workers', 1)
         min_overlap_width = settings.pop('min_overlap_width', 25)
         margin = settings.pop('margin', 100)
         num_overlaps_per_job = settings.pop('num_overlaps_per_job', 180)
         loader_config = settings.pop('loader_config', {})
         matcher_config = settings.pop('matcher_config', {})
+        second_chance = settings.pop('second_chance', True)
         overlaps = self.find_overlaps(min_overlap_width=min_overlap_width)
         overlaps = [tuple(p) for p in overlaps if tuple(p) not in self.matches]
         if not overlaps:
             return 0
-        loader_spec = self.loader(**loader_config).to_dict()
+        n = self._dispatch_batch(overlaps, self.init_bboxes, margin,
+                                 loader_config, matcher_config, num_workers,
+                                 num_overlaps_per_job)
+        missing = [p for p in overlaps if p not in self.matches]
+        if second_chance and missing and self.matches:
+            refined = self.refine_stage_positions()
+            n += self._dispatch_batch(missing, refined, margin * 2,
+                                      loader_config, matcher_config,
+                                      num_workers, num_overlaps_per_job)
+        return n
+
+    def _dispatch_batch(self, overlaps, bboxes, margin, loader_config,
+                        matcher_config, num_workers, num_overlaps_per_job):
+        loader = StaticImageLoader(self.imgpaths, bboxes,
+                                   root_dir=self.root_dir,
+                                   resolution=self.resolution, **loader_config)
+        loader_spec = loader.to_dict()
         jobs = [overlaps[i:i + num_overlaps_per_job]
                 for i in range(0, len(overlaps), num_overlaps_per_job)]
         args = [(loader_spec, list(job), margin, matcher_config) for job in jobs]
         n = 0
         for result in submit_to_workers(subprocess_match_list_of_overlaps, args,
                                         num_workers=num_workers):
-            for key, match, err in result:
+            for key, match, photometric, err in result:
                 if err is not None:
                     continue
+                if photometric is not None:
+                    self.photometrics[tuple(key)] = photometric
                 if match is not None:
                     self.matches[tuple(key)] = match
                     n += 1
         return n
+
+    def refine_stage_positions(self):
+        """Least-squares per-tile translations from the matches gathered so
+        far (reference: stitcher.py:440). Returns refined bboxes (stage
+        coordinates are not modified in place)."""
+        n = self.num_tiles
+        stage_o = self.init_bboxes[:, :2]
+        AtA = np.zeros((n, n))
+        Atb = np.zeros((n, 2))
+        for (i, j), m in self.matches.items():
+            w2 = np.asarray(m.weight) ** 2
+            sw = w2.sum()
+            if sw <= 0:
+                continue
+            # world equality with corrected origins (stage + c):
+            # c_j - c_i = (xy0 - xy1) - (stage_j - stage_i), per match mean
+            t = (((m.xy0 - m.xy1) * w2[:, None]).sum(axis=0) / sw
+                 - (stage_o[j] - stage_o[i]))
+            AtA[i, i] += sw
+            AtA[j, j] += sw
+            AtA[i, j] -= sw
+            AtA[j, i] -= sw
+            Atb[i] -= sw * t
+            Atb[j] += sw * t
+        # small-norm prior keeps unmatched tiles at their stage positions
+        AtA += np.eye(n) * max(AtA.diagonal().max(), 1.0) * 1e-6
+        try:
+            c = np.linalg.lstsq(AtA, Atb, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            return self.init_bboxes
+        c -= c.mean(axis=0, keepdims=True)
+        refined = self.init_bboxes.copy()
+        refined[:, 0::2] += c[:, :1]
+        refined[:, 1::2] += c[:, 1:]
+        return refined
 
     # ------------------------- H5 IO ------------------------- #
 
@@ -123,6 +183,16 @@ class Stitcher:
                     f.create_dataset(g + 'xy1', data=m.xy1)
                     f.create_dataset(g + 'weight', data=m.weight)
                     f.create_dataset(g + 'strain', data=float(m.strain))
+            if save_matches and getattr(self, 'photometrics', None):
+                keys = sorted(self.photometrics.keys())
+                f.create_dataset('photometrics/pairs',
+                                 data=np.asarray(keys, np.int64))
+                f.create_dataset('photometrics/stats', data=np.asarray(
+                    [self.photometrics[k] for k in keys], np.float64))
+            if getattr(self, 'tile_transfers', None) is not None:
+                f.create_dataset('tile_transfers', data=self.tile_transfers)
+            if self.groupings is not None:
+                f.create_dataset('groupings', data=np.asarray(self.groupings))
             if save_meshes and self.meshes is not None:
                 for i, mesh in enumerate(self.meshes):
                     mesh.save_to_h5(f, prefix=f'meshes/{i}', save_material=(i == 0))
@@ -144,6 +214,15 @@ class Stitcher:
                     obj.matches[(i, j)] = Match(
                         g['xy0'][()], g['xy1'][()], g['weight'][()],
                         float(g['strain'][()]))
+            if load_matches and 'photometrics' in f:
+                pairs = f['photometrics/pairs'][()]
+                stats = f['photometrics/stats'][()]
+                obj.photometrics = {tuple(int(v) for v in p): tuple(s)
+                                    for p, s in zip(pairs, stats)}
+            if 'tile_transfers' in f:
+                obj.tile_transfers = f['tile_transfers'][()]
+            if 'groupings' in f:
+                obj.groupings = f['groupings'][()]
             if load_meshes and 'meshes' in f:
                 keys = sorted(f['meshes'].keys(), key=int)
                 mt = None
@@ -228,6 +307,118 @@ class Stitcher:
                         'residue_len', 'tol', 'atol', 'maxiter', 'max_residue_passes')})
         return cost
 
+    def set_groupings(self, groupings=None, msem=False):
+        """Per-tile group ids (e.g. mFoV for MultiSEM data)
+        (reference: stitcher.py:283)."""
+        if groupings is not None:
+            self.groupings = np.asarray(groupings)
+        elif msem:
+            from feabas_tpu.multisem import mfovids_beamids_from_filenames
+            mfovs, _ = mfovids_beamids_from_filenames(self.imgpaths)
+            self.groupings = mfovs
+        return self.groupings
+
+    def optimize_affine(self, **kwargs):
+        """Affine stage: one affine per tile group (or per tile)
+        (reference: stitcher.py:844)."""
+        slm = getattr(self, '_slm', None) or self.initialize_optimizer()
+        use_group = kwargs.get('use_group', True) and self.groupings is not None
+        return slm.optimize_affine_cascade(
+            start_gear=const.MESH_GEAR_MOVING,
+            target_gear=const.MESH_GEAR_MOVING,
+            groupings=self.groupings if use_group else None)
+
+    def optimize_group_intersection(self, **kwargs):
+        """Relax only inter-group interfaces: tiles with no links to other
+        groups stay locked (reference: stitcher.py:893)."""
+        if self.groupings is None:
+            return None
+        slm = getattr(self, '_slm', None) or self.initialize_optimizer()
+        uid2idx = {m.uid: i for i, m in enumerate(slm.meshes)}
+        interface = np.zeros(slm.num_meshes, bool)
+        for l in slm.active_links():
+            i0, i1 = uid2idx[l.uids[0]], uid2idx[l.uids[1]]
+            if self.groupings[i0] != self.groupings[i1]:
+                interface[i0] = interface[i1] = True
+        was_locked = [m.locked for m in slm.meshes]
+        for m, iface in zip(slm.meshes, interface):
+            m.locked = m.locked or (not iface)
+        try:
+            out = slm.optimize_elastic(
+                stiffness_lambda=kwargs.get('stiffness_lambda', -1.0),
+                crosslink_lambda=-1.0,
+                residue_mode=kwargs.get('residue_mode', 'threshold'),
+                residue_len=kwargs.get('residue_len', 3),
+                tol=kwargs.get('tol', 1e-6))
+        finally:
+            for m, lk in zip(slm.meshes, was_locked):
+                m.locked = lk
+        return out
+
+    def correct_invalid_meshes(self, **kwargs):
+        """Locally relax meshes with flipped triangles after the global
+        solve (reference: stitcher.py:1002). Returns #meshes repaired."""
+        from feabas_tpu.optimizer import relax_mesh
+        if self.meshes is None:
+            return 0
+        n = 0
+        for m in self.meshes:
+            flipped = m.flipped_triangles(const.MESH_GEAR_MOVING)
+            if flipped.size == 0:
+                continue
+            free = np.zeros(m.num_vertices, bool)
+            free[np.unique(m.triangles[flipped])] = True
+            # include one ring of neighbors for room to move
+            e = m.edges()
+            sel = free[e[:, 0]] | free[e[:, 1]]
+            free[np.unique(e[sel])] = True
+            relax_mesh(m, free_vertices=free)
+            n += 1
+        return n
+
+    def equalize_brightness_contrast(self, anchor_gain=1.0, regularize=0.1,
+                                     **kwargs):
+        """Per-tile linear intensity transfer (gain, offset) from overlap
+        photometrics so neighboring tiles agree (reference:
+        stitcher.py:1147). Requires matches gathered with
+        ``compute_photometric``; stores ``self.tile_transfers``."""
+        if not getattr(self, 'photometrics', None):
+            return None
+        n = self.num_tiles
+        # solve gains in log space: log g_i - log g_j = log(s_j / s_i)
+        A = np.eye(n) * regularize
+        bg = np.zeros(n)
+        bo_A = np.eye(n) * regularize
+        bo = np.zeros(n)
+        stats = {}
+        for (i, j), (mi, si, mj, sj) in self.photometrics.items():
+            if si <= 0 or sj <= 0:
+                continue
+            t = np.log(sj / si)
+            A[i, i] += 1
+            A[j, j] += 1
+            A[i, j] -= 1
+            A[j, i] -= 1
+            bg[i] += t
+            bg[j] -= t
+            stats[(i, j)] = (mi, mj)
+        logg = np.linalg.lstsq(A, bg, rcond=None)[0]
+        logg -= logg.mean()
+        gains = np.exp(logg) * anchor_gain
+        # offsets: g_i*m_i + o_i = g_j*m_j + o_j
+        for (i, j), (mi, mj) in stats.items():
+            t = gains[j] * mj - gains[i] * mi
+            bo_A[i, i] += 1
+            bo_A[j, j] += 1
+            bo_A[i, j] -= 1
+            bo_A[j, i] -= 1
+            bo[i] += t
+            bo[j] -= t
+        offsets = np.linalg.lstsq(bo_A, bo, rcond=None)[0]
+        offsets -= offsets.mean()
+        self.tile_transfers = np.stack([gains, offsets], axis=-1)
+        return self.tile_transfers
+
     def connect_isolated_subsystem(self, explode_factor=1.0, **kwargs):
         """Re-place link-disconnected components by their stage coordinates
         (reference: stitcher.py:1024)."""
@@ -277,8 +468,9 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
                                       matcher_config):
     """Worker: match a batch of overlap pairs (reference: stitcher.py:475).
 
-    Returns list of ((i, j), Match|None, error|None) with matches in
-    tile-local pixel coordinates. Exceptions are contained per overlap."""
+    Returns list of ((i, j), Match|None, photometric|None, error|None) with
+    matches in tile-local pixel coordinates; photometric = per-side overlap
+    (mean, std) when requested. Exceptions are contained per overlap."""
     loader = get_loader_from_json(loader_spec)
     out = []
     for i, j in overlaps:
@@ -287,7 +479,7 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
             bbox_j = loader.bboxes[j]
             ovl, valid = intersect_bbox(bbox_i, bbox_j)
             if not valid:
-                out.append(((i, j), None, None))
+                out.append(((i, j), None, None, None))
                 continue
             ovl_m = common.bbox_enlarge(ovl, margin)
             crop_i, _ = intersect_bbox(ovl_m, bbox_i)
@@ -295,14 +487,23 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
             img_i = loader.crop(crop_i, fileid=i)
             img_j = loader.crop(crop_j, fileid=j)
             match = stitching_matcher(img_i, img_j, **matcher_config)
+            photometric = None
+            if matcher_config.get('compute_photometric', False):
+                ov_i, _ = intersect_bbox(ovl, crop_i)
+                a = loader.crop(ov_i, fileid=i).astype(np.float64)
+                b = loader.crop(ov_i, fileid=j).astype(np.float64)
+                sel = (a > 0) & (b > 0)
+                if sel.sum() > 16:
+                    photometric = (float(a[sel].mean()), float(a[sel].std()),
+                                   float(b[sel].mean()), float(b[sel].std()))
             if match is not None:
                 off_i = np.asarray(crop_i[:2]) - bbox_i[:2]
                 off_j = np.asarray(crop_j[:2]) - bbox_j[:2]
                 match = Match(match.xy0 + off_i, match.xy1 + off_j,
                               match.weight, match.strain)
-            out.append(((i, j), match, None))
+            out.append(((i, j), match, photometric, None))
         except Exception as e:  # contain per-overlap failures
-            out.append(((i, j), None, f'{type(e).__name__}: {e}'))
+            out.append(((i, j), None, None, f'{type(e).__name__}: {e}'))
     return out
 
 
@@ -318,6 +519,9 @@ class MontageRenderer:
         self.name = name
         self._blend = str(kwargs.get('blend', 'LINEAR')).upper()
         self._blend_margin = kwargs.get('blend_margin', None)
+        # per-tile linear intensity transfer (gain, offset), from
+        # equalize_brightness_contrast (reference: stitcher.py:1376)
+        self._transfers = kwargs.get('tile_transfers', None)
         self._renderers = [MeshRenderer.from_mesh(m) for m in meshes]
         self._bounds = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING)
                                    for m in meshes])
@@ -327,6 +531,8 @@ class MontageRenderer:
     @classmethod
     def from_stitcher(cls, stitcher, loader_config=None, **kwargs):
         loader = stitcher.loader(**(loader_config or {}))
+        kwargs.setdefault('tile_transfers',
+                          getattr(stitcher, 'tile_transfers', None))
         return cls(stitcher.meshes, loader, name=stitcher.name, **kwargs)
 
     @classmethod
@@ -358,6 +564,14 @@ class MontageRenderer:
         mn = np.full((H, W), np.inf)
         mx = np.full((H, W), -np.inf)
         any_mask = np.zeros((H, W), bool)
+        pyramid = blend == 'PYRAMID'
+        if pyramid:
+            # two-band blending: low frequencies mix linearly, high
+            # frequencies come from the dominant tile -> seams vanish
+            # without ghosting (reference blend modes: stitcher.py:1484)
+            import cv2
+            acc_low = np.zeros((H, W), np.float64)
+            best_high = np.zeros((H, W), np.float64)
         for t in hits:
             r = self._renderers[int(t)]
             map_x, map_y, mask = r.crop_field(bbox)
@@ -369,6 +583,9 @@ class MontageRenderer:
                 dtype_out=np.float32, **kwargs)
             if img is None:
                 continue
+            if self._transfers is not None:
+                g, o = self._transfers[int(t)]
+                img = img * g + o
             tw, th = self._tile_sizes[int(t)]
             margin = self._blend_margin
             if margin is None:
@@ -383,6 +600,16 @@ class MontageRenderer:
             acc[m] += imgf[m] * w[m]
             wacc[m] += w[m]
             upd = m & (w > best_w)
+            if pyramid:
+                sigma = max((self._blend_margin or 16) / 4.0, 2.0)
+                # mask-normalized blur so fill values outside the tile do
+                # not bleed into the low band near mask edges
+                mf = m.astype(np.float64)
+                low = cv2.GaussianBlur(imgf * mf, (0, 0), sigma)
+                den = cv2.GaussianBlur(mf, (0, 0), sigma)
+                low = np.where(den > 1e-6, low / np.clip(den, 1e-6, None), imgf)
+                acc_low[m] += low[m] * w[m]
+                best_high[upd] = (imgf - low)[upd]
             best_w[upd] = w[upd]
             best_img[upd] = imgf[upd]
             mn[m] = np.minimum(mn[m], imgf[m])
@@ -390,7 +617,10 @@ class MontageRenderer:
         if not any_mask.any() and kwargs.get('return_empty', False):
             return None
         out = np.full((H, W), float(fillval), np.float64)
-        if blend in ('LINEAR', 'PYRAMID'):
+        if blend == 'PYRAMID':
+            nz = wacc > 0
+            out[nz] = acc_low[nz] / wacc[nz] + best_high[nz]
+        elif blend == 'LINEAR':
             nz = wacc > 0
             out[nz] = acc[nz] / wacc[nz]
         elif blend in ('NEAREST', 'NONE'):

@@ -61,10 +61,28 @@ def optimize_main(sections, conf, logger):
             continue
         t0 = time.time()
         st = Stitcher.from_h5(src, load_meshes=False)
+        if opt.get('equalize_brightness_contrast', False):
+            st.equalize_brightness_contrast()
+        if opt.get('msem', False) or opt.get('use_group', False):
+            try:
+                st.set_groupings(msem=opt.get('msem', False))
+            except (ValueError, IndexError):
+                pass  # paths don't follow MultiSEM conventions
         st.initialize_meshes(**(opt.get('mesh_settings') or {}))
         st.initialize_optimizer(minweight=opt.get('minweight', 0.1))
+        if opt.get('msem', False) and st.groupings is not None:
+            from feabas_tpu.multisem import (filter_links_from_sfov_pattern,
+                                             mfovids_beamids_from_filenames)
+            _, beams = mfovids_beamids_from_filenames(st.imgpaths)
+            filter_links_from_sfov_pattern(st._slm, st.groupings, beams)
         st.optimize_translation(**(opt.get('translation') or {}))
+        aff = opt.get('affine') or {}
+        if aff.get('maxiter', 0) is None or aff.get('maxiter', 0) != 0:
+            st.optimize_affine(**aff)
+        if st.groupings is not None and (opt.get('group_elastic') or {}):
+            st.optimize_group_intersection(**(opt.get('group_elastic') or {}))
         cost = st.optimize_elastic(**(opt.get('final_elastic') or {}))
+        st.correct_invalid_meshes()
         st.connect_isolated_subsystem(
             **(opt.get('disconnected_assemble') or {}))
         st.normalize_coordinates(**(opt.get('normalize') or {}))

@@ -1,0 +1,154 @@
+"""Stitcher auxiliary stages: stage refinement, groups, photometrics,
+invalid-mesh repair, PYRAMID blending."""
+
+import numpy as np
+import pytest
+
+from synthutil import tile_grid, texture
+
+
+def _stitcher_with_matches(rng, gains=None):
+    from feabas_tpu.stitcher import Stitcher
+    from feabas_tpu.common import Match
+    world, tiles, true_bboxes, stage_bboxes = tile_grid(
+        rng, rows=2, cols=2, tile_h=120, tile_w=150, overlap=40, jitter=2.0)
+    st = Stitcher([f't{i}.png' for i in range(4)], stage_bboxes)
+    # synthesize exact matches from ground truth
+    pairs = [(0, 1), (2, 3), (0, 2), (1, 3)]
+    for i, j in pairs:
+        from feabas_tpu.common import intersect_bbox
+        ovl, ok = intersect_bbox(true_bboxes[i], true_bboxes[j])
+        assert ok
+        xs = np.linspace(ovl[0] + 3, ovl[2] - 3, 4)
+        ys = np.linspace(ovl[1] + 3, ovl[3] - 3, 4)
+        gx, gy = np.meshgrid(xs, ys)
+        w_pts = np.stack([gx.ravel(), gy.ravel()], -1)
+        st.matches[(i, j)] = Match(w_pts - true_bboxes[i][:2],
+                                   w_pts - true_bboxes[j][:2],
+                                   np.ones(len(w_pts)), 0.01)
+    return st, world, tiles, true_bboxes, stage_bboxes
+
+
+def test_refine_stage_positions(rng, workdir):
+    st, world, tiles, true_bboxes, stage_bboxes = _stitcher_with_matches(rng)
+    refined = st.refine_stage_positions()
+    # refined relative positions must match truth (stage had +-2px jitter)
+    got = refined[:, :2] - refined[0, :2]
+    want = true_bboxes[:, :2] - true_bboxes[0, :2]
+    assert np.abs(got - want).max() < 0.2, (got, want)
+
+
+def test_group_affine_cascade(rng, workdir):
+    """Two groups of two tiles each; group 2 displaced by a rigid motion;
+    group affine must move its tiles together."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import SLM
+    meshes = []
+    for i, off in enumerate([(0, 0), (100, 0), (0, 100), (100, 100)]):
+        m = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=50,
+                           uid=i)
+        m.set_translation(off, gear=(-1, 0))
+        meshes.append(m)
+    meshes[0].locked = True
+    slm = SLM(meshes)
+    groupings = np.array([0, 0, 1, 1])
+    # links between the two groups (vertical neighbors), offset by a known
+    # translation of group 1
+    d = np.array([4.0, -6.0])
+    for (i, j) in ((0, 2), (1, 3)):
+        pts_w = np.array([[30.0, 95.0], [70.0, 95.0]]) \
+            + np.asarray(meshes[i].offset(0))
+        xy0 = pts_w
+        xy1 = pts_w + d  # group 1 must move by -d to match
+        slm.add_link_from_coordinates(i, j, xy0 - meshes[i].offset(0),
+                                      xy1 - meshes[j].offset(0) * 0 + 0, weight=None,
+                                      gear=(0, 0)) if False else None
+    # simpler: use world-frame links via FIXED gear coordinates
+    slm.links = []
+    for (i, j) in ((0, 2), (1, 3)):
+        pts_w = np.array([[30.0, 95.0], [70.0, 95.0],
+                          [50.0, 98.0]]) + np.asarray(meshes[i].offset(0))
+        slm.add_link_from_coordinates(i, j, pts_w, pts_w + d,
+                                      gear=(0, 0))
+    slm.optimize_affine_cascade(groupings=groupings, start_gear=0)
+    # group 1 tiles moved rigidly by -d
+    for i in (2, 3):
+        mv = (meshes[i].vertices_w_offset('MOVING')
+              - meshes[i].vertices_w_offset('FIXED'))
+        assert np.abs(mv - (-d)).max() < 1e-6, (i, mv.mean(0))
+    # group 0 tiles unmoved
+    for i in (0, 1):
+        mv = (meshes[i].vertices_w_offset('MOVING')
+              - meshes[i].vertices_w_offset('FIXED'))
+        assert np.abs(mv).max() < 1e-9
+
+
+def test_equalize_brightness(rng, workdir):
+    st, *_ = _stitcher_with_matches(rng)
+    # tile intensities: img_i = world * g_i + o_i; photometrics of an
+    # overlap record each side's mean/std
+    true_g = np.array([1.0, 1.3, 0.8, 1.1])
+    true_o = np.array([0.0, 10.0, -5.0, 3.0])
+    base_mean, base_std = 120.0, 30.0
+    st.photometrics = {}
+    for (i, j) in st.matches.keys():
+        st.photometrics[(i, j)] = (
+            base_mean * true_g[i] + true_o[i], base_std * true_g[i],
+            base_mean * true_g[j] + true_o[j], base_std * true_g[j])
+    tf = st.equalize_brightness_contrast(regularize=1e-6)
+    g, o = tf[:, 0], tf[:, 1]
+    # corrected intensity g_i*(m) + o_i must agree across tiles
+    corrected_mean = g * (base_mean * true_g + true_o) + o
+    corrected_std = g * base_std * true_g
+    assert np.ptp(corrected_mean) < 0.5, corrected_mean
+    assert np.ptp(corrected_std) < 0.5, corrected_std
+
+
+def test_correct_invalid_meshes(rng, workdir):
+    from feabas_tpu.stitcher import Stitcher
+    st, *_ = _stitcher_with_matches(rng)
+    st.initialize_meshes(mesh_sizes=[30])
+    m = st.meshes[0]
+    v = m.vertices('FIXED').copy()
+    k = m.num_vertices // 2
+    v[k] += [40.0, 40.0]  # force flips
+    m.set_vertices(v, 'MOVING')
+    assert m.flipped_triangles('MOVING').size > 0
+    n = st.correct_invalid_meshes()
+    assert n == 1
+    assert m.flipped_triangles('MOVING').size == 0
+
+
+def test_pyramid_blend_seamless(rng, workdir, tmp_path):
+    """PYRAMID blend of two brightness-mismatched tiles: no visible seam
+    (low gradient across the blend zone) while detail stays sharp."""
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    world = texture(rng, 120, 260, blur=1)
+    t0 = world[:, :150].astype(np.float64) * 1.0
+    t1 = world[:, 110:].astype(np.float64) * 1.0 + 25  # brightness jump
+    p0, p1 = str(tmp_path / 'a.png'), str(tmp_path / 'b.png')
+    imwrite(p0, np.clip(t0, 0, 255).astype(np.uint8))
+    imwrite(p1, np.clip(t1, 0, 255).astype(np.uint8))
+    st = Stitcher([p0, p1], [(0, 0, 150, 120), (110, 0, 260, 120)])
+    st.initialize_meshes(mesh_sizes=[60], border_width=40)
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]),
+                          gear=('INITIAL', 'MOVING'))
+    mr = MontageRenderer.from_stitcher(st, blend='PYRAMID', blend_margin=30)
+    base = world[10:110].astype(np.float64).mean(axis=0)
+
+    def offset_profile(blend):
+        out = mr.crop((0, 0, 260, 120), blend=blend).astype(np.float64)
+        return out[10:110].mean(axis=0) - base, out
+
+    # the 25-level DC jump must spread smoothly across the blend zone;
+    # NEAREST keeps a hard seam
+    d_pyr, out = offset_profile('PYRAMID')
+    d_nst, _ = offset_profile('NEAREST')
+    assert np.abs(np.diff(d_pyr[100:160])).max() < 3.0, d_pyr[100:160]
+    assert np.abs(np.diff(d_nst[100:160])).max() > 10.0
+    # detail preserved outside the seam
+    cc = np.corrcoef(out[10:110, 60:100].ravel(),
+                     world[10:110, 60:100].astype(float).ravel())[0, 1]
+    assert cc > 0.98

@@ -1,0 +1,88 @@
+"""Device warp kernel: bilinear sampling + block affine warps + matcher
+device/host path equivalence."""
+
+import numpy as np
+import pytest
+
+from synthutil import texture, warped_pair
+
+
+def test_bilinear_matches_cv2(rng, workdir):
+    import cv2
+    import jax.numpy as jnp
+    from feabas_tpu.ops.warp import bilinear_sample
+    img = texture(rng, 100, 120).astype(np.float32)
+    xs = rng.uniform(1, 118, (50,)).astype(np.float32)
+    ys = rng.uniform(1, 98, (50,)).astype(np.float32)
+    got = np.asarray(bilinear_sample(jnp.asarray(img), jnp.asarray(xs),
+                                     jnp.asarray(ys)))
+    want = cv2.remap(img, xs[None], ys[None], cv2.INTER_LINEAR)[0]
+    assert np.allclose(got, want, atol=1e-3)
+    # out of range -> fillval
+    out = np.asarray(bilinear_sample(jnp.asarray(img),
+                                     jnp.asarray([-5.0, 200.0]),
+                                     jnp.asarray([10.0, 10.0]), fillval=7.0))
+    assert (out == 7.0).all()
+
+
+def test_affine_warp_blocks_identity(rng, workdir):
+    import jax.numpy as jnp
+    from feabas_tpu.ops.warp import affine_warp_blocks
+    img = texture(rng, 128, 128).astype(np.float32)
+    origins = np.array([[10, 20], [40, 5]], np.float32)
+    A = np.tile(np.eye(2, dtype=np.float32), (2, 1, 1))
+    b = np.zeros((2, 2), np.float32)
+    out = np.asarray(affine_warp_blocks(jnp.asarray(img), jnp.asarray(origins),
+                                        jnp.asarray(A), jnp.asarray(b), 32, 32))
+    assert np.allclose(out[0], img[20:52, 10:42], atol=1e-4)
+    assert np.allclose(out[1], img[5:37, 40:72], atol=1e-4)
+
+
+def test_mesh_blocks_device_matches_host(rng, workdir):
+    """Device local-affine block rendering must agree with the exact host
+    rasterizing renderer for an affinely deformed mesh."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.matcher import _render_blocks
+    from feabas_tpu.ops.warp import mesh_blocks_device
+    from feabas_tpu import constant as const
+    img = texture(rng, 200, 200).astype(np.float32)
+    mesh = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=50)
+    T = np.eye(3)
+    T[:2, :2] = [[1.04, 0.02], [-0.03, 0.98]]
+    T[2, :2] = [3, -2]
+    mesh.apply_affine(T, gear=(const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING))
+    centers = np.array([[60, 60], [120, 80], [90, 140]], float)
+    dev, kept_d = mesh_blocks_device(mesh, img, centers, 32)
+    host, kept_h = _render_blocks(
+        MeshRenderer.from_mesh(mesh, image_loader=StreamLoader(img)),
+        centers, 32)
+    assert np.array_equal(kept_d, np.arange(3)) and np.array_equal(kept_h, kept_d)
+    diff = np.abs(np.asarray(dev) - host)
+    # interiors must agree to interpolation tolerance
+    assert np.median(diff) < 1.0, np.median(diff)
+
+
+def test_matcher_device_vs_host_equivalence(rng, workdir):
+    from feabas_tpu.matcher import iterative_xcorr_matcher_w_mesh
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    h = w = 256
+    img0, img1, disp_fn = warped_pair(rng, h, w, amp=2.0, period=150.0)
+    results = {}
+    for device in (True, False):
+        mesh0 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60,
+                               uid=0, locked=True)
+        mesh1 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60,
+                               uid=1)
+        m = iterative_xcorr_matcher_w_mesh(
+            mesh0, mesh1, StreamLoader(img0), StreamLoader(img1),
+            spacings=[80, 40], sigma=2.5, conf_thresh=0.25,
+            min_boundary_distance=25, device_render=device)
+        assert m is not None
+        want = m.xy1 + disp_fn(m.xy1)
+        err = np.linalg.norm(m.xy0 - want, axis=-1)
+        results[device] = np.median(err)
+    assert results[True] < 1.0, results
+    assert abs(results[True] - results[False]) < 0.5, results
