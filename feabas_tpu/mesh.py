@@ -710,3 +710,114 @@ def transform_mesh(mesh, carrier, gear=(const.MESH_GEAR_FIXED, const.MESH_GEAR_M
     center = out.mean(axis=0, keepdims=True)
     new.set_vertices(out - center, dst, offset=center)
     return new
+
+
+def _mesh_coarse(mesh, reduction_factor=0.25, gear=const.MESH_GEAR_INITIAL):
+    """Coarse surrogate mesh covering the same region (reference
+    _coarse_mesh_grids: feabas/mesh.py:871). reduction_factor scales the
+    triangle count; 0 -> a single containing triangle (pure affine)."""
+    bb = mesh.bbox(gear=gear)
+    area = float(np.abs(mesh.triangle_areas(gear)).sum())
+    ntri = max(int(mesh.num_triangles * reduction_factor), 0)
+    if ntri < 4:
+        # one big triangle containing the bbox: affine surrogate
+        cx, cy = (bb[0] + bb[2]) / 2, (bb[1] + bb[3]) / 2
+        r = 1.2 * np.hypot(bb[2] - bb[0], bb[3] - bb[1])
+        theta = np.pi / 2 + np.arange(3) * 2 * np.pi / 3
+        v = np.stack([cx + r * np.cos(theta), cy + r * np.sin(theta)], -1)
+        t = np.array([[0, 1, 2]], np.int32)
+        e01, e02 = v[1] - v[0], v[2] - v[0]
+        soft = area / (0.5 * abs(e01[0] * e02[1] - e01[1] * e02[0]))
+    else:
+        side = np.sqrt(area / ntri * 4 / np.sqrt(3))
+        pts = sp.generate_equilat_grid_bbox(bb, side)
+        tid = mesh.tri_finder(pts, gear=gear)
+        pts = pts[tid >= 0]
+        if pts.shape[0] < 3:
+            return _mesh_coarse(mesh, 0, gear)
+        from scipy.spatial import Delaunay
+        tri = Delaunay(pts)
+        t = tri.simplices.astype(np.int32)
+        cent = pts[t].mean(axis=1)
+        keep = mesh.tri_finder(cent, gear=gear) >= 0
+        if keep.sum() < 1:
+            return _mesh_coarse(mesh, 0, gear)
+        pts, t = tri_mod.compact_vertices(pts, t[keep])
+        v = pts
+        ca = np.abs(0.5 * ((v[t[:, 1]] - v[t[:, 0]])[:, 0]
+                           * (v[t[:, 2]] - v[t[:, 0]])[:, 1]
+                           - (v[t[:, 1]] - v[t[:, 0]])[:, 1]
+                           * (v[t[:, 2]] - v[t[:, 0]])[:, 0])).sum()
+        soft = area / max(ca, 1e-6)
+    out = Mesh(v, t, resolution=mesh.resolution,
+               material_table=mesh.material_table,
+               soft_factor=mesh.soft_factor * float(np.clip(soft, 1e-3, 1.0)),
+               uid=mesh.uid, name=mesh.name, locked=mesh.locked)
+    return out
+
+
+Mesh.coarse_mesh = _mesh_coarse
+
+
+def _mesh_incise_region(mesh, material='split'):
+    """Cut the mesh along a 'split' material band: interior split triangles
+    (those not touching other materials) are removed, leaving a thin gap so
+    the two sides deform independently (reference incise_region:
+    feabas/mesh.py:955). Returns a new Mesh (or the original when the
+    material is absent)."""
+    try:
+        uid = mesh.material_table[material].uid
+    except KeyError:
+        return mesh
+    is_split = mesh.material_ids == uid
+    if not is_split.any():
+        return mesh
+    # vertices touched by any non-split triangle
+    nonsplit_verts = np.zeros(mesh.num_vertices, bool)
+    nonsplit_verts[np.unique(mesh.triangles[~is_split])] = True
+    touches_border = nonsplit_verts[mesh.triangles].any(axis=1)
+    interior = is_split & ~touches_border
+    if not interior.any():
+        # band too thin to keep a soft border: remove the whole band
+        interior = is_split
+    return mesh.submesh(~interior)
+
+
+Mesh.incise_region = _mesh_incise_region
+
+
+def _mesh_overlapping_triangles(mesh, gear=const.MESH_GEAR_MOVING):
+    """Pairs of non-adjacent triangles that overlap after deformation
+    (folds), detected by bbox index + cross barycentric containment of
+    vertices/centroids (reference collision machinery:
+    feabas/mesh.py:2462-2893)."""
+    vw = mesh.vertices_w_offset(gear)
+    T = mesh.triangles
+    gi = GridIndex(mesh.triangle_bboxes(gear))
+    pairs = gi.all_pairs()
+    out = []
+    for a, b in pairs:
+        if len(set(T[a]) & set(T[b])) > 0:
+            continue  # adjacent triangles legitimately share edges
+        pa = vw[T[a]]
+        pb = vw[T[b]]
+        ba = _barycentric(np.concatenate([pb, pb.mean(0, keepdims=True)]),
+                          vw, T[[a]])[:, 0, :]
+        bb_ = _barycentric(np.concatenate([pa, pa.mean(0, keepdims=True)]),
+                           vw, T[[b]])[:, 0, :]
+        if (ba > 1e-9).all(axis=-1).any() or (bb_ > 1e-9).all(axis=-1).any():
+            out.append((int(a), int(b)))
+    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+
+
+Mesh.overlapping_triangles = _mesh_overlapping_triangles
+
+
+def _mesh_is_valid(mesh, gear=const.MESH_GEAR_MOVING):
+    """No flipped triangles and no fold overlaps (reference: mesh.py:2462)."""
+    if mesh.flipped_triangles(gear).size:
+        return False
+    return mesh.overlapping_triangles(gear).shape[0] == 0
+
+
+Mesh.is_valid = _mesh_is_valid

@@ -727,3 +727,49 @@ def relax_mesh_most_deformed(mesh, deform_quantile=0.75, iqr_factor=1.5, **kwarg
     free[np.unique(mesh.triangles[bad_tris])] = True
     relax_mesh(mesh, free_vertices=free, **kwargs)
     return mesh, True
+
+
+def coarse_mesh_SLM(slm, mesh_reduction_factor=0.25, **kwargs):
+    """Relax a coarse surrogate system and map the result onto the fine
+    meshes (reference coarse_mesh_SLM + apply_coarse_relaxation_results:
+    optimizer.py:1192-1256). Used as the cheap 'affine' stage: with
+    reduction 0 each mesh moves by one affine.
+
+    Operates from the meshes' current MOVING placement; writes MOVING.
+    """
+    from feabas_tpu.mesh import transform_mesh
+    coarse = []
+    for m in slm.meshes:
+        cm = m.coarse_mesh(mesh_reduction_factor, gear=const.MESH_GEAR_MOVING)
+        cm.locked = m.locked
+        coarse.append(cm)
+    cslm = SLM(coarse)
+    for l in slm.active_links():
+        cslm.add_link_from_coordinates(
+            l.uids[0], l.uids[1],
+            l.xy0(gear=const.MESH_GEAR_MOVING), l.xy1(gear=const.MESH_GEAR_MOVING),
+            weight=l.weight(),
+            gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+    cslm.optimize_elastic(
+        stiffness_lambda=kwargs.get('stiffness_lambda', -0.35),
+        crosslink_lambda=-1.0,
+        tol=kwargs.get('tol', 1e-6),
+        maxiter=kwargs.get('maxiter', None),
+        residue_mode=kwargs.get('residue_mode', None),
+        residue_len=kwargs.get('residue_len', 0))
+    for m, cm in zip(slm.meshes, coarse):
+        if m.locked:
+            continue
+        # resample the fine mesh's current MOVING positions through the
+        # coarse deformation (coarse INITIAL frame == fine MOVING frame)
+        probe = m.copy()
+        probe.set_vertices(m.vertices(const.MESH_GEAR_MOVING),
+                           const.MESH_GEAR_FIXED,
+                           offset=m.offset(const.MESH_GEAR_MOVING))
+        out = transform_mesh(probe, cm,
+                             gear=(const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING))
+        mv = out.vertices_w_offset(const.MESH_GEAR_MOVING)
+        center = mv.mean(axis=0, keepdims=True)
+        m.set_vertices(mv - center, const.MESH_GEAR_MOVING, offset=center)
+    r = slm.match_residues(gear=const.MESH_GEAR_MOVING)
+    return float(r.max()) if r.size else 0.0

@@ -69,6 +69,17 @@ def meshing_main(args, conf, logger):
                     loader.bboxes[:, 2].max(), loader.bboxes[:, 3].max())
             mesh = Mesh.from_bbox(bbox, cartesian=False, mesh_size=mesh_size,
                                   resolution=res, name=name)
+        # carry the rough placement from the thumbnail transform so fine
+        # matching starts pre-aligned (reference: align_main.py:51-60)
+        thumb_tform = join_paths(work_dir, 'thumbnail_align', 'tform',
+                                 name + '.h5')
+        if storage.file_exists(thumb_tform):
+            from feabas_tpu.mesh import transform_mesh
+            from feabas_tpu.optimizer import relax_mesh_most_deformed
+            carrier = Mesh.from_h5(thumb_tform)
+            carrier.change_resolution(res)
+            mesh = transform_mesh(mesh, carrier)
+            relax_mesh_most_deformed(mesh)
         mesh.save_to_h5(out)
         logger.info(f'{name}: mesh {mesh.num_vertices}v/{mesh.num_triangles}t')
 
