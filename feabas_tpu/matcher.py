@@ -156,10 +156,8 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     if use_device:
         import jax.numpy as jnp
         from feabas_tpu.ops import warp as warp_ops
-        src0 = jnp.asarray(np.asarray(loader0.preprocess(loader0._img),
-                                      np.float32))
-        src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img),
-                                      np.float32))
+        src0 = jnp.asarray(np.asarray(loader0.preprocess(loader0._img)))
+        src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img)))
     for i_s, spacing in enumerate(spacings):
         block_size = max(int(round(spacing * shrink_factor)), 16)
         if use_device:
@@ -283,9 +281,11 @@ def stitching_matcher(img0, img1, **kwargs):
     img1 = np.asarray(img1)
 
     def _scaled(img, scale):
+        # keep the native (usually uint8) dtype: device kernels cast after
+        # the transfer, quartering tunnel bytes
         if scale == 1.0:
-            return np.asarray(img, np.float32)
-        return cv2.resize(img.astype(np.float32), None, fx=scale, fy=scale,
+            return np.asarray(img)
+        return cv2.resize(np.asarray(img), None, fx=scale, fy=scale,
                           interpolation=cv2.INTER_AREA)
 
     c0 = _scaled(img0, coarse_downsample)

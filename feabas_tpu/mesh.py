@@ -523,14 +523,14 @@ class Mesh:
         vw = self.vertices_w_offset(gear)
         T = self.triangles
         tid = np.full(pts.shape[0], -1, dtype=np.int64)
-        for i, p in enumerate(pts):
-            cand = index.query_point(p)
-            if cand.size == 0:
-                continue
-            bary = _barycentric(p[None], vw, T[cand])[0]   # (M,3)
-            ok = np.nonzero((bary >= inside_tol).all(axis=-1))[0]
-            if ok.size:
-                tid[i] = cand[ok[0]]
+        pt_idx, cand = index.query_points_batch(pts)
+        if pt_idx.size:
+            bary = _barycentric_pointwise(pts[pt_idx], vw, T[cand])
+            inside = (bary >= inside_tol).all(axis=-1)
+            hits = np.nonzero(inside)[0]
+            # first hit per point (pairs are contiguous per point)
+            u, first = np.unique(pt_idx[hits], return_index=True)
+            tid[u] = cand[hits[first]]
         if extrapolate and (tid < 0).any():
             from scipy.spatial import cKDTree
             centers = self.triangle_centers(gear)

@@ -77,7 +77,9 @@ def masked_dog_filter(img, sigma, mask=None, signed=True):
     complement and subtracted from the response magnitude so texture
     outside the mask cannot fake correlation peaks.
     """
-    img = jnp.asarray(img, dtype=jnp.float32)
+    img = jnp.asarray(img)
+    if img.dtype != jnp.float32:
+        img = img.astype(jnp.float32)  # cast on device, transfer narrow
     has_mask = mask is not None
     m = jnp.asarray(mask) if has_mask else jnp.ones(img.shape[-2:], jnp.float32)
     return _masked_dog(img, m, float(sigma), bool(signed), has_mask)

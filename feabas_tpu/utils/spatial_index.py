@@ -7,6 +7,17 @@ numpy; build O(N), query O(candidates)."""
 import numpy as np
 
 
+def _groupby_sorted(sorted_keys, order):
+    """Yield (key, original_indices) for runs in a sorted key array."""
+    if sorted_keys.size == 0:
+        return
+    bounds = np.nonzero(np.diff(sorted_keys))[0] + 1
+    starts = np.concatenate([[0], bounds])
+    stops = np.concatenate([bounds, [sorted_keys.size]])
+    for s0, s1 in zip(starts, stops):
+        yield sorted_keys[s0], order[s0:s1]
+
+
 class GridIndex:
     def __init__(self, bboxes, cell_size=None):
         """bboxes: (N,4) [xmin,ymin,xmax,ymax]."""
@@ -66,6 +77,39 @@ class GridIndex:
 
     def query_point(self, xy):
         return self.query((xy[0], xy[1], xy[0], xy[1]))
+
+    def query_points_batch(self, pts):
+        """Candidate pairs for many points at once.
+
+        Returns (pt_idx, box_idx) int arrays: for each point, the boxes of
+        its grid cell whose extent contains the point. Grouped by cell so
+        cost scales with unique cells, not points."""
+        pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
+        if self._n == 0 or pts.shape[0] == 0:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        nx, ny = self._shape
+        ci = np.clip(np.floor((pts[:, 0] - self._origin[0]) / self._cell),
+                     0, nx - 1).astype(np.int64)
+        cj = np.clip(np.floor((pts[:, 1] - self._origin[1]) / self._cell),
+                     0, ny - 1).astype(np.int64)
+        cell_ids = ci * ny + cj
+        order = np.argsort(cell_ids, kind='stable')
+        pt_out, box_out = [], []
+        for cell, grp in _groupby_sorted(cell_ids[order], order):
+            cand = self._cells.get(int(cell))
+            if cand is None:
+                continue
+            pt_out.append(np.repeat(grp, cand.size))
+            box_out.append(np.tile(cand, grp.size))
+        if not pt_out:
+            return np.empty(0, np.int64), np.empty(0, np.int64)
+        pt_idx = np.concatenate(pt_out)
+        box_idx = np.concatenate(box_out)
+        b = self.bboxes[box_idx]
+        p = pts[pt_idx]
+        hit = ((b[:, 0] <= p[:, 0]) & (b[:, 2] >= p[:, 0]) &
+               (b[:, 1] <= p[:, 1]) & (b[:, 3] >= p[:, 1]))
+        return pt_idx[hit], box_idx[hit]
 
     def all_pairs(self):
         """All intersecting (i, j) pairs with i < j."""
