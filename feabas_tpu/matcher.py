@@ -150,14 +150,14 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     # kernel — the whole round (warp -> DoG -> xcorr) is then device-only
     use_device = (kwargs.get('device_render', True)
                   and isinstance(loader0, StreamLoader)
-                  and isinstance(loader1, StreamLoader)
-                  and np.allclose(loader0._offset, 0)
-                  and np.allclose(loader1._offset, 0))
+                  and isinstance(loader1, StreamLoader))
     if use_device:
         import jax.numpy as jnp
         from feabas_tpu.ops import warp as warp_ops
         src0 = jnp.asarray(np.asarray(loader0.preprocess(loader0._img)))
         src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img)))
+        src_off0 = np.asarray(loader0._offset, np.float64)
+        src_off1 = np.asarray(loader1._offset, np.float64)
     for i_s, spacing in enumerate(spacings):
         block_size = max(int(round(spacing * shrink_factor)), 16)
         if use_device:
@@ -175,10 +175,10 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
         if centers.shape[0] == 0:
             return None
         if use_device:
-            stack0, kept0 = warp_ops.mesh_blocks_device(mesh0, src0, centers,
-                                                        block_size)
-            stack1, kept1 = warp_ops.mesh_blocks_device(mesh1, src1, centers,
-                                                        block_size)
+            stack0, kept0 = warp_ops.mesh_blocks_device(
+                mesh0, src0, centers, block_size, src_offset=src_off0)
+            stack1, kept1 = warp_ops.mesh_blocks_device(
+                mesh1, src1, centers, block_size, src_offset=src_off1)
         else:
             render0 = MeshRenderer.from_mesh(mesh0, image_loader=loader0)
             render1 = MeshRenderer.from_mesh(mesh1, image_loader=loader1)

@@ -63,7 +63,7 @@ def affine_warp_blocks(img, origins, A, b, block_h, block_w, fillval=0.0):
 
 
 def mesh_blocks_device(mesh, image, centers, block_size, gear=None,
-                       fillval=0.0):
+                       fillval=0.0, src_offset=(0.0, 0.0)):
     """Render equal-size blocks centered at world points through a mesh's
     deformation, on device, using the local-affine approximation.
 
@@ -86,7 +86,9 @@ def mesh_blocks_device(mesh, image, centers, block_size, gear=None,
         return jnp.zeros((0, h, w), jnp.float32), kept
     A_all, b_all = mesh.triangle_affine_tform(gear0=gear[0], gear1=gear[1])
     A = A_all[tid[kept]]
-    b = b_all[tid[kept]]
+    # source coords index `image`, whose pixel (0,0) sits at world
+    # src_offset in the source gear frame
+    b = b_all[tid[kept]] - np.asarray(src_offset, np.float64)
     h = w = int(round(block_size))
     origins = np.round(centers[kept] - [w / 2, h / 2])
     # pad the batch to a power of two so compiled shapes are reused

@@ -137,6 +137,11 @@ def matching_main(args, conf, logger):
         if scale != 1.0:
             loader0 = _ScaledLoader(loader0, scale)
             loader1 = _ScaledLoader(loader1, scale)
+        # when a section fits in memory at working resolution, crop it once
+        # and hand the matcher in-memory sources so blocks render on device
+        max_px = float(mconf.get('max_device_pixels', 4e8))
+        loader0 = _maybe_stream(loader0, mesh0, max_px)
+        loader1 = _maybe_stream(loader1, mesh1, max_px)
         thumb_match = join_paths(thumb_match_dir, match_name(sec0, sec1))
         if storage.file_exists(thumb_match):
             from feabas_tpu.aligner import read_matches_from_h5
@@ -169,6 +174,21 @@ def matching_main(args, conf, logger):
         save_matches_to_h5(out, match, res)
         logger.info(f'{sec0} -> {sec1}: {len(match.weight)} matches '
                     f'in {time.time() - t0:.1f}s')
+
+
+def _maybe_stream(loader, mesh, max_px, margin=64):
+    """Crop a section's mesh extent into memory for device-side block
+    rendering, when it fits."""
+    from feabas_tpu.dal import StreamLoader
+    bb = mesh.bbox(gear='INITIAL')
+    w = bb[2] - bb[0] + 2 * margin
+    h = bb[3] - bb[1] + 2 * margin
+    if w * h > max_px:
+        return loader
+    x0 = int(np.floor(bb[0] - margin))
+    y0 = int(np.floor(bb[1] - margin))
+    img = loader.crop((x0, y0, x0 + int(np.ceil(w)), y0 + int(np.ceil(h))))
+    return StreamLoader(img, offset=(x0, y0))
 
 
 class _ScaledLoader:
