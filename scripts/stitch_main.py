@@ -39,12 +39,32 @@ def match_main(sections, conf, logger):
     out_dir = storage.join_paths(work_dir, 'stitch', 'match_h5')
     for name, coord in sections:
         out = storage.join_paths(out_dir, name + '.h5')
+        err_file = out + '_err'
         if storage.file_exists(out, use_cache=True):
             continue
         t0 = time.time()
         st = Stitcher.from_coordinate_file(coord, name=name)
-        n = st.dispatch_matchers(**conf.get('matching', {}))
+        if storage.file_exists(err_file):
+            # salvage partial matches from an interrupted/failed run
+            # (reference .h5_err resume: scripts/stitch_main.py:15-24)
+            try:
+                prev = Stitcher.from_h5(err_file, load_meshes=False)
+                st.matches.update(prev.matches)
+                st.photometrics.update(getattr(prev, 'photometrics', {}))
+                logger.info(f'{name}: resuming with {len(st.matches)} '
+                            'salvaged matches')
+            except Exception as e:
+                logger.warning(f'{name}: could not salvage {err_file}: {e}')
+        try:
+            n = st.dispatch_matchers(**conf.get('matching', {}))
+        except Exception:
+            if st.matches:
+                st.save_to_h5(err_file, save_meshes=False)
+                logger.warning(f'{name}: matching crashed; '
+                               f'{len(st.matches)} matches salvaged to _err')
+            raise
         st.save_to_h5(out, save_meshes=False)
+        storage.remove_file(err_file)
         logger.info(f'{name}: matched {n} overlaps in {time.time() - t0:.1f}s')
 
 
