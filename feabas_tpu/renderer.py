@@ -34,6 +34,12 @@ def rasterize_mesh(mesh, bbox, gear=const.MESH_GEAR_MOVING, tri_weights=None):
         return tid
     vw = mesh.vertices_w_offset(gear)
     T = mesh.triangles
+    from feabas_tpu import native
+    if native.available():
+        out = native.rasterize_triangles(vw, T, H, W, x0, y0,
+                                         weights=tri_weights)
+        if out is not None:
+            return out
     tb = mesh.triangle_bboxes(gear)
     sel = np.nonzero((tb[:, 0] < x1) & (tb[:, 2] > x0) &
                      (tb[:, 1] < y1) & (tb[:, 3] > y0))[0]
@@ -121,12 +127,19 @@ class MeshRenderer:
         tid = rasterize_mesh(self._mesh, bbox, gear=self._target_gear,
                              tri_weights=self._tri_render_weight)
         mask = tid >= 0
-        if kwargs.get('render_weight_threshold', None):
+        thresholded = bool(kwargs.get('render_weight_threshold', None))
+        if thresholded:
             mask &= np.where(tid >= 0, self._tri_render_weight[tid], 0) \
                 >= kwargs['render_weight_threshold']
         H, W = tid.shape
         x0 = int(np.floor(bbox[0]))
         y0 = int(np.floor(bbox[1]))
+        from feabas_tpu import native
+        if native.available():
+            tid_m = np.where(mask, tid, -1).astype(np.int32) if thresholded else tid
+            out = native.field_from_tids(tid_m, self._A, self._b, x0, y0)
+            if out is not None:
+                return out[0], out[1], mask
         gx, gy = np.meshgrid(np.arange(W) + x0, np.arange(H) + y0)
         t = np.where(mask, tid, 0)
         A = self._A[t]            # (H,W,2,2)
