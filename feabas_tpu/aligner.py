@@ -284,6 +284,41 @@ class Stack:
         return out
 
 
+def _stack_init_dict(stack):
+    """Picklable spec to rebuild a Stack in a worker (reference init_dict:
+    aligner.py:278)."""
+    return {'section_list': list(stack.section_list),
+            'mesh_dir': stack.mesh_dir, 'tform_dir': stack.tform_dir,
+            'match_dir': stack.match_dir, 'resolution': stack.resolution}
+
+
+def subprocess_optimize_stack(init_dict, slide_kwargs):
+    """Worker: rebuild a Stack and run its sliding window, committing tforms
+    to disk (reference: aligner.py:909). Returns committed section names."""
+    stack = Stack(**init_dict)
+
+    def commit(name, mesh):
+        mesh.save_to_h5(join_paths(stack.tform_dir, name + '.h5'))
+
+    return stack.optimize_slide_window(commit_fn=commit, **slide_kwargs)
+
+
+def split_disconnected_sections(stack):
+    """Partition sections into connected components of the match graph
+    (reference dispatches these independently: aligner.py:564)."""
+    import scipy.sparse as sparse
+    import scipy.sparse.csgraph as csgraph
+    n = stack.num_sections
+    rows = [stack.section_z(a) for a, b in stack.match_list]
+    cols = [stack.section_z(b) for a, b in stack.match_list]
+    g = sparse.coo_matrix((np.ones(len(rows)), (rows, cols)), shape=(n, n))
+    _, labels = csgraph.connected_components(g, directed=False)
+    out = []
+    for lbl in np.unique(labels):
+        out.append([stack.section_list[i] for i in np.nonzero(labels == lbl)[0]])
+    return out
+
+
 class Aligner:
     """State machine over mesh versions driving window / chunked alignment
     (reference: aligner.py:916)."""
@@ -312,18 +347,37 @@ class Aligner:
             return self._run_chunked(slide, chunk_settings, **kwargs)
         return self._run_window(slide, **kwargs)
 
-    def _run_window(self, slide, **kwargs):
+    def _run_window(self, slide, num_workers=1, **kwargs):
         sections = self.get_section_list()
         stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
                       tform_dir=self.tform_dir, match_dir=self.match_dir,
                       resolution=self.resolution)
-
-        def commit(name, mesh):
-            out = join_paths(self.tform_dir, name + '.h5')
-            mesh.save_to_h5(out)
+        components = split_disconnected_sections(stack)
+        committed = []
+        if len(components) > 1 and num_workers > 1:
+            # link-disconnected components are independent: fan them out
+            from feabas_tpu.concurrent import submit_to_workers
+            args = []
+            for comp in components:
+                sub = Stack(section_list=comp, mesh_dir=self.mesh_dir,
+                            tform_dir=self.tform_dir, match_dir=self.match_dir,
+                            resolution=self.resolution)
+                args.append((_stack_init_dict(sub), dict(slide)))
+            for result in submit_to_workers(subprocess_optimize_stack, args,
+                                            num_workers=num_workers):
+                committed += result
             storage.clear_exists_cache()
+        else:
+            def commit(name, mesh):
+                out = join_paths(self.tform_dir, name + '.h5')
+                mesh.save_to_h5(out)
+                storage.clear_exists_cache()
 
-        committed = stack.optimize_slide_window(commit_fn=commit, **slide)
+            for comp in components:
+                sub = Stack(section_list=comp, mesh_dir=self.mesh_dir,
+                            tform_dir=self.tform_dir, match_dir=self.match_dir,
+                            resolution=self.resolution)
+                committed += sub.optimize_slide_window(commit_fn=commit, **slide)
         if self.logger:
             self.logger.info(f'aligned {len(committed)} section(s)')
         return committed

@@ -493,3 +493,65 @@ def get_tensorstore_spec(base_spec, mip=0):
                 'downsample_method': 'mean',
                 'base': base_spec}
     return spec
+
+
+class ResampledLoader(AbstractImageLoader):
+    """Serve crops at a different resolution by rescaling another loader's
+    output (used when a needed mip level has no materialized tiles)."""
+
+    def __init__(self, loader, scale, **kwargs):
+        """scale: source pixels per output pixel (2.0 = downsample 2x)."""
+        super().__init__(**kwargs)
+        self._loader = loader
+        self._scale = float(scale)
+        self._dtype = self._dtype or getattr(loader, 'dtype', None)
+        self._default_fillval = kwargs.get('fillval', loader.default_fillval)
+        self._number_of_channels = loader.number_of_channels
+        if getattr(loader, 'resolution', None):
+            self.resolution = loader.resolution * self._scale
+
+    def crop(self, bbox, return_empty=False, **kwargs):
+        src_bbox = [v * self._scale for v in bbox]
+        img = self._loader.crop(src_bbox, return_empty=return_empty, **kwargs)
+        if img is None:
+            return None
+        w = int(round(bbox[2] - bbox[0]))
+        h = int(round(bbox[3] - bbox[1]))
+        interp = cv2.INTER_AREA if self._scale > 1 else cv2.INTER_LINEAR
+        return cv2.resize(img, (w, h), interpolation=interp)
+
+    def to_dict(self):
+        d = self._loader.to_dict()
+        return {'loader_type': 'ResampledLoader', 'scale': self._scale,
+                'base': d}
+
+
+class MultiResolutionImageLoader:
+    """Pick the best materialized mip for a requested resolution, resampling
+    the nearest finer level when the exact one is missing
+    (reference: dal.py:1540)."""
+
+    def __init__(self, loaders_by_mip, base_resolution=None):
+        """loaders_by_mip: {mip_level: loader or metadata path}."""
+        self._loaders = dict(loaders_by_mip)
+        self._base_resolution = base_resolution
+
+    def _get(self, mip):
+        ld = self._loaders[mip]
+        if isinstance(ld, str):
+            ld = StaticImageLoader.from_coordinate_file(ld)
+            self._loaders[mip] = ld
+        return ld
+
+    @property
+    def available_mips(self):
+        return sorted(self._loaders.keys())
+
+    def get_loader(self, mip):
+        """Loader serving crops in mip-level pixel coordinates."""
+        mips = np.asarray(self.available_mips)
+        if mip in self._loaders:
+            return self._get(int(mip))
+        finer = mips[mips < mip]
+        src_mip = int(finer.max()) if finer.size else int(mips.min())
+        return ResampledLoader(self._get(src_mip), 2.0 ** (mip - src_mip))

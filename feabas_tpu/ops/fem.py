@@ -190,6 +190,46 @@ def stiffness_force(x, Ke, tris):
     return stiffness_matvec(x, Ke, tris)
 
 
+def build_incidence(tris, nv, max_degree=None):
+    """Vertex->element-corner incidence table (host, once per topology).
+
+    TPU scatter-adds serialize on duplicate indices; inverting the map
+    turns the FEM transpose-scatter into a dense gather: for vertex v,
+    ``inc[v, d]`` indexes the flattened (NT*3) per-corner contribution
+    array, ``mask[v, d]`` zeroes padding. Returns (inc int32 (NV, D),
+    mask float32 (NV, D))."""
+    tris = np.asarray(tris)
+    nt = tris.shape[0]
+    flat_v = tris.ravel()                    # corner k of element t -> vertex
+    order = np.argsort(flat_v, kind='stable')
+    sorted_v = flat_v[order]
+    counts = np.bincount(flat_v, minlength=nv)
+    D = int(max_degree or (counts.max() if counts.size else 1))
+    inc = np.zeros((nv, D), np.int32)
+    mask = np.zeros((nv, D), np.float32)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_group = np.arange(flat_v.size) - starts[sorted_v]
+    keep = pos_in_group < D
+    inc[sorted_v[keep], pos_in_group[keep]] = order[keep].astype(np.int32)
+    mask[sorted_v[keep], pos_in_group[keep]] = 1.0
+    return inc, mask
+
+
+def gather_scatter_uv(y_e, inc, mask):
+    """(NT,6) element contributions -> (NV,2) via incidence gather
+    (scatter-free transpose)."""
+    contrib = y_e.reshape(-1, 2)             # (NT*3, 2) per-corner vectors
+    g = contrib[inc]                         # (NV, D, 2)
+    return (g * mask[..., None]).sum(axis=1)
+
+
+def stiffness_matvec_gather(x, Ke, tris, inc, mask):
+    """K @ x using the incidence gather instead of scatter-add."""
+    uv = gather_uv(x, tris)
+    y = jnp.einsum('nij,nj->ni', Ke, uv)
+    return gather_scatter_uv(y, inc, mask)
+
+
 # ------------------------- crosslinks ------------------------- #
 # A link couples a barycentric point on mesh A to one on mesh B (global
 # vertex indexing): residual r_l = sum_i b1_i x[i1_i] - sum_i b0_i x[i0_i]

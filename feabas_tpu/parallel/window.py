@@ -74,10 +74,16 @@ def build_stack_system(meshes, links_per_pair, dtype=jnp.float32):
     }
 
 
-def _stack_matvec(x, Ke, tris, links, free, lam_s):
-    """A @ x for the stacked system; x: (S, V, 2)."""
+def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
+    """A @ x for the stacked system; x: (S, V, 2). With an incidence table
+    the FEM transpose uses gathers instead of scatter-adds (TPU scatters
+    serialize on duplicates)."""
     x = x * free
-    y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec(xi, Ki, tris))(x, Ke) * lam_s
+    if inc is not None:
+        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec_gather(
+            xi, Ki, tris, inc, imask))(x, Ke) * lam_s
+    else:
+        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec(xi, Ki, tris))(x, Ke) * lam_s
     idx0, bary0, idx1, bary1, weight = links
     # link k couples section k (side0) and k+1 (side1); slicing x across the
     # sharded z axis produces the halo exchange
@@ -101,7 +107,7 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s):
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
-                lam_s=1.0, tol=1e-7, maxiter=500):
+                lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None):
     """One window relaxation: returns updated positions (S, V, 2).
 
     Minimizes lam_s/2 u'Ku + 1/2 |W C p|^2 over free sections, CG under
@@ -116,7 +122,8 @@ def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
     u = pos - verts0
 
     def matvec(x):
-        return _stack_matvec(x, Ke, tris, links, free, lam_s)
+        return _stack_matvec(x, Ke, tris, links, free, lam_s, inc=inc,
+                             imask=imask)
 
     # rhs = -(lam_s K u + C^T W r(pos))
     idx0, bary0, idx1, bary1, weight = links

@@ -252,3 +252,18 @@ class Geometry:
             return {'vertices': np.zeros((0, 2)), 'segments': np.zeros((0, 2), int)}
         return {'vertices': np.concatenate(vertices, axis=0),
                 'segments': np.concatenate(segments, axis=0)}
+
+
+    @classmethod
+    def from_image_mosaic(cls, loader, material_table=None, scale=1.0,
+                          **kwargs):
+        """Build from a mask mosaic served by an image loader
+        (reference: feabas/spatial.py:588). ``scale`` maps loader pixels to
+        world units."""
+        b = loader.bboxes
+        bbox = (float(b[:, 0].min()), float(b[:, 1].min()),
+                float(b[:, 2].max()), float(b[:, 3].max()))
+        mask = loader.crop(bbox)
+        return cls(mask, material_table=material_table,
+                   offset=(bbox[0] * scale, bbox[1] * scale), scale=scale,
+                   **kwargs)

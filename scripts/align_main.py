@@ -222,7 +222,8 @@ def optimize_main(args, conf, logger):
                  join_paths(work_dir, 'align', 'matches'),
                  resolution=config.montage_resolution(), logger=logger)
     committed = al.run(chunk_settings=oconf.get('chunk_settings'),
-                       slide_window=oconf.get('slide_window'))
+                       slide_window=oconf.get('slide_window'),
+                       num_workers=oconf.get('num_workers', 1))
     logger.info(f'optimization: committed {len(committed)} section(s)')
     al.write_residue_file(join_paths(work_dir, 'align', 'residues.csv'))
 

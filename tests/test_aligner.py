@@ -123,3 +123,48 @@ def test_match_h5_roundtrip(workdir, tmp_path):
     back = read_matches_from_h5(p, target_resolution=4)
     assert np.allclose(back.xy0, m.xy0 * 2)
     assert np.allclose(back.weight, m.weight)
+
+
+def test_disconnected_components_align_independently(workdir, rng):
+    """Two link-disconnected groups of sections each align internally."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import (Aligner, Stack, save_matches_to_h5,
+                                    match_name, split_disconnected_sections)
+    from feabas_tpu.common import Match
+    mesh_dir = storage.join_paths(str(workdir), 'a2', 'mesh')
+    tform_dir = storage.join_paths(str(workdir), 'a2', 'tform')
+    match_dir = storage.join_paths(str(workdir), 'a2', 'matches')
+    names = [f'g{g}s{z}' for g in range(2) for z in range(3)]
+    xs, ys = np.meshgrid(np.linspace(10, 90, 4), np.linspace(10, 90, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    offs = {0: np.array([3.0, -2.0]), 1: np.array([-4.0, 5.0])}
+    for name in names:
+        m = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=50,
+                           name=name, resolution=4)
+        m.save_to_h5(storage.join_paths(mesh_dir, name + '.h5'))
+    for g in range(2):
+        for z in range(2):
+            a, b = f'g{g}s{z}', f'g{g}s{z+1}'
+            save_matches_to_h5(storage.join_paths(match_dir, match_name(a, b)),
+                               Match(pts, pts + offs[g], np.ones(len(pts)),
+                                     0.01), 4)
+    stack = Stack(section_list=names, mesh_dir=mesh_dir, tform_dir=tform_dir,
+                  match_dir=match_dir, resolution=4)
+    comps = split_disconnected_sections(stack)
+    assert len(comps) == 2
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    committed = al.run(slide_window={'window_size': 3, 'buffer_size': 1,
+                                     'start_loc': 'L', 'residue_len': 3},
+                       num_workers=2)
+    assert sorted(committed) == sorted(names)
+    for g in range(2):
+        base = None
+        for z in range(3):
+            m = Mesh.from_h5(storage.join_paths(tform_dir, f'g{g}s{z}.h5'))
+            d = (m.vertices_w_offset('MOVING')
+                 - m.vertices_w_offset('INITIAL')).mean(axis=0)
+            if base is None:
+                base = d
+            err = (d - base) - (-offs[g] * z)
+            assert np.abs(err).max() < 0.25, (g, z, err)

@@ -220,3 +220,19 @@ def test_stiffness_curve_interp():
     got = np.asarray(fem.stiffness_curve_multiplier(J, jnp.asarray(kx), jnp.asarray(ky)))
     want = f(np.asarray(J))
     assert np.allclose(got, want, atol=0.05)
+
+
+def test_gather_matvec_matches_scatter(rng):
+    from feabas_tpu.ops import fem
+    import jax.numpy as jnp
+    verts, tris = _grid_mesh(6, 5)
+    nv = len(verts)
+    B, area2 = fem.shape_matrices(jnp.asarray(verts[tris]))
+    Ke = fem.eng_element_stiffness(B, area2, jnp.ones(len(tris)),
+                                   jnp.full(len(tris), 0.2))
+    inc, mask = fem.build_incidence(tris, nv)
+    x = jnp.asarray(rng.normal(0, 1, (nv, 2)))
+    y_scatter = fem.stiffness_matvec(x, Ke, jnp.asarray(tris))
+    y_gather = fem.stiffness_matvec_gather(x, Ke, jnp.asarray(tris),
+                                           jnp.asarray(inc), jnp.asarray(mask))
+    assert np.allclose(np.asarray(y_scatter), np.asarray(y_gather), atol=1e-10)
