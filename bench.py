@@ -95,7 +95,9 @@ def main():
     t0 = time.perf_counter()
     for r in range(reps):
         out = match_step(jnp.asarray(img0_u8), jnp.asarray(img1_u8))
-    jax.block_until_ready(out)
+        # force execution + result fetch per rep (block_until_ready does not
+        # reliably block on tunneled backends)
+        _ = float(np.asarray(out[0]).sum())
     dt = (time.perf_counter() - t0) / reps
     tpu_rate = N / dt
 
