@@ -214,6 +214,24 @@ def remap(img, map_x, map_y, interpolation=cv2.INTER_LINEAR,
     return out.reshape(shp + img.shape[2:])
 
 
+_INTERP_NAMES = {
+    'NEAREST': cv2.INTER_NEAREST, 'LINEAR': cv2.INTER_LINEAR,
+    'CUBIC': cv2.INTER_CUBIC, 'LANCZOS': cv2.INTER_LANCZOS4,
+    'AREA': cv2.INTER_AREA,
+}
+
+
+def interp_from_name(name, default=cv2.INTER_LINEAR):
+    """Map config strings (LANCZOS | CUBIC | LINEAR | NEAREST) to cv2
+    interpolation flags (reference config surface:
+    default_alignment_configs.yaml remap_interp)."""
+    if name is None:
+        return default
+    if isinstance(name, int):
+        return name
+    return _INTERP_NAMES.get(str(name).upper(), default)
+
+
 def render_by_subregions(map_x, map_y, mask, img_loader, fileid=None, **kwargs):
     """Chunked inverse warp against an image loader so huge sources never
     fully load (reference behavior: common.py:256). The coordinate maps are

@@ -96,6 +96,28 @@ class MeshRenderer:
         uid2w = {m.uid: (m.render_weight if m.render else 0.0) for _, m in mt}
         self._tri_render_weight = np.asarray(
             [uid2w.get(int(u), 1.0) for u in mesh.material_ids], np.float32)
+        # collision arbitration when deformed triangles overlap (folds):
+        # INNERMOST favors triangles far from the mesh boundary,
+        # LEAST_DEFORM the least-distorted one (reference trifinder modes,
+        # feabas/constant.py:13, renderer.py:135-146)
+        mode = kwargs.get('mode', const.MESH_TRIFINDER_WHATEVER)
+        if isinstance(mode, str):
+            mode = const.TRIFINDER_MODE_LIST.index(mode.upper())
+        if mode == const.MESH_TRIFINDER_INNERMOST:
+            from scipy.spatial import cKDTree
+            seg = mesh.segments()
+            vinit = mesh.vertices_w_offset(const.MESH_GEAR_INITIAL)
+            bd_pts = vinit[np.unique(seg)] if seg.size else vinit[:1]
+            cent = vinit[mesh.triangles].mean(axis=1)
+            d, _ = cKDTree(bd_pts).query(cent, k=1)
+            scale = max(float(d.max()), 1e-6)
+            self._tri_render_weight = (self._tri_render_weight
+                                       * (0.5 + d / scale).astype(np.float32))
+        elif mode == const.MESH_TRIFINDER_LEAST_DEFORM:
+            deform = mesh.svds_to_deform(
+                gear0=const.MESH_GEAR_INITIAL, gear1=self._target_gear)
+            self._tri_render_weight = (self._tri_render_weight
+                                       / (1.0 + deform).astype(np.float32))
         self._render_mask = self._tri_render_weight > kwargs.get(
             'render_weight_threshold', 0)
         # per-triangle affine target->source, precomputed once

@@ -262,8 +262,10 @@ def render_main(args, conf, logger):
         mesh = Mesh.from_h5(t)
         loader = StaticImageLoader.from_coordinate_file(
             meta, **(rconf.get('loader_config') or {}))
+        from feabas_tpu.common import interp_from_name
         tiles = render_whole_mesh(
             mesh, loader, join_paths(out_dir, prefix_name),
+            interpolation=interp_from_name(rconf.get('remap_interp')),
             tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
             pattern=rconf.get('pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
             one_based=rconf.get('one_based', True),
