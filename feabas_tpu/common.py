@@ -447,3 +447,20 @@ def hash_numpy_arrays(*arrays):
             h.update(str(a.shape).encode())
             h.update(a.tobytes())
     return h.hexdigest()
+
+
+def saliency_mask(img, block_size=16, min_std=None):
+    """Mask of textured ('salient') regions: local standard deviation above
+    a threshold (reference heuristic: feabas/common.py:148). Used to avoid
+    matching featureless resin/background."""
+    from scipy.ndimage import uniform_filter
+    x = np.asarray(img, np.float32)
+    if x.ndim == 3:
+        x = x.mean(axis=-1)
+    mu = uniform_filter(x, block_size, mode='nearest')
+    var = uniform_filter(x * x, block_size, mode='nearest') - mu * mu
+    std = np.sqrt(np.clip(var, 0, None))
+    if min_std is None:
+        ref = np.quantile(std, 0.75)
+        min_std = max(0.2 * ref, 1e-3)
+    return std > min_std

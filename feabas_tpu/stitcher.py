@@ -687,3 +687,30 @@ class MontageRenderer:
             for fname, bbox in rendered:
                 f.write(f'{fname}\t{bbox[0]}\t{bbox[1]}\t{bbox[2]}\t{bbox[3]}\n')
         return rendered
+
+
+    def render_series_to_tensorstore(self, out_dir, **kwargs):
+        """Render the stitched section into a chunked tensorstore volume
+        (z-depth 1), e.g. neuroglancer_precomputed
+        (reference driver options: stitcher.py:753-817)."""
+        from feabas_tpu.dal import TensorStoreWriter
+        from feabas_tpu import config as _config
+        bounds = self.bounds
+        canvas = kwargs.pop('canvas_bbox', None) or [
+            int(np.floor(bounds[0])), int(np.floor(bounds[1])),
+            int(np.ceil(bounds[2])), int(np.ceil(bounds[3]))]
+        writer = TensorStoreWriter.create(
+            out_dir, canvas, 1,
+            driver=kwargs.pop('driver', 'neuroglancer_precomputed'),
+            chunk_shape=list(kwargs.pop('read_chunk_size', (256, 256))) + [1],
+            resolution=self.loader.resolution or _config.montage_resolution(),
+            thickness=_config.section_thickness(),
+            jpeg_compression=kwargs.pop('jpeg_compression', False))
+        n = 0
+        for bbox in writer.plan_chunks():
+            blk = self.crop(bbox, return_empty=True, **kwargs)
+            if blk is None:
+                continue
+            writer.write_single_chunk(bbox, 0, blk)
+            n += 1
+        return n

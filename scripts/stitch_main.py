@@ -120,22 +120,30 @@ def render_main(sections, conf, logger):
     rconf = conf.get('rendering', {})
     out_root = rconf.get('out_dir') or storage.join_paths(work_dir, 'stitched_sections')
     out_root = storage.join_paths(out_root, 'mip0')
+    driver = rconf.get('driver', 'image')
     for name, _ in sections:
         src = storage.join_paths(tform_dir, name + '.h5')
         out_dir = storage.join_paths(out_root, name)
-        done_flag = storage.join_paths(out_dir, 'metadata.txt')
+        done_flag = storage.join_paths(
+            out_dir, 'metadata.txt' if driver == 'image' else 'info')
         if storage.file_exists(done_flag, use_cache=True) or not storage.file_exists(src):
             continue
         t0 = time.time()
         mr = MontageRenderer.from_h5(
             src, loader_config=rconf.get('loader_settings') or {},
             **(rconf.get('render_settings') or {}))
-        tiles = mr.render_series_to_file(
-            out_dir, tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
-            pattern=(rconf.get('filename_settings') or {}).get(
-                'pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
-            one_based=(rconf.get('filename_settings') or {}).get('one_based', True))
-        logger.info(f'{name}: rendered {len(tiles)} tiles in {time.time() - t0:.1f}s')
+        if driver == 'image':
+            tiles = mr.render_series_to_file(
+                out_dir, tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
+                pattern=(rconf.get('filename_settings') or {}).get(
+                    'pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
+                one_based=(rconf.get('filename_settings') or {}).get('one_based', True))
+            n_out = len(tiles)
+        else:
+            n_out = mr.render_series_to_tensorstore(
+                out_dir, driver=driver,
+                read_chunk_size=tuple(rconf.get('read_chunk_size', (256, 256))))
+        logger.info(f'{name}: rendered {n_out} tiles in {time.time() - t0:.1f}s')
 
 
 def parse_args(argv=None):

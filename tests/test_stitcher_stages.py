@@ -152,3 +152,37 @@ def test_pyramid_blend_seamless(rng, workdir, tmp_path):
     cc = np.corrcoef(out[10:110, 60:100].ravel(),
                      world[10:110, 60:100].astype(float).ravel())[0, 1]
     assert cc > 0.98
+
+
+def test_saliency_mask(rng, workdir):
+    from feabas_tpu.common import saliency_mask
+    img = np.full((100, 100), 128, np.uint8)
+    img[:, 50:] = texture(rng, 100, 50, blur=1)[:, :50]
+    m = saliency_mask(img, block_size=8)
+    assert m[:, 60:].mean() > 0.8   # textured half salient
+    assert m[:, :40].mean() < 0.1   # flat half not
+
+
+def test_stitch_render_to_tensorstore(rng, workdir, tmp_path):
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    world = texture(rng, 120, 200)
+    p0, p1 = str(tmp_path / 'x.png'), str(tmp_path / 'y.png')
+    imwrite(p0, world[:, :120])
+    imwrite(p1, world[:, 80:])
+    st = Stitcher([p0, p1], [(0, 0, 120, 120), (80, 0, 200, 120)])
+    st.initialize_meshes(mesh_sizes=[60])
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+    mr = MontageRenderer.from_stitcher(st)
+    out = str(tmp_path / 'ts_sec')
+    n = mr.render_series_to_tensorstore(out, driver='neuroglancer_precomputed',
+                                        read_chunk_size=(64, 64))
+    assert n > 0
+    import tensorstore as ts
+    d = ts.open({'driver': 'neuroglancer_precomputed',
+                 'kvstore': {'driver': 'file', 'path': out}}).result()
+    blk = np.swapaxes(np.asarray(d[20:100, 20:100, 0, 0].read().result()), 0, 1)
+    cc = np.corrcoef(blk.astype(float).ravel(),
+                     world[20:100, 20:100].astype(float).ravel())[0, 1]
+    assert cc > 0.98, cc
