@@ -464,11 +464,29 @@ class SLM:
         la = [l.global_arrays(uid2off[l.uids[0]], uid2off[l.uids[1]])
               for l in self.active_links()]
         if la:
-            idx0 = jnp.asarray(np.concatenate([a[0] for a in la]))
-            bary0 = jnp.asarray(np.concatenate([a[1] for a in la]))
-            idx1 = jnp.asarray(np.concatenate([a[2] for a in la]))
-            bary1 = jnp.asarray(np.concatenate([a[3] for a in la]))
-            weight = jnp.asarray(np.concatenate([a[4] for a in la]))
+            idx0 = np.concatenate([a[0] for a in la])
+            bary0 = np.concatenate([a[1] for a in la])
+            idx1 = np.concatenate([a[2] for a in la])
+            bary1 = np.concatenate([a[3] for a in la])
+            weight = np.concatenate([a[4] for a in la])
+            # pad the link count to a bucket (zero-weight rows are inert) so
+            # the jitted CG program is reused across overlaps/rounds;
+            # {8,12,16,24,...} buckets cap padding waste at 50%
+            n = weight.shape[0]
+            p2 = max(8, 1 << int(n - 1).bit_length())
+            nb = p2 if n > 3 * p2 // 4 else 3 * p2 // 4
+            if nb > n:
+                pad = nb - n
+                idx0 = np.concatenate([idx0, np.zeros((pad, 3), idx0.dtype)])
+                bary0 = np.concatenate([bary0, np.zeros((pad, 3), bary0.dtype)])
+                idx1 = np.concatenate([idx1, np.zeros((pad, 3), idx1.dtype)])
+                bary1 = np.concatenate([bary1, np.zeros((pad, 3), bary1.dtype)])
+                weight = np.concatenate([weight, np.zeros(pad, weight.dtype)])
+            idx0 = jnp.asarray(idx0)
+            bary0 = jnp.asarray(bary0)
+            idx1 = jnp.asarray(idx1)
+            bary1 = jnp.asarray(bary1)
+            weight = jnp.asarray(weight)
         else:
             idx0 = jnp.zeros((0, 3), jnp.int32)
             bary0 = jnp.zeros((0, 3))
