@@ -632,6 +632,10 @@ class SLM:
         kwargs.setdefault('start_gear', target_gear)
         residue_mode = kwargs.pop('residue_mode', None)
         residue_len = kwargs.pop('residue_len', 0)
+        # per-step annealing rebases the resting state onto the current
+        # solution so nonlinear materials re-linearize around it
+        # (reference per-Newton-step anneal: optimizer.py:1514)
+        anneal_mode = kwargs.pop('anneal_mode', None)
         # ensure target gear initialized
         for m in self.meshes:
             if not m.vertices_initialized(target_gear):
@@ -648,6 +652,11 @@ class SLM:
                     l.adjust_weight_from_residue(gear=target_gear,
                                                  residue_len=residue_len,
                                                  residue_mode=residue_mode)
+            if anneal_mode is not None:
+                for m in self.meshes:
+                    if not m.locked:
+                        m.anneal(gear=(target_gear, const.MESH_GEAR_FIXED),
+                                 mode=anneal_mode)
             if c0 <= 0 or abs(c0 - c1) <= 1e-4 * max(c0, 1e-12):
                 break
         return cost0 or 0.0, cost1 or 0.0

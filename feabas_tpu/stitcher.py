@@ -264,6 +264,13 @@ class Stitcher:
                                        mesh_size=mesh_size,
                                        resolution=self.resolution,
                                        uid=i, name=f'tile{i}')
+            if soft_top < 1.0 and soft_top_width > 0:
+                # the first rows of each tile are charge-unstable: soften
+                # their stiffness so they absorb distortion
+                # (reference: stitcher.py:700-712)
+                cy = m.vertices(const.MESH_GEAR_INITIAL)[m.triangles].mean(1)[:, 1]
+                t = np.clip(cy / max(ht * soft_top_width, 1e-6), 0, 1)
+                m._stiffness_multiplier = soft_top + (1 - soft_top) * t
             m.set_translation((bbox[0], bbox[1]),
                               gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_FIXED))
             self.meshes.append(m)
@@ -486,7 +493,12 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
             crop_j, _ = intersect_bbox(ovl_m, bbox_j)
             img_i = loader.crop(crop_i, fileid=i)
             img_j = loader.crop(crop_j, fileid=j)
-            match = stitching_matcher(img_i, img_j, **matcher_config)
+            mc = dict(matcher_config)
+            maskout = mc.pop('maskout_val', None)
+            if maskout is not None:
+                mc['mask0'] = img_i != maskout
+                mc['mask1'] = img_j != maskout
+            match = stitching_matcher(img_i, img_j, **mc)
             photometric = None
             if matcher_config.get('compute_photometric', False):
                 ov_i, _ = intersect_bbox(ovl, crop_i)

@@ -147,3 +147,50 @@ def test_link_from_coordinates_residues(workdir):
     m1.set_translation((3, 4))
     r = link.residues(gear='MOVING')
     assert np.allclose(r, 5.0, atol=1e-9)
+
+
+def test_newton_raphson_nonlinear_material(workdir):
+    """SVK-material meshes solve through the Newton loop and converge."""
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.material import MaterialTable, Material
+    from feabas_tpu import constant as const
+    import feabas_tpu.triangulation as T
+    mt = MaterialTable()
+    mt.add('svk', Material(type=const.MATERIAL_MODEL_SVK, mask_label=10,
+                           poisson_ratio=0.2))
+    svk_uid = mt['svk'].uid
+
+    def make(bbox, uid, locked):
+        v, t = T.cartesian_mesh(bbox, 25)
+        return Mesh(v, t, material_ids=np.full(len(t), svk_uid, np.int16),
+                    material_table=mt, uid=uid, locked=locked)
+
+    slm = SLM([make((0, 0, 100, 100), 0, True),
+               make((80, 0, 180, 100), 1, False)])
+    assert not slm.is_linear
+    pts = _grid_pts((82, 5, 98, 95), n=5)
+    disp = np.stack([1.5 * np.sin(pts[:, 1] / 25.0),
+                     np.full(len(pts), 2.0)], -1)
+    slm.add_link_from_coordinates(0, 1, pts, pts - disp)
+    r0 = slm.match_residues(gear='MOVING').max()
+    c0, c1 = slm.optimize_elastic(stiffness_lambda=-0.05, crosslink_lambda=-1,
+                                  tol=1e-9, max_newtonstep=4)
+    r1 = slm.match_residues(gear='MOVING').max()
+    assert r0 > 1.5 and r1 < 0.4 * r0, (r0, r1)
+    assert slm.mesh_by_uid(1).flipped_triangles('MOVING').size == 0
+
+
+def test_soft_top_mesh_multiplier(workdir, rng):
+    from feabas_tpu.stitcher import Stitcher
+    st = Stitcher(['a.png', 'b.png'], [(0, 0, 100, 200), (90, 0, 190, 200)])
+    from feabas_tpu.common import Match
+    st.matches[(0, 1)] = Match(np.array([[95.0, 50.0]]), np.array([[5.0, 50.0]]),
+                               np.ones(1), 0.01)
+    st.initialize_meshes(mesh_sizes=[50], soft_top=0.2, soft_top_width=0.3)
+    m = st.meshes[0]
+    mult = m._stiffness_multiplier
+    assert mult is not None
+    cy = m.vertices('INITIAL')[m.triangles].mean(1)[:, 1]
+    assert mult[np.argmin(cy)] < 0.5       # top rows soft
+    assert mult[np.argmax(cy)] > 0.9       # bottom full stiffness
