@@ -14,6 +14,8 @@ lambda auto-balancing convention (negative lambda -> trace-ratio balance,
 reference ``optimizer.py:1571``) are preserved so configs transfer.
 """
 
+import functools
+
 import numpy as np
 
 import jax
@@ -28,6 +30,50 @@ from feabas_tpu.ops import fem
 def _solver_dtype():
     """f64 when x64 is enabled (CPU validation), else f32 (TPU prod)."""
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+
+
+@functools.partial(jax.jit, static_argnames=('maxiter',))
+def _linear_solve_single_group(tris, tripts, multiplier, poisson,
+                               idx0, bary0, idx1, bary1, weight,
+                               pos_start, pos_shape, free,
+                               lam_ratio, tol, atol, maxiter):
+    """Fused elastic solve for the dominant case: one linear-ENG element
+    group. Assembles element blocks, trace-balances the stiffness lambda,
+    builds rhs/diag, and runs Jacobi-PCG — all in one XLA program so a
+    solve costs one dispatch instead of ~15 (material for tunneled hosts).
+    Returns dx (NV, 2)."""
+    nv = pos_start.shape[0]
+    B, area2 = fem.shape_matrices(tripts)
+    Ke = fem.eng_element_stiffness(B, area2, multiplier, poisson)
+    u_cur = pos_start - pos_shape
+    # trace-ratio balance (reference optimizer.py:1571)
+    dC = fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
+                            dtype=pos_start.dtype)
+    dK = fem.stiffness_diag(Ke, tris, nv)
+    tr_c = jnp.sum(dC)
+    tr_k = jnp.sum(jnp.where(dC != 0, dK, 0.0))
+    ok = (tr_c > 0) & (tr_k > 0)
+    lam_s = jnp.where(ok, lam_ratio * tr_c / jnp.where(tr_k > 0, tr_k, 1.0), 1.0)
+    lam_c = jnp.where(ok, 1.0, 1.0)
+
+    def matvec(x):
+        x = x * free
+        y = fem.stiffness_matvec(x, Ke, tris) * lam_s
+        y = y + fem.crosslink_matvec(x, idx0, bary0, idx1, bary1, weight) * lam_c
+        return y * free
+
+    b = -fem.stiffness_matvec(u_cur, Ke, tris) * lam_s
+    r0 = (fem.link_eval(pos_start, idx1, bary1)
+          - fem.link_eval(pos_start, idx0, bary0))
+    rw = r0 * (weight ** 2)[:, None]
+    b = b.at[idx1].add(-bary1[:, :, None] * rw[:, None, :] * lam_c)
+    b = b.at[idx0].add(bary0[:, :, None] * rw[:, None, :] * lam_c)
+    b = b * free
+    diag = dK * lam_s + dC * lam_c
+    diag = jnp.where(free > 0, diag, 1.0)
+    dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
+                                 maxiter=maxiter)
+    return dx * free
 
 
 class Link:
@@ -577,6 +623,31 @@ class SLM:
         sys_d = self._build_system(shape_gear=shape_gear)
         pos_start = self._gather_positions(start_gear)
         pos_shape = self._gather_positions(shape_gear)
+        # fast path: one linear-ENG group + auto-balanced lambdas -> one
+        # fused jitted dispatch (dominant case: matching, window alignment)
+        groups = sys_d['groups']
+        if (len(groups) == 1 and groups[0]['model'] == const.MATERIAL_MODEL_ENG
+                and groups[0]['knots'] is None and lam_s < 0 and lam_c < 0
+                and sys_d['links'][4].shape[0] > 0):
+            g = groups[0]
+            idx0, bary0, idx1, bary1, weight = sys_d['links']
+            dt = _solver_dtype()
+            p_start = jnp.asarray(pos_start, dt)
+            dx = _linear_solve_single_group(
+                g['tris'], jnp.asarray(g['tripts'], dt), g['multiplier'],
+                g['poisson'], idx0, bary0, idx1, bary1, weight,
+                p_start, jnp.asarray(pos_shape, dt),
+                sys_d['free'].astype(dt),
+                abs(lam_s / lam_c), tol, atol, int(maxiter))
+            r0n = fem.link_eval(p_start, idx1, bary1) \
+                - fem.link_eval(p_start, idx0, bary0)
+            cost0 = float(jnp.linalg.norm(r0n * weight[:, None]))
+            self._scatter_positions(pos_start + np.asarray(dx), target_gear)
+            r1 = self.match_residues(gear=target_gear)
+            w_all = np.concatenate([l.weight() for l in self.active_links()]) \
+                if self.active_links() else np.zeros(0)
+            cost1 = float(np.linalg.norm(r1 * w_all)) if r1.size else 0.0
+            return cost0, cost1
         u_cur = jnp.asarray(pos_start - pos_shape)
         terms = self._element_terms(sys_d['groups'], u_cur)
         lam_s, lam_c = self._balance_lambdas(sys_d, terms, lam_s, lam_c)
