@@ -110,3 +110,43 @@ def test_align_pipeline_end_to_end(align_workdir):
         ok = (a > 0) & (b > 0)
         cc = np.corrcoef(a[ok], b[ok])[0, 1]
         assert cc > 0.85, (z, cc)
+
+
+def test_align_tsr_tsd_modes(align_workdir):
+    """Volume export (tsr) + 3D downsample (tsd) through the CLI driver."""
+    workdir, names, sections, drift = align_workdir
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu import storage, config
+    # prerequisite stages
+    for mode in ('meshing', 'matching', 'optimization'):
+        align_main.main(['--mode', mode])
+    storage.save_yaml(
+        storage.join_paths(str(workdir), 'configs', 'alignment_configs.yaml'),
+        {**storage.load_yaml(storage.join_paths(
+            str(workdir), 'configs', 'alignment_configs.yaml')),
+         'tensorstore_rendering': {'chunk_shape': [128, 128, 2],
+                                   'driver': 'neuroglancer_precomputed'},
+         'tensorstore_downsample': {'mip_levels': [1], 'downsample_z': 1}})
+    config.clear_config_caches()
+    align_main.main(['--mode', 'tsr'])
+    out = storage.join_paths(str(workdir), 'aligned_tensorstore')
+    import tensorstore as ts
+    import numpy as np
+    d = ts.open({'driver': 'neuroglancer_precomputed',
+                 'kvstore': {'driver': 'file', 'path': out}}).result()
+    assert d.shape[2] >= 3
+    # aligned content overlays across z in the volume
+    a = np.asarray(d[80:240, 80:240, 0, 0].read().result()).astype(float)
+    b = np.asarray(d[80:240, 80:240, 2, 0].read().result()).astype(float)
+    ok = (a > 0) & (b > 0)
+    cc = np.corrcoef(a[ok].ravel(), b[ok].ravel())[0, 1]
+    assert cc > 0.8, cc
+    align_main.main(['--mode', 'tsd'])
+    # a second scale exists now
+    import json
+    with open(os.path.join(out, 'info')) as f:
+        info = json.load(f)
+    assert len(info['scales']) >= 2
