@@ -35,18 +35,26 @@ def global_translation_matcher(img0, img1, **kwargs):
     dx, dy, conf = float(dx), float(dy), float(conf)
     if conf >= conf_thresh:
         return dx, dy, conf
-    # low confidence: divide the larger image into strips/blocks and vote
+    # low confidence: divide the larger image into blocks (the reference
+    # divides the bigger tile by aspect ratio, matcher.py:138-223) and
+    # let the highest-confidence block vote the translation
     shp0, shp1 = img0.shape[-2:], img1.shape[-2:]
+    swap = shp1[0] * shp1[1] > shp0[0] * shp0[1] * 1.5
+    if swap:
+        img0, img1 = img1, img0
+        shp0, shp1 = shp1, shp0
+    # (dx, dy, conf) below are the full-image seed, computed BEFORE any
+    # swap — return them unmodified on every fall-through path
     if min(shp0[0], shp0[1]) // divide_factor < 32:
         return dx, dy, conf
     bx = max(shp0[1] // divide_factor, 32)
     by = max(shp0[0] // divide_factor, 32)
     x0s, y0s, x1s, y1s = common.divide_bbox((0, 0, shp0[1], shp0[0]),
                                             block_size=(by, bx))
-    blocks0, blocks1, centers = [], [], []
+    blocks0, origins = [], []
     for xa, ya, xb, yb in zip(x0s, y0s, x1s, y1s):
         blocks0.append(img0[ya:yb, xa:xb])
-        centers.append(((xa + xb) / 2, (ya + yb) / 2))
+        origins.append((xa, ya))
     hmin = min(b.shape[0] for b in blocks0)
     wmin = min(b.shape[1] for b in blocks0)
     stack0 = np.stack([b[:hmin, :wmin] for b in blocks0])
@@ -55,13 +63,19 @@ def global_translation_matcher(img0, img1, **kwargs):
     best = int(np.argmax(confs))
     if confs[best] <= conf:
         return dx, dy, conf
-    cx, cy = centers[best]
-    # block center offset relative to img0 center shifts the measurement
-    dx_b = float(dxs[best]) + (cx + wmin / 2 - (xa := 0) - shp0[1] / 2) * 0
-    # displacement semantics: center of img1 + d = center of block0; convert
-    # to center of img0 frame
-    dx_adj = float(dxs[best]) + (cx - shp0[1] / 2)
-    dy_adj = float(dys[best]) + (cy - shp0[0] / 2)
+    # xcorr convention: d = world position of block0's content center minus
+    # img1's. The block's content center sits (cx, cy) from img0's origin,
+    # i.e. (cx - W0/2, cy - H0/2) from img0's center — measured from the
+    # TRIMMED block (blocks are cropped to hmin x wmin). Shifting the
+    # reference point from the block center to img0's center subtracts that
+    # offset from the measured displacement.
+    xa, ya = origins[best]
+    cx = xa + wmin / 2
+    cy = ya + hmin / 2
+    dx_adj = float(dxs[best]) + (shp0[1] / 2 - cx)
+    dy_adj = float(dys[best]) + (shp0[0] / 2 - cy)
+    if swap:
+        return -dx_adj, -dy_adj, float(confs[best])
     return dx_adj, dy_adj, float(confs[best])
 
 

@@ -33,20 +33,21 @@ def _solver_dtype():
 
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
-def _linear_solve_single_group(tris, tripts, multiplier, poisson,
-                               idx0, bary0, idx1, bary1, weight,
-                               pos_start, pos_shape, free,
-                               lam_ratio, tol, atol, maxiter):
-    """Fused elastic solve for the dominant case: one linear-ENG element
-    group. Assembles element blocks, trace-balances the stiffness lambda,
-    builds rhs/diag, and runs Jacobi-PCG — all in one XLA program so a
-    solve costs one dispatch instead of ~15 (material for tunneled hosts).
-    Returns dx (NV, 2)."""
+def _linear_solve_eng(tris, B, area2, multiplier, poisson,
+                      idx0, bary0, idx1, bary1, weight,
+                      pos_start, pos_shape, free,
+                      lam_ratio, tol, atol, maxiter):
+    """Fused elastic solve for the dominant case: linear-ENG elements only
+    (any number of meshes/material groups, concatenated in global vertex
+    numbering). Assembles element blocks, trace-balances the stiffness
+    lambda, builds rhs/diag, and runs Jacobi-PCG — all in one XLA program
+    so a solve costs one dispatch instead of ~15 (material for tunneled
+    hosts). Returns dx (NV, 2)."""
     nv = pos_start.shape[0]
-    B, area2 = fem.shape_matrices(tripts)
     Ke = fem.eng_element_stiffness(B, area2, multiplier, poisson)
     u_cur = pos_start - pos_shape
-    # trace-ratio balance (reference optimizer.py:1571)
+    # trace-ratio balance (reference optimizer.py:1571); lam_c is the unit
+    # side of the ratio by convention
     dC = fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
                             dtype=pos_start.dtype)
     dK = fem.stiffness_diag(Ke, tris, nv)
@@ -54,7 +55,7 @@ def _linear_solve_single_group(tris, tripts, multiplier, poisson,
     tr_k = jnp.sum(jnp.where(dC != 0, dK, 0.0))
     ok = (tr_c > 0) & (tr_k > 0)
     lam_s = jnp.where(ok, lam_ratio * tr_c / jnp.where(tr_k > 0, tr_k, 1.0), 1.0)
-    lam_c = jnp.where(ok, 1.0, 1.0)
+    lam_c = 1.0
 
     def matvec(x):
         x = x * free
@@ -623,19 +624,27 @@ class SLM:
         sys_d = self._build_system(shape_gear=shape_gear)
         pos_start = self._gather_positions(start_gear)
         pos_shape = self._gather_positions(shape_gear)
-        # fast path: one linear-ENG group + auto-balanced lambdas -> one
-        # fused jitted dispatch (dominant case: matching, window alignment)
+        # fast path: all groups linear ENG (no stiffness curve) +
+        # auto-balanced lambdas -> one fused jitted dispatch (dominant
+        # case: matching, window alignment, locked+moving tile pairs)
         groups = sys_d['groups']
-        if (len(groups) == 1 and groups[0]['model'] == const.MATERIAL_MODEL_ENG
-                and groups[0]['knots'] is None and lam_s < 0 and lam_c < 0
+        all_eng = all(g['model'] == const.MATERIAL_MODEL_ENG
+                      and g['knots'] is None for g in groups)
+        self._last_solve_fused = False
+        if (all_eng and groups and lam_s < 0 and lam_c < 0
                 and sys_d['links'][4].shape[0] > 0):
-            g = groups[0]
+            self._last_solve_fused = True
             idx0, bary0, idx1, bary1, weight = sys_d['links']
             dt = _solver_dtype()
+            tris = jnp.concatenate([g['tris'] for g in groups])
+            B = jnp.concatenate([g['B_area'][0] for g in groups])
+            area2 = jnp.concatenate([g['B_area'][1] for g in groups])
+            mult = jnp.concatenate([g['multiplier'] for g in groups])
+            poisson = jnp.concatenate([g['poisson'] for g in groups])
             p_start = jnp.asarray(pos_start, dt)
-            dx = _linear_solve_single_group(
-                g['tris'], jnp.asarray(g['tripts'], dt), g['multiplier'],
-                g['poisson'], idx0, bary0, idx1, bary1, weight,
+            dx = _linear_solve_eng(
+                tris, B, area2, mult, poisson,
+                idx0, bary0, idx1, bary1, weight,
                 p_start, jnp.asarray(pos_shape, dt),
                 sys_d['free'].astype(dt),
                 abs(lam_s / lam_c), tol, atol, int(maxiter))

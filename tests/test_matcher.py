@@ -77,3 +77,21 @@ def test_distributor_cartesian():
     assert pts2.shape[0] < pts.shape[0]
     assert distributor_cartesian_bbox((0, 0, 10, 10), 100, 100,
                                       min_boundary_distance=20).shape[0] == 0
+
+
+def test_block_vote_fallback_off_center(rng, workdir):
+    """Regression: when the divided-block fallback wins with an off-center
+    block, the block-center correction must use (img_center - block_center),
+    not the reverse sign (round-1 advisor finding)."""
+    from feabas_tpu.matcher import global_translation_matcher
+    # content concentrated in one corner so the winning block is off-center,
+    # with flat noise elsewhere so the whole-image xcorr is low-confidence
+    h, w = 256, 320
+    img0 = rng.normal(0, 0.05, (h, w)).astype(np.float32)
+    patch = texture(rng, 64, 64).astype(np.float32)
+    img0[176:240, 232:296] = patch  # bottom-right corner block
+    gt = (-9, 11)  # (dx, dy) ground truth; img1 = roll(img0, (dy, dx))
+    img1 = np.roll(np.roll(img0, gt[1], axis=0), gt[0], axis=1)
+    dx, dy, conf = global_translation_matcher(
+        img0, img1, sigma=2.0, conf_thresh=2.0, divide_factor=4)
+    assert abs(dx - gt[0]) <= 1.0 and abs(dy - gt[1]) <= 1.0, (dx, dy, conf)
