@@ -786,31 +786,182 @@ def _mesh_incise_region(mesh, material='split'):
 Mesh.incise_region = _mesh_incise_region
 
 
-def _mesh_overlapping_triangles(mesh, gear=const.MESH_GEAR_MOVING):
+def _orient(p, q, r):
+    """Signed twice-area of (p, q, r); vectorized over leading dims."""
+    return ((q[..., 0] - p[..., 0]) * (r[..., 1] - p[..., 1])
+            - (q[..., 1] - p[..., 1]) * (r[..., 0] - p[..., 0]))
+
+
+def _tri_pairs_overlap(pa, pb):
+    """Strict-interior overlap test for triangle pairs, fully vectorized.
+
+    pa, pb: (P, 3, 2) triangle vertex coordinates. A pair overlaps when a
+    vertex of one lies strictly inside the other, or any edge pair crosses
+    properly. Boundary touching does not count (adjacent triangles are
+    filtered out before this test anyway). Returns (P,) bool.
+    """
+    P = pa.shape[0]
+    if P == 0:
+        return np.zeros(0, bool)
+
+    def any_vertex_inside(tri, pts):
+        # pts (P,3,2) strictly inside tri (P,3,2): the three edge
+        # orientations all share the triangle's winding sign
+        a, b, c = tri[:, 0][:, None], tri[:, 1][:, None], tri[:, 2][:, None]
+        s0 = _orient(a, b, pts)
+        s1 = _orient(b, c, pts)
+        s2 = _orient(c, a, pts)
+        area = _orient(tri[:, 0], tri[:, 1], tri[:, 2])[:, None]
+        tol = 1e-12 * np.abs(area) + 1e-30
+        sgn = np.sign(area)
+        inside = (s0 * sgn > tol) & (s1 * sgn > tol) & (s2 * sgn > tol)
+        return inside.any(axis=1)
+
+    # centroids catch exactly-coincident triangles (a reflection fold maps
+    # vertices onto vertices, leaving every vertex on a boundary)
+    ca = pa.mean(axis=1, keepdims=True)
+    cb = pb.mean(axis=1, keepdims=True)
+    hit = (any_vertex_inside(pa, pb) | any_vertex_inside(pb, pa)
+           | any_vertex_inside(pa, cb) | any_vertex_inside(pb, ca))
+    # proper edge-edge crossings: 3x3 segment combinations per pair
+    # (catches thin slivers crossing without containing vertices — the
+    # case the round-1 containment-only test missed)
+    ea0 = pa                      # (P,3,2) segment starts
+    ea1 = pa[:, [1, 2, 0]]        # segment ends
+    eb0 = pb
+    eb1 = pb[:, [1, 2, 0]]
+    a0 = ea0[:, :, None]          # (P,3,1,2)
+    a1 = ea1[:, :, None]
+    b0 = eb0[:, None]             # (P,1,3,2)
+    b1 = eb1[:, None]
+    o1 = _orient(a0, a1, b0)
+    o2 = _orient(a0, a1, b1)
+    o3 = _orient(b0, b1, a0)
+    o4 = _orient(b0, b1, a1)
+    la = np.linalg.norm(ea1 - ea0, axis=-1)[:, :, None]
+    lb = np.linalg.norm(eb1 - eb0, axis=-1)[:, None]
+    tol = 1e-12 * (la * lb) ** 2 + 1e-30
+    cross = (o1 * o2 < -tol) & (o3 * o4 < -tol)
+    return hit | cross.any(axis=(1, 2))
+
+
+def _mesh_overlapping_triangles(mesh, gear=const.MESH_GEAR_MOVING,
+                                tri_mask=None):
     """Pairs of non-adjacent triangles that overlap after deformation
-    (folds), detected by bbox index + cross barycentric containment of
-    vertices/centroids (reference collision machinery:
-    feabas/mesh.py:2462-2893)."""
+    (folds). Vectorized: bbox grid index -> candidate pairs -> strict
+    vertex-containment + proper edge-crossing tests (reference collision
+    machinery: feabas/mesh.py:2462-2893). Returns (K, 2) int64."""
     vw = mesh.vertices_w_offset(gear)
     T = mesh.triangles
-    gi = GridIndex(mesh.triangle_bboxes(gear))
-    pairs = gi.all_pairs()
-    out = []
-    for a, b in pairs:
-        if len(set(T[a]) & set(T[b])) > 0:
-            continue  # adjacent triangles legitimately share edges
-        pa = vw[T[a]]
-        pb = vw[T[b]]
-        ba = _barycentric(np.concatenate([pb, pb.mean(0, keepdims=True)]),
-                          vw, T[[a]])[:, 0, :]
-        bb_ = _barycentric(np.concatenate([pa, pa.mean(0, keepdims=True)]),
-                           vw, T[[b]])[:, 0, :]
-        if (ba > 1e-9).all(axis=-1).any() or (bb_ > 1e-9).all(axis=-1).any():
-            out.append((int(a), int(b)))
-    return np.asarray(out, dtype=np.int64).reshape(-1, 2)
+    bb = mesh.triangle_bboxes(gear)
+    if tri_mask is not None:
+        sub = np.nonzero(np.asarray(tri_mask))[0] \
+            if np.asarray(tri_mask).dtype == bool else np.asarray(tri_mask)
+        gi = GridIndex(bb[sub])
+        pairs = sub[gi.all_pairs()]
+    else:
+        gi = GridIndex(bb)
+        pairs = gi.all_pairs()
+    if pairs.shape[0] == 0:
+        return np.empty((0, 2), np.int64)
+    Ta = T[pairs[:, 0]]
+    Tb = T[pairs[:, 1]]
+    share = (Ta[:, :, None] == Tb[:, None, :]).any(axis=(1, 2))
+    pairs = pairs[~share]
+    if pairs.shape[0] == 0:
+        return np.empty((0, 2), np.int64)
+    pa = vw[T[pairs[:, 0]]]
+    pb = vw[T[pairs[:, 1]]]
+    return pairs[_tri_pairs_overlap(pa, pb)]
 
 
 Mesh.overlapping_triangles = _mesh_overlapping_triangles
+# reference naming (feabas/mesh.py:2462)
+Mesh.triangle_collisions = _mesh_overlapping_triangles
+
+
+def _mesh_nonoverlap_triangle_groups(mesh, gear=const.MESH_GEAR_MOVING,
+                                     pairs=None):
+    """Color triangles so no two overlapping triangles share a color
+    (reference graph coloring + nonoverlap_triangle_groups:
+    feabas/mesh.py:2774-2893). Returns (num_triangles,) int colors;
+    non-colliding triangles get color 0, fold sheets get 1, 2, ...
+    Greedy coloring on the conflict graph (small: only fold regions)."""
+    if pairs is None:
+        pairs = mesh.overlapping_triangles(gear=gear)
+    colors = np.zeros(mesh.num_triangles, np.int64)
+    if pairs.shape[0] == 0:
+        return colors
+    involved = np.unique(pairs)
+    # grow conflict sets through triangle adjacency so each fold SHEET
+    # (connected run of colliding triangles) keeps one color: conflict
+    # graph edges = colliding pairs; same-sheet neighbors merge by union
+    adj = {int(t): set() for t in involved}
+    for a, b in pairs:
+        adj[int(a)].add(int(b))
+        adj[int(b)].add(int(a))
+    # connected components over shared vertices among involved triangles —
+    # but never merge two triangles that directly collide (fold-crease
+    # neighbors must stay in different sheets)
+    t2k = {int(t): k for k, t in enumerate(involved)}
+    conflict_local = {(min(t2k[int(a)], t2k[int(b)]),
+                       max(t2k[int(a)], t2k[int(b)])) for a, b in pairs}
+    T = mesh.triangles[involved]
+    v2t = {}
+    for k, tvs in enumerate(T):
+        for v in tvs:
+            v2t.setdefault(int(v), []).append(k)
+    comp = np.arange(involved.size)
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for members in v2t.values():
+        for a in members:
+            for b in members:
+                if a >= b or (a, b) in conflict_local:
+                    continue
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    comp[rb] = ra
+    sheet = np.asarray([find(k) for k in range(involved.size)])
+    tri2sheet = {int(t): int(s) for t, s in zip(involved, sheet)}
+    # sheet-level conflict graph
+    sheets = np.unique(sheet)
+    sconf = {int(s): set() for s in sheets}
+    for a, b in pairs:
+        sa, sb = tri2sheet[int(a)], tri2sheet[int(b)]
+        if sa != sb:
+            sconf[sa].add(sb)
+            sconf[sb].add(sa)
+    # greedy color sheets by degree (colors start at 1)
+    order = sorted(sconf, key=lambda s: -len(sconf[s]))
+    scolor = {}
+    for s in order:
+        used = {scolor[t] for t in sconf[s] if t in scolor}
+        c = 1
+        while c in used:
+            c += 1
+        scolor[s] = c
+    for t in involved:
+        colors[int(t)] = scolor[tri2sheet[int(t)]]
+    # invariant repair: transitivity can still put a colliding pair in one
+    # sheet; bump one side to a fresh color until no pair shares a color
+    next_color = max(scolor.values(), default=0) + 1
+    for _ in range(involved.size):
+        bad = colors[pairs[:, 0]] == colors[pairs[:, 1]]
+        if not bad.any():
+            break
+        for b in np.unique(pairs[bad][:, 1]):
+            colors[int(b)] = next_color
+            next_color += 1
+    return colors
+
+
+Mesh.nonoverlap_triangle_groups = _mesh_nonoverlap_triangle_groups
 
 
 def _mesh_is_valid(mesh, gear=const.MESH_GEAR_MOVING):

@@ -77,6 +77,39 @@ def rasterize_mesh(mesh, bbox, gear=const.MESH_GEAR_MOVING, tri_weights=None):
     return tid
 
 
+def _paint_coverage(mesh, tri_ids, bbox, gear):
+    """Boolean coverage map of a (small) triangle subset over bbox."""
+    x0, y0 = int(np.floor(bbox[0])), int(np.floor(bbox[1]))
+    x1, y1 = int(np.ceil(bbox[2])), int(np.ceil(bbox[3]))
+    H, W = y1 - y0, x1 - x0
+    cov = np.zeros((H, W), bool)
+    if H <= 0 or W <= 0 or len(tri_ids) == 0:
+        return cov
+    vw = mesh.vertices_w_offset(gear)
+    T = mesh.triangles
+    eps = 1e-9
+    for t in tri_ids:
+        p = vw[T[t]]
+        tx0 = max(int(np.floor(p[:, 0].min())) - x0, 0)
+        tx1 = min(int(np.ceil(p[:, 0].max())) - x0 + 1, W)
+        ty0 = max(int(np.floor(p[:, 1].min())) - y0, 0)
+        ty1 = min(int(np.ceil(p[:, 1].max())) - y0 + 1, H)
+        if tx0 >= tx1 or ty0 >= ty1:
+            continue
+        gx, gy = np.meshgrid(np.arange(tx0, tx1) + x0, np.arange(ty0, ty1) + y0)
+        v0 = p[1] - p[0]
+        v1 = p[2] - p[0]
+        den = v0[0] * v1[1] - v0[1] * v1[0]
+        if abs(den) < 1e-12:
+            continue
+        dx = gx - p[0, 0]
+        dy = gy - p[0, 1]
+        l1 = (dx * v1[1] - dy * v1[0]) / den
+        l2 = (v0[0] * dy - v0[1] * dx) / den
+        cov[ty0:ty1, tx0:tx1] |= (l1 >= -eps) & (l2 >= -eps) & (l1 + l2 <= 1 + eps)
+    return cov
+
+
 class MeshRenderer:
     """Inverse-warp engine for one mesh (reference: feabas/renderer.py:22).
 
@@ -120,6 +153,17 @@ class MeshRenderer:
                                        / (1.0 + deform).astype(np.float32))
         self._render_mask = self._tri_render_weight > kwargs.get(
             'render_weight_threshold', 0)
+        # geodesic masking (reference: renderer.py:80-88): with the mesh
+        # folded, output pixels inside a fold-overlap zone are covered by
+        # multiple sheets — content there is ambiguous, so mask it out
+        # instead of rendering whichever sheet wins arbitration
+        self._geodesic_mask = bool(kwargs.get('geodesic_mask', False))
+        self._collision_pairs = None
+        if self._geodesic_mask:
+            self._collision_pairs = mesh.overlapping_triangles(
+                gear=self._target_gear)
+            if self._collision_pairs.shape[0] == 0:
+                self._geodesic_mask = False
         # per-triangle affine target->source, precomputed once
         A, b = mesh.triangle_affine_tform(gear0=self._target_gear,
                                           gear1=self._source_gear)
@@ -149,6 +193,18 @@ class MeshRenderer:
         tid = rasterize_mesh(self._mesh, bbox, gear=self._target_gear,
                              tri_weights=self._tri_render_weight)
         mask = tid >= 0
+        if self._geodesic_mask and self._collision_pairs is not None:
+            # exclude pixels covered by both sheets of any colliding pair
+            colors = self._mesh.nonoverlap_triangle_groups(
+                gear=self._target_gear, pairs=self._collision_pairs)
+            involved = np.unique(self._collision_pairs)
+            ccolors = np.unique(colors[involved])
+            count = np.zeros(mask.shape, np.int16)
+            for c in ccolors:
+                tris_c = involved[colors[involved] == c]
+                count += _paint_coverage(self._mesh, tris_c, bbox,
+                                         self._target_gear)
+            mask &= count < 2
         thresholded = bool(kwargs.get('render_weight_threshold', None))
         if thresholded:
             mask &= np.where(tid >= 0, self._tri_render_weight[tid], 0) \

