@@ -98,6 +98,162 @@ def distributor_cartesian_bbox(bbox, spacing, block_size,
     return np.stack([gx.ravel(), gy.ravel()], axis=-1)
 
 
+def _coverage_grids(mesh0, mesh1, bbox, cell, gear=const.MESH_GEAR_MOVING):
+    """Coarse occupancy grids of both meshes over bbox (cell px per sample).
+    Returns (inside0, inside1, tid0, tid1, xs, ys): boolean grids, the
+    covering triangle per cell (-1 outside), and the cell-center world
+    coordinates. The mask-raster stand-in for the reference's shapely
+    region intersection (reference: matcher.py:894-960)."""
+    x0, y0, x1, y1 = bbox
+    xs = np.arange(x0 + cell / 2, x1, cell)
+    ys = np.arange(y0 + cell / 2, y1, cell)
+    gx, gy = np.meshgrid(xs, ys)
+    pts = np.stack([gx.ravel(), gy.ravel()], -1)
+    tid0 = mesh0.tri_finder(pts, gear=gear).reshape(gy.shape)
+    tid1 = mesh1.tri_finder(pts, gear=gear).reshape(gy.shape)
+    return tid0 >= 0, tid1 >= 0, tid0, tid1, xs, ys
+
+
+def _refine_material_masks(mesh, tid_grid):
+    """{area_constraint: bool grid} for materials that request refinement
+    (area_constraint in (0, 1), or named 'refine*'), evaluated on the
+    coarse occupancy grid (reference refine-material densification:
+    matcher.py:965-980)."""
+    out = {}
+    inside = tid_grid >= 0
+    if not inside.any():
+        return out
+    mat_of_cell = np.full(tid_grid.shape, -1, np.int32)
+    mat_of_cell[inside] = mesh.material_ids[tid_grid[inside]]
+    for name, mat in mesh.material_table:
+        af = float(getattr(mat, 'area_constraint', 1.0))
+        if not ('refine' in str(name) or (0 < af < 1)):
+            continue
+        if not (0 < af < 1):
+            af = 0.5
+        sel = mat_of_cell == mat.uid
+        if sel.any():
+            grid = out.setdefault(af, np.zeros(tid_grid.shape, bool))
+            grid |= sel
+    return out
+
+
+def _grid_points_in_mask(mask, spacing_cells, xs, ys, triangular=False):
+    """Sample points at ``spacing_cells`` (in grid cells) whose cell is
+    inside ``mask``; anchored at the mask centroid so grids stay stable
+    across rounds (reference _region2grid_cartesian/_triang anchoring:
+    matcher.py:1021-1058)."""
+    ii, jj = np.nonzero(mask)
+    if ii.size == 0:
+        return np.zeros((0, 2))
+    ci, cj = ii.mean(), jj.mean()
+    step = max(spacing_cells, 1.0)
+    if triangular:
+        # hex/equilateral packing: rows at step*sqrt(3)/2 with alternate
+        # half-step stagger — the raster analog of triangulating the
+        # region at the target density (intersect_triangulation)
+        dy = step * np.sqrt(3) / 2
+        rows = np.concatenate([np.arange(ci, -dy, -dy)[::-1],
+                               np.arange(ci + dy, mask.shape[0], dy)])
+        pts = []
+        for k, r in enumerate(rows):
+            off = (step / 2) if (k % 2) else 0.0
+            cols = np.concatenate([np.arange(cj + off, -step, -step)[::-1],
+                                   np.arange(cj + off + step, mask.shape[1], step)])
+            pts.append(np.stack([np.full(cols.shape, r), cols], -1))
+        rc = np.concatenate(pts) if pts else np.zeros((0, 2))
+    else:
+        rr = np.concatenate([np.arange(ci, -step, -step)[::-1],
+                             np.arange(ci + step, mask.shape[0], step)])
+        cc = np.concatenate([np.arange(cj, -step, -step)[::-1],
+                             np.arange(cj + step, mask.shape[1], step)])
+        gr, gc = np.meshgrid(rr, cc, indexing='ij')
+        rc = np.stack([gr.ravel(), gc.ravel()], -1)
+    ri = np.clip(np.round(rc[:, 0]).astype(int), 0, mask.shape[0] - 1)
+    cixd = np.clip(np.round(rc[:, 1]).astype(int), 0, mask.shape[1] - 1)
+    keep = mask[ri, cixd]
+    rc = rc[keep]
+    return np.stack([np.interp(rc[:, 1], np.arange(xs.size), xs),
+                     np.interp(rc[:, 0], np.arange(ys.size), ys)], -1)
+
+
+def distribute_matching_blocks(mesh0, mesh1, spacing, distributor='cartesian_region',
+                               **kwargs):
+    """Region/material-aware block distribution (reference
+    distribute_matching_blocks: matcher.py:894).
+
+    Unlike ``distributor_cartesian_bbox`` the blocks live only where BOTH
+    meshes actually have coverage (section outlines, holes, split pieces),
+    ``min_boundary_distance`` erodes from the true region boundary, and
+    materials flagged for refinement (area_constraint in (0,1) or named
+    'refine*') receive denser, smaller blocks.
+
+    distributor: 'cartesian_region' (grid points in the intersection
+    region) or 'intersect_triangulation' (hex-packed points — the raster
+    analog of triangulating the region at the block spacing).
+
+    Returns (centers (N,2), size_factor (N,)) where the matching block
+    side is ``spacing * shrink_factor * size_factor``.
+    """
+    gear = kwargs.get('gear', const.MESH_GEAR_MOVING)
+    min_boundary_distance = kwargs.get('min_boundary_distance', 0)
+    refine_box_exp = kwargs.get('refine_box_exp', 0.5)
+    refine_mode = kwargs.get('refine_mode', 2)
+    triangular = (str(distributor).lower() == 'intersect_triangulation')
+    bbox0 = mesh0.bbox(gear=gear)
+    bbox1 = mesh1.bbox(gear=gear)
+    ovl, valid = common.intersect_bbox(bbox0, bbox1)
+    if not valid:
+        return np.zeros((0, 2)), np.zeros(0)
+    cell = max(min(spacing / 4.0, (ovl[2] - ovl[0]) / 8.0,
+                   (ovl[3] - ovl[1]) / 8.0), 1.0)
+    in0, in1, tid0, tid1, xs, ys = _coverage_grids(mesh0, mesh1, ovl, cell,
+                                                   gear=gear)
+    inter = in0 & in1
+    if not inter.any():
+        return np.zeros((0, 2)), np.zeros(0)
+    if min_boundary_distance > 0:
+        from scipy.ndimage import distance_transform_edt
+        d = distance_transform_edt(inter) * cell
+        eroded = d >= min_boundary_distance
+        # keep at least half the region: relax the erosion when it eats
+        # too much (reference bound_coeff loop: matcher.py:985-995)
+        if eroded.sum() < 0.5 * inter.sum():
+            eroded = d >= min_boundary_distance * 0.3
+        if not eroded.any():
+            eroded = inter
+    else:
+        eroded = inter
+    layers = {}
+    if refine_mode != 0:
+        for msh, tg in ((mesh0, tid0), (mesh1, tid1)):
+            for af, grid in _refine_material_masks(msh, tg).items():
+                acc = layers.setdefault(af, np.zeros(inter.shape, bool))
+                acc |= grid
+    centers, factors = [], []
+    covered = np.zeros(inter.shape, bool)
+    for af in sorted(layers):
+        mask = layers[af] & eroded & (~covered)
+        pts = _grid_points_in_mask(mask, af * spacing / cell, xs, ys,
+                                   triangular=triangular)
+        if pts.shape[0]:
+            centers.append(pts)
+            factors.append(np.full(pts.shape[0], af ** refine_box_exp))
+        covered |= layers[af] & inter
+    base = eroded if refine_mode != 1 else (eroded & covered)
+    base_mask = base & (~covered) if refine_mode == 2 else base
+    if refine_mode != 1 or not layers:
+        pts = _grid_points_in_mask(base_mask if layers else eroded,
+                                   spacing / cell, xs, ys,
+                                   triangular=triangular)
+        if pts.shape[0]:
+            centers.append(pts)
+            factors.append(np.ones(pts.shape[0]))
+    if not centers:
+        return np.zeros((0, 2)), np.zeros(0)
+    return np.concatenate(centers), np.concatenate(factors)
+
+
 _BLOCK_SIZES = np.array([16, 24, 32, 48, 64, 96, 128, 192, 256, 384, 512])
 
 
@@ -150,14 +306,22 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     residue_len = kwargs.get('residue_len', 3)
     min_boundary_distance = kwargs.get('min_boundary_distance', 0)
     stiffness_lambda = kwargs.get('stiffness_lambda', -0.35)
-    refine_mode = kwargs.get('refine_mode', True)
     compute_strain = kwargs.get('compute_strain', True)
     min_num_blocks = kwargs.get('min_num_blocks', 2)
+    distributor = kwargs.get('distributor', 'cartesian_bbox')
+    geodesic_mask = kwargs.get('geodesic_mask', False)
+    # adaptive spacing schedule (reference: matcher.py:684-716): after each
+    # round the observed max displacement decides whether to enlarge blocks
+    # (first round only), dwell at the current spacing, or skip ahead
+    allow_dwell = int(kwargs.get('allow_dwell', 0))
+    max_spacing_skip = int(kwargs.get('max_spacing_skip', 0))
+    min_block_size_multiplier = float(kwargs.get('min_block_size_multiplier', 4.0))
+    link_weight_decay = float(kwargs.get('link_weight_decay', 0.0))
 
     mesh0.locked = True
     slm = SLM([mesh0, mesh1])
-    spacings = sorted(np.atleast_1d(spacings).astype(np.float64), reverse=True)
-    render0 = None
+    spacings = np.asarray(sorted(np.atleast_1d(spacings).astype(np.float64),
+                                 reverse=True))
     link = None
     # device render path: when sources are in-memory images, ship them to
     # HBM once and render match blocks with the batched local-affine warp
@@ -172,90 +336,154 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
         src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img)))
         src_off0 = np.asarray(loader0._offset, np.float64)
         src_off1 = np.asarray(loader1._offset, np.float64)
-    for i_s, spacing in enumerate(spacings):
-        block_size = max(int(round(spacing * shrink_factor)), 16)
-        if use_device:
-            block_size = _quantize_block(block_size)
-        bbox0 = mesh0.bbox(gear=const.MESH_GEAR_MOVING)
-        bbox1 = mesh1.bbox(gear=const.MESH_GEAR_MOVING)
-        ovl, valid = common.intersect_bbox(bbox0, bbox1)
-        if not valid:
+
+    def _match_round(centers, size_factors, spacing, subpixel):
+        """Render both meshes at the block centers and xcorr; returns
+        (xy0, xy1, conf, disp_max) among accepted matches or None."""
+        out_xy0, out_xy1, out_conf, disp_max = [], [], [], 0.0
+        # group by quantized block size so compiled shapes are shared
+        sizes = np.maximum(spacing * shrink_factor * size_factors, 16.0)
+        qsizes = np.asarray([_quantize_block(s) if use_device
+                             else max(int(round(s)), 16) for s in sizes])
+        for bs in np.unique(qsizes):
+            sel = qsizes == bs
+            ctr = centers[sel]
+            block_size = int(bs)
+            if use_device:
+                stack0, kept0 = warp_ops.mesh_blocks_device(
+                    mesh0, src0, ctr, block_size, src_offset=src_off0)
+                stack1, kept1 = warp_ops.mesh_blocks_device(
+                    mesh1, src1, ctr, block_size, src_offset=src_off1)
+            else:
+                render0 = MeshRenderer.from_mesh(
+                    mesh0, image_loader=loader0, geodesic_mask=geodesic_mask)
+                render1 = MeshRenderer.from_mesh(
+                    mesh1, image_loader=loader1, geodesic_mask=geodesic_mask)
+                stack0, kept0 = _render_blocks(render0, ctr, block_size)
+                stack1, kept1 = _render_blocks(render1, ctr, block_size)
+            keep = np.intersect1d(kept0, kept1)
+            if keep.size == 0:
+                continue
+            s0 = stack0[np.searchsorted(kept0, keep)]
+            s1 = stack1[np.searchsorted(kept1, keep)]
+            centers_k = ctr[keep]
+            n_real = int(s0.shape[0])
+            if use_device:
+                import jax.numpy as jnp
+                nb = _pad_pow2(n_real)
+                if nb > n_real:
+                    s0 = jnp.concatenate(
+                        [s0, jnp.broadcast_to(s0[:1], (nb - n_real,) + s0.shape[1:])])
+                    s1 = jnp.concatenate(
+                        [s1, jnp.broadcast_to(s1[:1], (nb - n_real,) + s1.shape[1:])])
+            dxs, dys, confs = [], [], []
+            for b0 in range(0, int(s0.shape[0]), batch_size):
+                dx, dy, cf = xcorr_fft(s0[b0:b0 + batch_size],
+                                       s1[b0:b0 + batch_size],
+                                       conf_mode=conf_mode, sigma=sigma,
+                                       pad=pad, subpixel=subpixel)
+                dxs.append(np.atleast_1d(dx))
+                dys.append(np.atleast_1d(dy))
+                confs.append(np.atleast_1d(cf))
+            dx = np.concatenate(dxs)[:n_real]
+            dy = np.concatenate(dys)[:n_real]
+            conf = np.concatenate(confs)[:n_real]
+            ok = conf >= conf_thresh
+            if not ok.any():
+                continue
+            # xcorr convention: d = world position of block0 content center
+            # minus block1 content center, so mesh1's world point c shows
+            # the content that sits at c - d in mesh0's world
+            xy1 = centers_k[ok]
+            xy0 = xy1 - np.stack([dx[ok], dy[ok]], axis=-1)
+            out_xy0.append(xy0)
+            out_xy1.append(xy1)
+            out_conf.append(conf[ok])
+            disp_max = max(disp_max, float(np.hypot(dx[ok], dy[ok]).max()))
+        if not out_xy0:
             return None
-        centers = distributor_cartesian_bbox(
-            ovl, spacing, block_size,
-            min_boundary_distance=min_boundary_distance)
-        if centers.shape[0] < min_num_blocks and i_s < len(spacings) - 1:
+        return (np.concatenate(out_xy0), np.concatenate(out_xy1),
+                np.concatenate(out_conf), disp_max)
+
+    sp_idx = 0
+    dwelled = 0
+    spacing_enlarged = False
+    spacing_override = None
+    initialized = False
+    max_rounds = len(spacings) * (allow_dwell + 1) + 4
+    for _round in range(max_rounds):
+        if sp_idx >= len(spacings):
+            break
+        spacing = spacing_override if spacing_override is not None \
+            else float(spacings[sp_idx])
+        spacing_override = None
+        last_round = (sp_idx == len(spacings) - 1)
+        if str(distributor).lower() in ('cartesian_region',
+                                        'intersect_triangulation'):
+            centers, size_factors = distribute_matching_blocks(
+                mesh0, mesh1, spacing, distributor=distributor,
+                min_boundary_distance=min_boundary_distance,
+                shrink_factor=shrink_factor)
+        else:
+            bbox0 = mesh0.bbox(gear=const.MESH_GEAR_MOVING)
+            bbox1 = mesh1.bbox(gear=const.MESH_GEAR_MOVING)
+            ovl, valid = common.intersect_bbox(bbox0, bbox1)
+            if not valid:
+                return None
+            centers = distributor_cartesian_bbox(
+                ovl, spacing, spacing * shrink_factor,
+                min_boundary_distance=min_boundary_distance)
+            size_factors = np.ones(centers.shape[0])
+        if centers.shape[0] < min_num_blocks and not last_round:
+            sp_idx += 1
             continue
         if centers.shape[0] == 0:
-            return None
-        if use_device:
-            stack0, kept0 = warp_ops.mesh_blocks_device(
-                mesh0, src0, centers, block_size, src_offset=src_off0)
-            stack1, kept1 = warp_ops.mesh_blocks_device(
-                mesh1, src1, centers, block_size, src_offset=src_off1)
+            if not initialized:
+                return None
+            break
+        result = _match_round(centers, size_factors, spacing,
+                              subpixel=last_round)
+        if result is None:
+            if not initialized:
+                return None
+            break
+        xy0, xy1, conf, disp_max = result
+        # decay or clear previous rounds' links (reference link_weight_decay)
+        if link_weight_decay <= 0:
+            slm.links = []
         else:
-            render0 = MeshRenderer.from_mesh(mesh0, image_loader=loader0)
-            render1 = MeshRenderer.from_mesh(mesh1, image_loader=loader1)
-            stack0, kept0 = _render_blocks(render0, centers, block_size)
-            stack1, kept1 = _render_blocks(render1, centers, block_size)
-        keep = np.intersect1d(kept0, kept1)
-        if keep.size == 0:
-            return None
-        s0 = stack0[np.searchsorted(kept0, keep)]
-        s1 = stack1[np.searchsorted(kept1, keep)]
-        centers_k = centers[keep]
-        n_real = int(s0.shape[0])
-        if use_device:
-            # pad the batch to a power of two so compiled shapes are reused
-            import jax.numpy as jnp
-            nb = _pad_pow2(n_real)
-            if nb > n_real:
-                s0 = jnp.concatenate(
-                    [s0, jnp.broadcast_to(s0[:1], (nb - n_real,) + s0.shape[1:])])
-                s1 = jnp.concatenate(
-                    [s1, jnp.broadcast_to(s1[:1], (nb - n_real,) + s1.shape[1:])])
-        dxs, dys, confs = [], [], []
-        for b0 in range(0, int(s0.shape[0]), batch_size):
-            dx, dy, cf = xcorr_fft(s0[b0:b0 + batch_size], s1[b0:b0 + batch_size],
-                                   conf_mode=conf_mode, sigma=sigma, pad=pad,
-                                   subpixel=(i_s == len(spacings) - 1))
-            dxs.append(np.atleast_1d(dx))
-            dys.append(np.atleast_1d(dy))
-            confs.append(np.atleast_1d(cf))
-        dx = np.concatenate(dxs)[:n_real]
-        dy = np.concatenate(dys)[:n_real]
-        conf = np.concatenate(confs)[:n_real]
-        ok = conf >= conf_thresh
-        if not ok.any():
-            if i_s == len(spacings) - 1:
-                break
-            continue
-        # xcorr convention: d = world position of block0 content center
-        # minus block1 content center, so mesh1's world point c shows the
-        # content that sits at c - d in mesh0's world
-        xy1 = centers_k[ok]
-        xy0 = xy1 - np.stack([dx[ok], dy[ok]], axis=-1)
-        slm.links = []
+            for l in slm.links:
+                l._weight = l._weight * link_weight_decay
         link = slm.add_link_from_coordinates(
-            mesh0.uid, mesh1.uid, xy0, xy1, weight=conf[ok],
+            mesh0.uid, mesh1.uid, xy0, xy1, weight=conf,
             gear=(const.MESH_GEAR_MOVING, const.MESH_GEAR_MOVING))
-        # relax mesh1 onto the new evidence
-        if i_s == 0:
+        if not initialized:
             slm.optimize_translation()
         rlen = residue_len if residue_len > 0 else max(spacing * 0.1, 2.0)
         slm.optimize_elastic(stiffness_lambda=stiffness_lambda,
                              crosslink_lambda=-1.0,
                              residue_mode=residue_mode, residue_len=rlen,
                              tol=1e-8)
-        # adapt: if displacements were near the block ambiguity limit,
-        # re-run the same spacing once with enlarged blocks
-        disp = np.hypot(dx[ok], dy[ok])
-        if refine_mode and disp.max() > block_size / 4 and i_s == 0:
-            kwargs2 = dict(kwargs)
-            kwargs2['refine_mode'] = False
-            kwargs2['shrink_factor'] = shrink_factor * 1.5
-            return iterative_xcorr_matcher_w_mesh(
-                mesh0, mesh1, loader0, loader1, spacings, **kwargs2)
+        initialized = True
+        # schedule the next spacing from the observed displacement
+        # (reference: matcher.py:684-716)
+        min_block = min_block_size_multiplier * disp_max
+        next_pos = int(np.searchsorted(-spacings, -min_block)) - 1
+        if (not spacing_enlarged) and next_pos < 0:
+            # even the coarsest spacing is too fine for the seen motion:
+            # one extra round with enlarged blocks at the same index
+            spacing_enlarged = True
+            spacing_override = float(np.ceil(min_block))
+            continue
+        spacing_enlarged = True
+        if next_pos > sp_idx:
+            sp_idx = min(next_pos, sp_idx + 1 + max_spacing_skip)
+            dwelled = 0
+        elif dwelled >= allow_dwell:
+            sp_idx += 1
+            dwelled = 0
+        else:
+            dwelled += 1
     if link is None or link.num_matches == 0:
         return None
     w = link.weight()
@@ -346,7 +574,9 @@ def stitching_matcher(img0, img1, **kwargs):
         **{k: v for k, v in kwargs.items()
            if k in ('residue_mode', 'residue_len', 'pad', 'batch_size',
                     'shrink_factor', 'min_boundary_distance',
-                    'stiffness_lambda', 'conf_mode')})
+                    'stiffness_lambda', 'conf_mode', 'distributor',
+                    'geodesic_mask', 'allow_dwell', 'max_spacing_skip',
+                    'min_block_size_multiplier', 'link_weight_decay')})
     if match is None:
         return None
     return common.Match(match.xy0 / fs, match.xy1 / fs, match.weight,
@@ -355,9 +585,44 @@ def stitching_matcher(img0, img1, **kwargs):
 
 def section_matcher(mesh0, mesh1, loader0, loader1, **kwargs):
     """Match two sections through their (already roughly aligned) meshes
-    (reference: matcher.py:370). Thin wrapper that runs the iterative
-    matcher per connected component group."""
+    (reference: matcher.py:370).
+
+    Sections cut into disconnected pieces (cracks, separate tissue
+    fragments) are split into connected components and each overlapping
+    component pair is matched independently, so one piece's drift cannot
+    poison another's relaxation (reference disconnected-region splitting:
+    matcher.py:370-430).
+    """
     spacings = kwargs.pop('spacings', [400, 100])
+    split = kwargs.pop('split_disconnected', True)
+    if split and (mesh0.num_connected > 1 or mesh1.num_connected > 1):
+        parts0 = mesh0.divide_disconnected_mesh() \
+            if mesh0.num_connected > 1 else [mesh0]
+        parts1 = mesh1.divide_disconnected_mesh() \
+            if mesh1.num_connected > 1 else [mesh1]
+        xy0s, xy1s, ws, strains, wsum = [], [], [], [], 0.0
+        for p0 in parts0:
+            b0 = p0.bbox(gear=const.MESH_GEAR_MOVING)
+            for p1 in parts1:
+                b1 = p1.bbox(gear=const.MESH_GEAR_MOVING)
+                _, valid = common.intersect_bbox(b0, b1)
+                if not valid:
+                    continue
+                m = iterative_xcorr_matcher_w_mesh(
+                    p0.copy(), p1.copy(), loader0, loader1, spacings,
+                    **kwargs)
+                if m is None or m.xy0.shape[0] == 0:
+                    continue
+                xy0s.append(m.xy0)
+                xy1s.append(m.xy1)
+                ws.append(m.weight)
+                strains.append(m.strain * float(np.sum(m.weight)))
+                wsum += float(np.sum(m.weight))
+        if not xy0s:
+            return None
+        strain = (sum(strains) / wsum) if wsum > 0 else config.DEFAULT_AVG_DEFORM
+        return common.Match(np.concatenate(xy0s), np.concatenate(xy1s),
+                            np.concatenate(ws), strain)
     match = iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1,
                                            spacings, **kwargs)
     return match

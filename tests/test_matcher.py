@@ -95,3 +95,121 @@ def test_block_vote_fallback_off_center(rng, workdir):
     dx, dy, conf = global_translation_matcher(
         img0, img1, sigma=2.0, conf_thresh=2.0, divide_factor=4)
     assert abs(dx - gt[0]) <= 1.0 and abs(dy - gt[1]) <= 1.0, (dx, dy, conf)
+
+
+def test_distribute_matching_blocks_region_aware(rng, workdir):
+    """Centers land only where BOTH meshes have coverage: with an L-shaped
+    mesh1 (top-right quadrant removed), no block centers fall in the
+    missing quadrant even though it is inside the bbox intersection."""
+    from feabas_tpu.matcher import distribute_matching_blocks
+    from feabas_tpu.mesh import Mesh
+    m0 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25, uid=0)
+    m1 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25, uid=1)
+    cent = m1.triangle_centers('INITIAL')
+    keep = ~((cent[:, 0] > 100) & (cent[:, 1] > 100))
+    m1 = m1.submesh(keep)
+    for m in (m0, m1):
+        m.set_translation((0, 0))
+    centers, factors = distribute_matching_blocks(m0, m1, 30,
+                                                  distributor='cartesian_region')
+    assert centers.shape[0] > 10
+    in_hole = (centers[:, 0] > 110) & (centers[:, 1] > 110)
+    assert not in_hole.any(), centers[in_hole]
+    # triangulation distributor also works and stays out of the hole
+    c2, _ = distribute_matching_blocks(m0, m1, 30,
+                                       distributor='intersect_triangulation')
+    assert c2.shape[0] > 10
+    assert not ((c2[:, 0] > 110) & (c2[:, 1] > 110)).any()
+
+
+def test_distribute_matching_blocks_refine_material(rng, workdir):
+    """Materials with area_constraint < 1 get denser, smaller blocks."""
+    from feabas_tpu.matcher import distribute_matching_blocks
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.material import Material, MaterialTable
+    mt = MaterialTable()
+    mt.add('refine_wrinkle', Material(area_constraint=0.25, mask_label=50))
+    m0 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25,
+                        uid=0, material_table=mt)
+    m1 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25,
+                        uid=1, material_table=mt)
+    # left half of m0 is the refine material
+    cent = m0.triangle_centers('INITIAL')
+    ids = m0.material_ids.copy()
+    ids[cent[:, 0] < 100] = mt['refine_wrinkle'].uid
+    m0._material_ids = ids
+    for m in (m0, m1):
+        m.set_translation((0, 0))
+    centers, factors = distribute_matching_blocks(m0, m1, 40)
+    left = centers[:, 0] < 90
+    right = centers[:, 0] > 110
+    assert left.sum() > 2 * right.sum(), (left.sum(), right.sum())
+    # refined blocks are smaller (factor = af**refine_box_exp = 0.5)
+    assert factors[left].min() < 0.75
+    assert np.allclose(factors[right], 1.0)
+
+
+def test_spacing_schedule_enlarges_for_large_offset(rng, workdir):
+    """When the true displacement exceeds what the coarsest spacing can
+    measure, the schedule runs an enlarged-block round first and still
+    converges (reference enlarge logic, matcher.py:690-699)."""
+    from feabas_tpu.matcher import iterative_xcorr_matcher_w_mesh
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu import config
+    h = w = 256
+    img0 = texture(rng, h, w)
+    shift = (30, -22)
+    img1 = np.roll(np.roll(img0, shift[1], axis=0), shift[0], axis=1)
+    mesh0 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60,
+                           uid=0, locked=True)
+    mesh1 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60, uid=1,
+                           soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
+    # spacings far too small for a 37px offset; rely on enlarge + dwell
+    match = iterative_xcorr_matcher_w_mesh(
+        mesh0, mesh1, StreamLoader(img0), StreamLoader(img1),
+        spacings=[60, 40], sigma=2.5, conf_thresh=0.25, allow_dwell=1,
+        min_boundary_distance=45)
+    assert match is not None and match.xy0.shape[0] >= 4
+    err = (match.xy1 - match.xy0) - np.asarray(shift)
+    med = np.median(np.abs(err), axis=0)
+    assert (med < 0.75).all(), med
+
+
+def test_section_matcher_splits_disconnected_pieces(rng, workdir):
+    """Two disconnected pieces moving differently: each piece's matches
+    must recover its own translation (reference matcher.py:370-430)."""
+    from feabas_tpu.matcher import section_matcher
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu import config
+    h, w = 200, 420
+    img0 = texture(rng, h, w)
+    img1 = np.empty_like(img0)
+    # left piece shifts (+6, +3); right piece shifts (-5, +7); 20px gap
+    img1[:, :200] = np.roll(np.roll(img0[:, :200], 3, axis=0), 6, axis=1)
+    img1[:, 220:] = np.roll(np.roll(img0[:, 220:], 7, axis=0), -5, axis=1)
+    img1[:, 200:220] = 0
+    def two_piece_mesh(uid, **kw):
+        m = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=30,
+                           uid=uid, **kw)
+        cent = m.triangle_centers('INITIAL')
+        m2 = m.submesh(np.abs(cent[:, 0] - 210) > 25)
+        m2.set_translation((0, 0))
+        return m2
+    mesh0 = two_piece_mesh(0, locked=True)
+    mesh1 = two_piece_mesh(1, soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
+    assert mesh0.num_connected == 2
+    match = section_matcher(mesh0, mesh1, StreamLoader(img0), StreamLoader(img1),
+                            spacings=[50, 25], sigma=2.5, conf_thresh=0.25,
+                            min_boundary_distance=12,
+                            distributor='cartesian_region')
+    assert match is not None
+    d = match.xy1 - match.xy0
+    left = match.xy0[:, 0] < 200
+    right = ~left
+    assert left.sum() >= 3 and right.sum() >= 3
+    err_l = np.median(np.abs(d[left] - [6, 3]), axis=0)
+    err_r = np.median(np.abs(d[right] - [-5, 7]), axis=0)
+    assert (err_l < 0.75).all(), err_l
+    assert (err_r < 0.75).all(), err_r
