@@ -279,14 +279,22 @@ def crosslink_diag(nv, idx0, bary0, idx1, bary1, weight, dtype=jnp.float32):
 
 # ------------------------- PCG solver ------------------------- #
 
-def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000):
-    """Jacobi-preconditioned conjugate gradients.
+def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000,
+             chances=None):
+    """Jacobi-preconditioned conjugate gradients with best-so-far tracking.
 
     matvec operates on (NV,2) arrays; ``diag`` is the operator diagonal for
     the preconditioner (entries <=0 are treated as 1). Termination:
-    ||r|| <= max(tol*||b||, atol). Returns (x, iterations, residual_norm).
-    Runs fully under jit via lax.while_loop (replaces scipy minres+pyAMG at
-    reference feabas/optimizer.py:1945-2080).
+    ||r|| <= max(tol*||b||, atol), iteration budget ``maxiter``, or —
+    when ``chances`` is set — after that many consecutive iterations
+    without residual improvement (the SLM_Callback cost-increase-chances
+    early stop, reference feabas/optimizer.py:1881-1942; the wall-clock
+    timeout is replaced by the iteration budget since the loop is one
+    compiled XLA program). The returned x is the best-so-far iterate by
+    residual norm, so a stalled or diverging tail never degrades the
+    solution. Returns (x_best, iterations, best_residual_norm). Runs fully
+    under jit via lax.while_loop (replaces scipy minres+pyAMG at reference
+    feabas/optimizer.py:1945-2080).
     """
     b = jnp.asarray(b)
     if x0 is None:
@@ -298,6 +306,7 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000):
 
     bnorm = jnp.linalg.norm(b)
     limit = jnp.maximum(tol * bnorm, atol)
+    max_stall = maxiter + 1 if chances is None else int(chances)
 
     def dot(a, c):
         return jnp.vdot(a, c)
@@ -306,13 +315,15 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000):
     z0 = minv * r0
     p0 = z0
     rz0 = dot(r0, z0)
+    rn0 = jnp.linalg.norm(r0)
 
     def cond(state):
-        x, r, p, rz, it = state
-        return jnp.logical_and(it < maxiter, jnp.linalg.norm(r) > limit)
+        x, r, p, rz, it, best_x, best_rn, stall = state
+        return ((it < maxiter) & (jnp.linalg.norm(r) > limit)
+                & (stall <= max_stall))
 
     def body(state):
-        x, r, p, rz, it = state
+        x, r, p, rz, it, best_x, best_rn, stall = state
         Ap = matvec(p)
         pAp = dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
@@ -322,7 +333,14 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000):
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p
-        return (x, r, p, rz_new, it + 1)
+        rn = jnp.linalg.norm(r)
+        improved = rn < best_rn
+        best_x = jnp.where(improved, x, best_x)
+        best_rn = jnp.where(improved, rn, best_rn)
+        stall = jnp.where(improved, 0, stall + 1)
+        return (x, r, p, rz_new, it + 1, best_x, best_rn, stall)
 
-    x, r, p, rz, it = jax.lax.while_loop(cond, body, (x0, r0, p0, rz0, 0))
-    return x, it, jnp.linalg.norm(r)
+    state = (x0, r0, p0, rz0, 0, x0, rn0, 0)
+    x, r, p, rz, it, best_x, best_rn, stall = jax.lax.while_loop(
+        cond, body, state)
+    return best_x, it, best_rn

@@ -74,7 +74,7 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     diag = jnp.where(free > 0, diag, 1.0)
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter)
-    return dx * free
+    return dx * free, jnp.linalg.norm(b), res
 
 
 class Link:
@@ -603,24 +603,58 @@ class SLM:
             return 1.0, 1.0
         return abs(ratio * tr_c / tr_k), 1.0
 
+    def _grouping_dof_map(self, groupings):
+        """Projection map for grouped-elastic DOF sharing (reference
+        optimizer.py:1378-1415): meshes in one group (identical topology)
+        share one deformation field. Returns (dof_map (NV,), ndof,
+        group_locked (num_meshes,)); a group is locked if ANY member is."""
+        groupings = np.asarray(groupings).ravel()
+        offsets = np.cumsum([0] + [m.num_vertices for m in self.meshes])
+        dof_map = np.zeros(int(offsets[-1]), np.int64)
+        reps = {}
+        next_dof = 0
+        glocked = {}
+        for m, g in zip(self.meshes, groupings):
+            glocked[g] = glocked.get(g, False) or m.locked
+        for i, (m, g) in enumerate(zip(self.meshes, groupings)):
+            if g not in reps:
+                reps[g] = next_dof
+                next_dof += m.num_vertices
+            elif next_dof - reps[g] < m.num_vertices:
+                raise ValueError('grouped meshes must share topology')
+            dof_map[offsets[i]:offsets[i + 1]] = \
+                reps[g] + np.arange(m.num_vertices)
+        group_locked = np.asarray([glocked[g] for g in groupings], bool)
+        return dof_map, next_dof, group_locked
+
     def optimize_linear(self, **kwargs):
         """One (tangent) elastic solve.
 
         Energy: lam_s/2 u'Ku + lam_c/2 |W C p|^2 over free meshes, u the
         displacement from shape_gear geometry, p the world positions.
         Solves A dx = b matrix-free and writes start + dx into target_gear.
+        Commits ONLY when the solve converged (post-residual below ||b||,
+        reference divergence refusal: optimizer.py:1420-1421); otherwise
+        positions are left untouched and ``last_solve_converged`` is False.
+        With ``groupings``, meshes of one group share one deformation via
+        DOF projection (reference: optimizer.py:1378-1415).
         Returns (cost_before, cost_after) as weighted residue norms.
         """
         tol = kwargs.get('tol', 1e-7)
         atol = kwargs.get('atol', 0.0)
-        maxiter = kwargs.get('maxiter', None) or 10000
+        maxiter = kwargs.get('maxiter', None)
+        maxiter = 10000 if maxiter is None else int(maxiter)
+        chances = kwargs.get('chances', None)
         shape_gear = kwargs.get('shape_gear', const.MESH_GEAR_FIXED)
         target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
         start_gear = kwargs.get('start_gear', target_gear)
         lam_s = kwargs.get('stiffness_lambda', self._stiffness_lambda)
         lam_c = kwargs.get('crosslink_lambda', self._crosslink_lambda)
+        groupings = kwargs.get('groupings', None)
+        check_converge = kwargs.get('check_converge', True)
         if np.all(self.lock_flags) or self.num_meshes == 0:
             return 0.0, 0.0
+        self.last_solve_converged = True
         sys_d = self._build_system(shape_gear=shape_gear)
         pos_start = self._gather_positions(start_gear)
         pos_shape = self._gather_positions(shape_gear)
@@ -632,6 +666,7 @@ class SLM:
                       and g['knots'] is None for g in groups)
         self._last_solve_fused = False
         if (all_eng and groups and lam_s < 0 and lam_c < 0
+                and groupings is None
                 and sys_d['links'][4].shape[0] > 0):
             self._last_solve_fused = True
             idx0, bary0, idx1, bary1, weight = sys_d['links']
@@ -642,7 +677,7 @@ class SLM:
             mult = jnp.concatenate([g['multiplier'] for g in groups])
             poisson = jnp.concatenate([g['poisson'] for g in groups])
             p_start = jnp.asarray(pos_start, dt)
-            dx = _linear_solve_eng(
+            dx, bnorm, res = _linear_solve_eng(
                 tris, B, area2, mult, poisson,
                 idx0, bary0, idx1, bary1, weight,
                 p_start, jnp.asarray(pos_shape, dt),
@@ -651,6 +686,11 @@ class SLM:
             r0n = fem.link_eval(p_start, idx1, bary1) \
                 - fem.link_eval(p_start, idx0, bary0)
             cost0 = float(jnp.linalg.norm(r0n * weight[:, None]))
+            ok = (float(res) < float(bnorm)
+                  or float(res) <= max(tol * float(bnorm), atol))
+            if check_converge and not ok:
+                self.last_solve_converged = False
+                return cost0, cost0
             self._scatter_positions(pos_start + np.asarray(dx), target_gear)
             r1 = self.match_residues(gear=target_gear)
             w_all = np.concatenate([l.weight() for l in self.active_links()]) \
@@ -661,10 +701,21 @@ class SLM:
         terms = self._element_terms(sys_d['groups'], u_cur)
         lam_s, lam_c = self._balance_lambdas(sys_d, terms, lam_s, lam_c)
         idx0, bary0, idx1, bary1, weight = sys_d['links']
-        free = sys_d['free'].astype(u_cur.dtype)
+        free = sys_d['free']
+        if groupings is not None:
+            dof_map, ndof, group_locked = self._grouping_dof_map(groupings)
+            # group lock discipline: any locked member locks the group
+            offs = np.cumsum([0] + [m.num_vertices for m in self.meshes])
+            free = np.array(free)  # writable host copy
+            for i, lk in enumerate(group_locked):
+                if lk:
+                    free[offs[i]:offs[i + 1]] = 0.0
+            free = jnp.asarray(free)
+            dof_map_j = jnp.asarray(dof_map)
+        free = free.astype(u_cur.dtype)
         nv = sys_d['nv']
 
-        def matvec(x):
+        def matvec_full(x):
             x = x * free
             y = jnp.zeros_like(x)
             for tris, Ke, _ in terms:
@@ -689,12 +740,35 @@ class SLM:
             diag = diag + fem.stiffness_diag(Ke, tris, nv) * lam_s
         diag = diag + fem.crosslink_diag(nv, idx0, bary0, idx1, bary1, weight,
                                          dtype=u_cur.dtype) * lam_c
-        diag = jnp.where(free > 0, diag, 1.0)
 
         cost0 = float(jnp.linalg.norm(r0 * weight[:, None]))
-        dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
-                                     maxiter=int(maxiter))
-        dx = np.asarray(dx * free)
+        if groupings is None:
+            diag = jnp.where(free > 0, diag, 1.0)
+            dx, n_it, res = fem.cg_solve(matvec_full, b, diag=diag, tol=tol,
+                                         atol=atol, maxiter=int(maxiter),
+                                         chances=chances)
+            bnorm = float(jnp.linalg.norm(b))
+            dx = np.asarray(dx * free)
+        else:
+            # projected system: P^T A P with P = expansion by dof_map
+            def seg(y):
+                return jnp.zeros((ndof, 2), y.dtype).at[dof_map_j].add(y)
+
+            def matvec_s(xs):
+                return seg(matvec_full(xs[dof_map_j]))
+
+            b_s = seg(b)
+            diag_s = seg(diag)
+            diag_s = jnp.where(diag_s > 0, diag_s, 1.0)
+            dxs, n_it, res = fem.cg_solve(matvec_s, b_s, diag=diag_s, tol=tol,
+                                          atol=atol, maxiter=int(maxiter),
+                                          chances=chances)
+            bnorm = float(jnp.linalg.norm(b_s))
+            dx = np.asarray(dxs[dof_map_j] * free)
+        ok = (float(res) < bnorm or float(res) <= max(tol * bnorm, atol))
+        if check_converge and not ok:
+            self.last_solve_converged = False
+            return cost0, cost0
         self._scatter_positions(pos_start + dx, target_gear)
         r1 = self.match_residues(gear=target_gear)
         w_all = np.concatenate([l.weight() for l in self.active_links()]) \
@@ -702,12 +776,35 @@ class SLM:
         cost1 = float(np.linalg.norm(r1 * w_all)) if r1.size else 0.0
         return cost0, cost1
 
+    def _snapshot_positions(self, gear):
+        return [(m.vertices(gear).copy(), m.offset(gear).copy())
+                for m in self.meshes]
+
+    def _restore_positions(self, snap, gear):
+        for m, (v, off) in zip(self.meshes, snap):
+            m.set_vertices(v, gear, offset=off)
+
+    def _count_flips(self, gear):
+        return sum(int(m.flipped_triangles(gear).size)
+                   for m in self.meshes if not m.locked)
+
     def optimize_Newton_Raphson(self, **kwargs):
         """Newton iterations for nonlinear materials: re-linearize, solve,
         damp on divergence, stop on small updates (reference:
         optimizer.py:1440). Each outer step reuses optimize_linear with
-        start=target gear."""
+        start=target gear.
+
+        Flip guard: when a step introduces NEW flipped triangles, the step
+        is rolled back and retried with the crosslink term shrunk by
+        ``crosslink_shrink`` (up to ``shrink_trial`` times) so the meshes
+        take a stiffer, smaller step (reference crosslink_shrink intent:
+        optimizer.py:1457-1461, per-step relax: :1514-1546). A diverged
+        linear solve (refused commit) ends the loop with the best-so-far
+        state intact."""
         max_newtonstep = kwargs.pop('max_newtonstep', 5)
+        crosslink_shrink = float(kwargs.pop('crosslink_shrink', 0.5))
+        shrink_trial = int(kwargs.pop('shrink_trial', 3))
+        deform_outlier_constant = kwargs.pop('deform_outlier_constant', 0)
         target_gear = kwargs.get('target_gear', const.MESH_GEAR_MOVING)
         kwargs.setdefault('start_gear', target_gear)
         residue_mode = kwargs.pop('residue_mode', None)
@@ -722,10 +819,24 @@ class SLM:
                 m.set_vertices(m.vertices(kwargs['start_gear']), target_gear,
                                offset=m.offset(kwargs['start_gear']))
         cost0 = cost1 = None
+        lam_c_base = kwargs.get('crosslink_lambda', self._crosslink_lambda)
         for step in range(max(int(max_newtonstep), 1)):
-            c0, c1 = self.optimize_linear(**{**kwargs, 'start_gear': target_gear})
+            pre_flips = self._count_flips(target_gear)
+            snap = self._snapshot_positions(target_gear)
+            lam_c = lam_c_base
+            for trial in range(max(shrink_trial, 1)):
+                c0, c1 = self.optimize_linear(
+                    **{**kwargs, 'start_gear': target_gear,
+                       'crosslink_lambda': lam_c})
+                if self._count_flips(target_gear) <= pre_flips:
+                    break
+                # new flips: roll back and take a stiffer, smaller step
+                self._restore_positions(snap, target_gear)
+                lam_c = lam_c * crosslink_shrink
             if cost0 is None:
                 cost0 = c0
+            if not getattr(self, 'last_solve_converged', True):
+                break
             cost1 = c1
             if residue_mode is not None and residue_len > 0:
                 for l in self.active_links():
@@ -733,6 +844,13 @@ class SLM:
                                                  residue_len=residue_len,
                                                  residue_mode=residue_mode)
             if anneal_mode is not None:
+                if deform_outlier_constant and deform_outlier_constant > 0:
+                    # relax IQR-outlier deformation hotspots before the
+                    # anneal locks them in (reference: optimizer.py:1514)
+                    for m in self.meshes:
+                        if not m.locked:
+                            relax_mesh_most_deformed(
+                                m, iqr_factor=float(deform_outlier_constant))
                 for m in self.meshes:
                     if not m.locked:
                         m.anneal(gear=(target_gear, const.MESH_GEAR_FIXED),

@@ -302,16 +302,24 @@ class Stitcher:
         return slm
 
     def optimize_elastic(self, **kwargs):
-        """Final elastic relaxation (reference: stitcher.py:961)."""
+        """Final elastic relaxation (reference: stitcher.py:961). With
+        ``use_groupings``, tiles of one group share one deformation via
+        DOF projection (reference groupings branch: stitcher.py:983)."""
         slm = getattr(self, '_slm', None) or self.initialize_optimizer()
         kwargs.setdefault('stiffness_lambda', -1.0)
         kwargs.setdefault('crosslink_lambda', -1.0)
         kwargs.setdefault('residue_mode', 'huber')
         kwargs.setdefault('residue_len', 3)
+        if kwargs.pop('use_groupings', False) and self.groupings is not None:
+            uid2idx = {id(m): i for i, m in enumerate(self.meshes)}
+            kwargs['groupings'] = np.asarray(
+                [self.groupings[uid2idx[id(m)]] for m in slm.meshes])
         cost = slm.optimize_elastic(
             **{k: v for k, v in kwargs.items()
                if k in ('stiffness_lambda', 'crosslink_lambda', 'residue_mode',
-                        'residue_len', 'tol', 'atol', 'maxiter', 'max_residue_passes')})
+                        'residue_len', 'tol', 'atol', 'maxiter',
+                        'max_residue_passes', 'groupings', 'chances')})
+        self.last_solve_converged = getattr(slm, 'last_solve_converged', True)
         return cost
 
     def set_groupings(self, groupings=None, msem=False):

@@ -102,6 +102,15 @@ def optimize_main(sections, conf, logger):
         if st.groupings is not None and (opt.get('group_elastic') or {}):
             st.optimize_group_intersection(**(opt.get('group_elastic') or {}))
         cost = st.optimize_elastic(**(opt.get('final_elastic') or {}))
+        if not getattr(st, 'last_solve_converged', True):
+            # divergence refusal: never commit a bad tform; leave a .h5_err
+            # marker so the run is inspectable and re-runnable (reference
+            # convergence check: scripts/stitch_main.py:123-127)
+            st.save_to_h5(out + '_err', save_matches=False, save_meshes=True)
+            logger.error(f'{name}: elastic solve diverged '
+                         f'(cost {cost[0]:.2f}->{cost[1]:.2f}); tform NOT '
+                         f'committed, wrote {out}_err')
+            continue
         st.correct_invalid_meshes()
         st.connect_isolated_subsystem(
             **(opt.get('disconnected_assemble') or {}))

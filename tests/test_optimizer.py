@@ -215,3 +215,101 @@ def test_fused_linear_path_executes(workdir):
     r_after = slm.match_residues(gear='MOVING')
     assert r_after.max() < 0.35 * r_before.max()
     assert c1 < c0
+
+
+def test_divergence_refusal_no_commit(workdir):
+    """A solve that cannot make progress (maxiter=0 starves CG) must NOT
+    move any vertex and must flag last_solve_converged=False (reference
+    refusal: optimizer.py:1420-1421)."""
+    from feabas_tpu.optimizer import SLM
+    slm = SLM([
+        _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=20),
+        _tile_mesh((80, 0, 180, 100), 1, mesh_size=20),
+    ])
+    pts = _grid_pts((80, 0, 100, 100), n=5)
+    slm.add_link_from_coordinates(0, 1, pts, pts - [4.0, 2.0])
+    m1 = slm.mesh_by_uid(1)
+    before = m1.vertices_w_offset('MOVING').copy()
+    c0, c1 = slm.optimize_linear(tol=1e-12, stiffness_lambda=-0.01,
+                                 crosslink_lambda=-1, maxiter=0)
+    assert slm.last_solve_converged is False
+    assert c1 == c0
+    assert np.allclose(m1.vertices_w_offset('MOVING'), before)
+    # the same system converges (and commits) with a real budget
+    c0, c1 = slm.optimize_linear(tol=1e-10, stiffness_lambda=-0.01,
+                                 crosslink_lambda=-1)
+    assert slm.last_solve_converged is True
+    assert c1 < c0
+    assert not np.allclose(m1.vertices_w_offset('MOVING'), before)
+
+
+def test_grouped_elastic_shares_deformation(workdir):
+    """Meshes in one grouping share one deformation field via DOF
+    projection (reference: optimizer.py:1378-1415): the ungrouped member
+    follows the evidence; its group twin (with no links of its own) moves
+    identically."""
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu import constant as const
+    m0 = _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=20)
+    m1 = _tile_mesh((80, 0, 180, 100), 1, mesh_size=20)
+    m2 = _tile_mesh((80, 0, 180, 100), 2, mesh_size=20)
+    slm = SLM([m0, m1, m2])
+    pts = _grid_pts((80, 0, 100, 100), n=5)
+    disp = np.stack([1.5 * np.sin(pts[:, 1] / 25.0),
+                     0.5 + 0.02 * pts[:, 1]], -1)
+    slm.add_link_from_coordinates(0, 1, pts, pts - disp)
+    c0, c1 = slm.optimize_linear(tol=1e-10, stiffness_lambda=-0.01,
+                                 crosslink_lambda=-1,
+                                 groupings=np.array([0, 1, 1]))
+    assert c1 < c0
+    u1 = m1.vertices_w_offset('MOVING') - m1.vertices_w_offset('FIXED')
+    u2 = m2.vertices_w_offset('MOVING') - m2.vertices_w_offset('FIXED')
+    assert np.abs(u1).max() > 0.3          # it moved
+    assert np.allclose(u1, u2, atol=1e-6)  # twin moved identically
+    # locked mesh untouched
+    assert np.allclose(m0.vertices_w_offset('MOVING'),
+                       m0.vertices_w_offset('FIXED'))
+
+
+def test_grouped_lock_discipline(workdir):
+    """A group containing a locked mesh is fully locked."""
+    from feabas_tpu.optimizer import SLM
+    m0 = _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=20)
+    m1 = _tile_mesh((0, 0, 100, 100), 1, mesh_size=20)
+    m2 = _tile_mesh((80, 0, 180, 100), 2, mesh_size=20)
+    slm = SLM([m0, m1, m2])
+    pts = _grid_pts((80, 0, 100, 100), n=5)
+    slm.add_link_from_coordinates(1, 2, pts, pts - [3.0, 0.0])
+    slm.optimize_linear(tol=1e-10, stiffness_lambda=-0.01,
+                        crosslink_lambda=-1,
+                        groupings=np.array([0, 0, 1]))
+    # m1 grouped with locked m0 -> must not move
+    assert np.allclose(m1.vertices_w_offset('MOVING'),
+                       m1.vertices_w_offset('FIXED'))
+    # m2 free: absorbed the displacement
+    u2 = m2.vertices_w_offset('MOVING') - m2.vertices_w_offset('FIXED')
+    assert np.abs(u2).max() > 1.0
+
+
+def test_newton_flip_guard(workdir):
+    """An adversarial far-pull must not leave flipped triangles: the
+    flip guard rolls back and re-steps with a shrunk crosslink term."""
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu.material import Material, MaterialTable
+    mt = MaterialTable()
+    mt.add('svk', Material(type='SVK', mask_label=77))
+    m0 = _tile_mesh((0, 0, 100, 100), 0, locked=True, mesh_size=20)
+    from feabas_tpu.mesh import Mesh
+    m1 = Mesh.from_bbox((80, 0, 180, 100), cartesian=True, mesh_size=20,
+                        uid=1, material_table=mt)
+    m1._material_ids[:] = mt['svk'].uid
+    slm = SLM([m0, m1])
+    pts = _grid_pts((80, 0, 100, 100), n=5)
+    # one massive outlier pull on a corner + mild consistent field
+    tgt = pts - [1.0, 0.5]
+    tgt[0] = pts[0] + [70.0, 60.0]
+    slm.add_link_from_coordinates(0, 1, pts, tgt)
+    slm.optimize_Newton_Raphson(tol=1e-8, stiffness_lambda=-0.5,
+                                crosslink_lambda=-1, max_newtonstep=4,
+                                residue_mode='huber', residue_len=2)
+    assert m1.flipped_triangles('MOVING').size == 0
