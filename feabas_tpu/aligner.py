@@ -225,6 +225,11 @@ class Stack:
         buffer_size = int(kwargs.pop('buffer_size', 16))
         start_loc = str(kwargs.pop('start_loc', 'M')).upper()
         commit_fn = kwargs.pop('commit_fn', None)
+        # whole-window remote handoff (reference SLURM windows:
+        # aligner.py:557,909): each window job runs in another
+        # process/node; tform files on the shared FS carry the state
+        dispatch = kwargs.pop('parallel_framework', None)
+        dispatch_settings = kwargs.pop('dispatch_settings', {}) or {}
         n = self.num_sections
         committed = np.asarray([self.get_mesh(s).locked
                                 for s in self.section_list])
@@ -262,8 +267,6 @@ class Stack:
                     lo = max(0, (n - total) // 2)
             hi = min(lo + total, n)
             win = list(range(lo, hi))
-            self.optimize_section_list([self.section_list[k] for k in win],
-                                       **dict(kwargs))
             # a window edge is "open" when uncommitted sections lie beyond
             # it; sections within buffer_size of an open edge stay
             # uncommitted and re-relax in the next window
@@ -279,6 +282,28 @@ class Stack:
                 score = [min(k - lo if open_left else n,
                              hi - 1 - k if open_right else n) for k in cand]
                 commit_set = [cand[int(np.argmax(score))]]
+            win_names = [self.section_list[k] for k in win]
+            if dispatch and self.mesh_dir is not None:
+                # remote handoff: the worker rebuilds the Stack (section
+                # locks come from tform existence), optimizes the window,
+                # and commits the decided set to tform_dir itself
+                from feabas_tpu.concurrent import submit_to_workers
+                commit_names = [self.section_list[k] for k in commit_set]
+                job = (_stack_init_dict(self), win_names, commit_names,
+                       dict(kwargs))
+                result = list(submit_to_workers(
+                    subprocess_optimize_window, [job], num_workers=1,
+                    parallel_framework=dispatch, **dispatch_settings))[0]
+                storage.clear_exists_cache()
+                for k, name in zip(commit_set, commit_names):
+                    # drop stale cached meshes; reload picks up the tform
+                    self.mesh_cache.pop(name)
+                    committed[k] = True
+                    out.append(name)
+                    if commit_fn is not None:
+                        commit_fn(name, self.get_mesh(name))
+                continue
+            self.optimize_section_list(win_names, **dict(kwargs))
             for k in commit_set:
                 do_commit(k)
         return out
@@ -301,6 +326,25 @@ def subprocess_optimize_stack(init_dict, slide_kwargs):
         mesh.save_to_h5(join_paths(stack.tform_dir, name + '.h5'))
 
     return stack.optimize_slide_window(commit_fn=commit, **slide_kwargs)
+
+
+def subprocess_optimize_window(init_dict, window_sections, commit_sections,
+                               opt_kwargs):
+    """Worker for ONE window handed off by ``optimize_slide_window``
+    (reference remote windows: aligner.py:557,909).
+
+    Rebuilds the Stack from the shared filesystem (sections with tforms
+    load locked, giving the window its committed context), relaxes the
+    window, and commits the pre-decided set. Returns the committed names.
+    """
+    init_dict = dict(init_dict)
+    init_dict.pop('section_list', None)
+    stack = Stack(section_list=list(window_sections), **init_dict)
+    stack.optimize_section_list(list(window_sections), **dict(opt_kwargs))
+    for name in commit_sections:
+        mesh = stack.get_mesh(name)
+        mesh.save_to_h5(join_paths(stack.tform_dir, name + '.h5'))
+    return list(commit_sections)
 
 
 def split_disconnected_sections(stack):
@@ -348,6 +392,13 @@ class Aligner:
         return self._run_window(slide, **kwargs)
 
     def _run_window(self, slide, num_workers=1, **kwargs):
+        # a remote general-config framework routes whole windows to
+        # cluster nodes (reference gating: aligner.py:557)
+        from feabas_tpu.concurrent import REMOTE_FRAMEWORKS
+        slide = dict(slide)
+        if (slide.get('parallel_framework') is None
+                and config.parallel_framework() in REMOTE_FRAMEWORKS):
+            slide['parallel_framework'] = config.parallel_framework()
         sections = self.get_section_list()
         stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
                       tform_dir=self.tform_dir, match_dir=self.match_dir,
@@ -356,7 +407,10 @@ class Aligner:
         committed = []
         if len(components) > 1 and num_workers > 1:
             # link-disconnected components are independent: fan them out
+            # (whole components go to remote nodes when a remote framework
+            # is configured; their windows then run locally on the node)
             from feabas_tpu.concurrent import submit_to_workers
+            fw = slide.pop('parallel_framework', None)
             args = []
             for comp in components:
                 sub = Stack(section_list=comp, mesh_dir=self.mesh_dir,
@@ -364,7 +418,8 @@ class Aligner:
                             resolution=self.resolution)
                 args.append((_stack_init_dict(sub), dict(slide)))
             for result in submit_to_workers(subprocess_optimize_stack, args,
-                                            num_workers=num_workers):
+                                            num_workers=num_workers,
+                                            parallel_framework=fw):
                 committed += result
             storage.clear_exists_cache()
         else:

@@ -51,6 +51,9 @@ class CacheNull:
     def clear(self, instant_gc=False):
         pass
 
+    def pop(self, key, default=None):
+        return default
+
     def trim(self):
         pass
 
@@ -81,6 +84,14 @@ class _CacheBase(CacheNull):
         val, nb = self._store.pop(key)
         self._bytes -= nb
         return val
+
+    def pop(self, key, default=None):
+        """Remove and return a cached item (cache-invalidation hook for
+        externally modified artifacts, e.g. tforms rewritten by a remote
+        worker)."""
+        if key in self._store:
+            return self._pop(key)
+        return default
 
     def __setitem__(self, key, value):
         if key in self._store:

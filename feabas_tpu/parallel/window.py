@@ -153,19 +153,79 @@ def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
     return pos + dx * free, n_it, res
 
 
+def _put_global(arr, sharding):
+    """Place a host array on a (possibly multi-host) sharding. Every
+    process holds the full numpy system (host metadata is tiny relative to
+    device work), so each process materializes exactly its addressable
+    shards — the multi-host generalization of ``jax.device_put``."""
+    arr = np.asarray(arr)
+    return jax.make_array_from_callback(arr.shape, sharding,
+                                        lambda idx: arr[idx])
+
+
 def shard_stack_system(system, device_mesh):
-    """Place the batched arrays on a 1-D device mesh along z."""
+    """Place the batched arrays on a 1-D device mesh along z.
+
+    Works for a single-process mesh AND a multi-process
+    ``jax.distributed`` mesh spanning hosts (DCN x ICI): arrays are built
+    with ``make_array_from_callback`` so only addressable shards
+    materialize locally; the z-neighbor crosslink slicing in
+    ``_stack_matvec`` then lowers to ICI/DCN halo collectives.
+    """
     z = NamedSharding(device_mesh, P('z'))
     rep = NamedSharding(device_mesh, P())
     out = dict(system)
     for k in ('verts0', 'pos', 'multiplier', 'poisson', 'free'):
-        out[k] = jax.device_put(system[k], z)
-    out['tris'] = jax.device_put(system['tris'], rep)
+        out[k] = _put_global(system[k], z)
+    out['tris'] = _put_global(system['tris'], rep)
     # links live on the left-neighbor shard; S-1 entries shard like z when
     # divisible, else replicate (tiny)
     links = system['links']
     if links[4].shape[0] % device_mesh.devices.size == 0:
-        out['links'] = tuple(jax.device_put(a, z) for a in links)
+        out['links'] = tuple(_put_global(a, z) for a in links)
     else:
-        out['links'] = tuple(jax.device_put(a, rep) for a in links)
+        out['links'] = tuple(_put_global(a, rep) for a in links)
     return out
+
+
+def initialize_multihost(coordinator_address, num_processes, process_id,
+                         **kwargs):
+    """Join a multi-process JAX cluster (DCN coordination). The TPU-pod
+    replacement for the reference's dask/SLURM scale-out of window solves
+    (reference: feabas/concurrent.py:147, aligner.py:909): one window's
+    block-tridiagonal system spans every chip of every host."""
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id, **kwargs)
+
+
+def global_stack_mesh():
+    """1-D 'z' mesh over ALL devices of the cluster (all hosts)."""
+    return JMesh(np.array(jax.devices()), ('z',))
+
+
+def gather_stack_result(pos):
+    """Full (S, V, 2) numpy result on every process."""
+    if jax.process_count() == 1:
+        return np.asarray(pos)
+    from jax.experimental import multihost_utils
+    return np.asarray(multihost_utils.process_allgather(
+        pos, tiled=True))
+
+
+def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
+                           maxiter=500):
+    """Solve one window across every device of a (multi-host) cluster.
+
+    Builds the stacked system on host, shards it over the global 'z'
+    mesh, runs the jitted CG (collectives ride ICI within a host and DCN
+    across hosts), and returns the full solution on every process.
+    """
+    system = build_stack_system(meshes, links_per_pair)
+    jmesh = global_stack_mesh()
+    sharded = shard_stack_system(system, jmesh)
+    pos, n_it, res = stack_solve(
+        sharded['verts0'], sharded['pos'], sharded['tris'],
+        sharded['multiplier'], sharded['poisson'], sharded['links'],
+        sharded['free'], lam_s=lam_s, tol=tol, maxiter=maxiter)
+    return gather_stack_result(pos), int(n_it), float(res)
