@@ -437,90 +437,208 @@ class Aligner:
             self.logger.info(f'aligned {len(committed)} section(s)')
         return committed
 
+    def _chunk_dirs(self, depth):
+        """Work-dir layout for one chunking level (reference
+        align/chunked_tform: aligner.py:928)."""
+        base = join_paths(os.path.dirname(self.tform_dir.rstrip('/')),
+                          'chunked_tform', f'depth{depth}')
+        dirs = {k: join_paths(base, k) for k in
+                ('chunk_tform', 'meta_mesh', 'meta_match', 'meta_tform')}
+        for d in dirs.values():
+            storage.makedirs(d)
+        return dirs
+
+    @staticmethod
+    def _merge_chunked_meshes(member_meshes, name, uid, resolution):
+        """One meta-section mesh covering the union of a chunk's
+        (chunk-aligned, MOVING gear) member meshes at equivalent density
+        (reference _merge_chunked_meshes: aligner.py:1568)."""
+        bbs = np.stack([m.bbox(gear=const.MESH_GEAR_MOVING)
+                        for m in member_meshes])
+        bb = (bbs[:, 0].min(), bbs[:, 1].min(),
+              bbs[:, 2].max(), bbs[:, 3].max())
+        area = sum(float(np.abs(m.triangle_areas(
+            const.MESH_GEAR_MOVING, signed=False)).sum())
+            for m in member_meshes)
+        ntri = sum(m.num_triangles for m in member_meshes)
+        mesh_size = max(2.0 * (area / max(ntri, 1)) ** 0.5,
+                        (bb[2] - bb[0]) / 64, 1.0)
+        return Mesh.from_bbox(bb, cartesian=True, mesh_size=mesh_size,
+                              name=name, uid=uid, resolution=resolution)
+
+    @staticmethod
+    def _merge_chunked_matches(pair_matches):
+        """Map cross-chunk section matches through the chunk tforms into
+        chunk-aligned (MOVING) coordinates and concatenate them into one
+        meta match (reference _merge_chunked_matches: aligner.py:1590)."""
+        XY0, XY1, WTS, STRNS = [], [], [], []
+        for match, m0, m1, flipped in pair_matches:
+            tid0 = m0.tri_finder(match.xy0, gear=const.MESH_GEAR_INITIAL,
+                                 extrapolate=True)
+            tid1 = m1.tri_finder(match.xy1, gear=const.MESH_GEAR_INITIAL,
+                                 extrapolate=True)
+            xy0 = m0.bary2cart(tid0, m0.cart2bary(
+                match.xy0, tid0, gear=const.MESH_GEAR_INITIAL),
+                gear=const.MESH_GEAR_MOVING)
+            xy1 = m1.bary2cart(tid1, m1.cart2bary(
+                match.xy1, tid1, gear=const.MESH_GEAR_INITIAL),
+                gear=const.MESH_GEAR_MOVING)
+            if flipped:
+                xy0, xy1 = xy1, xy0
+            XY0.append(xy0)
+            XY1.append(xy1)
+            WTS.append(match.weight)
+            STRNS.append((match.strain, float(np.sum(match.weight))))
+        if not XY0:
+            return None
+        STRNS = np.asarray(STRNS)
+        wsum = STRNS[:, 1].sum()
+        strain = float((STRNS[:, 0] * STRNS[:, 1]).sum() / max(wsum, 1e-12))
+        return Match(np.concatenate(XY0), np.concatenate(XY1),
+                     np.concatenate(WTS), strain)
+
     def _run_chunked(self, slide, chunk_settings, **kwargs):
-        """Hierarchical chunked alignment: align within chunks, then treat
-        chunks as rigid meta-units aligned by a second pass, then apply the
-        meta transforms and re-smooth junctions (reference: aligner.py:1272).
-        Depth 1 implementation: chunk -> window -> junction smoothing."""
+        """True hierarchical chunked alignment (reference:
+        aligner.py:1158-1230,1272,1391,1568-1630):
+
+        1. window-align each chunk of sections independently (free
+           floating, committed to a chunk-tform dir);
+        2. merge each chunk into a META-SECTION: one mesh over the union
+           of its chunk-aligned members + cross-chunk matches mapped
+           through the chunk tforms;
+        3. recursively align the meta-sections with stiffness scaled by
+           the mean chunk size (depth-1 recursion of Aligner.run);
+        4. PREDEFORM: resample every member section through its chunk's
+           solved meta deformation (transform_mesh);
+        5. re-relax junctional neighborhoods elastically with
+           non-junctional sections locked (second smooth).
+        """
+        depth = int(chunk_settings.get('chunked_to_depth', 1))
         chunk_size = int(chunk_settings.get('default_chunk_size', 16))
         junction_width = chunk_settings.get('junction_width', 0.2)
         sections = self.get_section_list()
         if junction_width < 1:
             junction_width = max(int(round(junction_width * chunk_size)), 1)
         junction_width = int(junction_width)
+        if chunk_size >= len(sections) or len(sections) <= 2:
+            return self._run_window(slide, **kwargs)
+        dirs = self._chunk_dirs(depth)
         chunks = [sections[i:i + chunk_size]
                   for i in range(0, len(sections), chunk_size)]
+        chunk_names = [f'chunk{k:05d}' for k in range(len(chunks))]
+        chunk_of = {s: k for k, chunk in enumerate(chunks) for s in chunk}
         committed = []
-        # pass 1: window-align within each chunk independently (first section
-        # of each chunk anchors it)
+        # ---- pass 1: align within chunks (free-floating; resume by file) —
         for chunk in chunks:
+            if all(storage.file_exists(join_paths(dirs['chunk_tform'], s + '.h5'),
+                                       use_cache=True) for s in chunk):
+                continue
             stack = Stack(section_list=chunk, mesh_dir=self.mesh_dir,
-                          tform_dir=self.tform_dir, match_dir=self.match_dir,
+                          tform_dir=dirs['chunk_tform'],
+                          match_dir=self.match_dir,
                           resolution=self.resolution)
 
             def commit(name, mesh):
-                mesh.save_to_h5(join_paths(self.tform_dir, name + '.h5'))
+                mesh.save_to_h5(join_paths(dirs['chunk_tform'], name + '.h5'))
                 storage.clear_exists_cache()
 
-            committed += stack.optimize_slide_window(commit_fn=commit, **slide)
-        # pass 2: place each chunk globally — fit a weighted affine from the
-        # cross-chunk matches and chain it down the stack (the depth-1
-        # analog of the reference's meta-section alignment,
-        # aligner.py:1568-1630)
-        from feabas_tpu.spatial import fit_affine
-        from feabas_tpu.optimizer import Link
-        full_stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
-                           tform_dir=self.tform_dir, match_dir=self.match_dir,
-                           resolution=self.resolution)
-        chunk_of = {}
-        for k, chunk in enumerate(chunks):
+            stack.optimize_slide_window(commit_fn=commit, **dict(slide))
+        chunk_stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
+                            tform_dir=dirs['chunk_tform'],
+                            match_dir=self.match_dir,
+                            resolution=self.resolution)
+        # ---- pass 2: meta-section meshes + matches ----
+        for k, (chunk, cname) in enumerate(zip(chunks, chunk_names)):
+            out = join_paths(dirs['meta_mesh'], cname + '.h5')
+            if storage.file_exists(out, use_cache=True):
+                continue
+            members = [chunk_stack.get_mesh(s) for s in chunk]
+            meta = self._merge_chunked_meshes(members, cname, float(k),
+                                              self.resolution
+                                              or chunk_stack.resolution)
+            meta.save_to_h5(out)
+        meta_pairs = {}
+        for (a, b) in chunk_stack.match_list:
+            ka, kb = chunk_of.get(a), chunk_of.get(b)
+            if ka is None or kb is None or ka == kb:
+                continue
+            flipped = ka > kb
+            key = (min(ka, kb), max(ka, kb))
+            meta_pairs.setdefault(key, []).append(
+                (chunk_stack.get_match((a, b)), chunk_stack.get_mesh(a),
+                 chunk_stack.get_mesh(b), flipped))
+        for (ka, kb), plist in meta_pairs.items():
+            out = join_paths(dirs['meta_match'],
+                             match_name(chunk_names[ka], chunk_names[kb]))
+            if storage.file_exists(out, use_cache=True):
+                continue
+            merged = self._merge_chunked_matches(plist)
+            if merged is not None:
+                save_matches_to_h5(out, merged,
+                                   chunk_stack.resolution)
+        # ---- pass 3: recursive meta alignment, stiffness scaled by the
+        # mean chunk size (reference: aligner.py:1213-1214) ----
+        mean_cnt = float(np.mean([len(c) for c in chunks]))
+        meta_slide = dict(slide)
+        ep = dict(meta_slide.get('elastic_params', {}) or {})
+        ep['stiffness_lambda'] = abs(ep.get('stiffness_lambda', 1.0)) * mean_cnt
+        meta_slide['elastic_params'] = ep
+        meta_aligner = Aligner(dirs['meta_mesh'], dirs['meta_tform'],
+                               dirs['meta_match'],
+                               resolution=self.resolution,
+                               logger=self.logger)
+        meta_aligner.run(slide_window=meta_slide,
+                         chunk_settings={**chunk_settings,
+                                         'chunked_to_depth': depth - 1})
+        # ---- pass 4: predeform member sections through the solved meta
+        # deformation (reference predeform_sections_by_chunk: :1391) ----
+        for k, (chunk, cname) in enumerate(zip(chunks, chunk_names)):
+            meta_tf = join_paths(dirs['meta_tform'], cname + '.h5')
+            if not storage.file_exists(meta_tf):
+                if self.logger:
+                    self.logger.warning(f'meta tform missing: {meta_tf}')
+                continue
+            carrier = Mesh.from_h5(meta_tf)
+            carrier.change_resolution(chunk_stack.resolution)
             for s in chunk:
-                chunk_of[s] = k
+                mesh = chunk_stack.get_mesh(s)
+                probe = mesh.copy()
+                probe.set_vertices(mesh.vertices(const.MESH_GEAR_MOVING),
+                                   const.MESH_GEAR_FIXED,
+                                   offset=mesh.offset(const.MESH_GEAR_MOVING))
+                warped = transform_mesh(
+                    probe, carrier,
+                    gear=(const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING))
+                mv = warped.vertices_w_offset(const.MESH_GEAR_MOVING)
+                c = mv.mean(axis=0, keepdims=True)
+                out_mesh = mesh.copy()
+                out_mesh.set_vertices(mv - c, const.MESH_GEAR_MOVING, offset=c)
+                out_mesh.locked = True
+                out_mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
+                committed.append(s)
+        storage.clear_exists_cache()
+        # ---- pass 5: second smooth — elastic re-relaxation of junctional
+        # neighborhoods with everything else locked (reference: :1216-1228) —
+        final_stack = Stack(section_list=sections, mesh_dir=self.mesh_dir,
+                            tform_dir=self.tform_dir,
+                            match_dir=self.match_dir,
+                            resolution=self.resolution)
         for k in range(1, len(chunks)):
-            p0s, p1s, ws = [], [], []
-            for (a, b) in full_stack.match_list:
-                ka, kb = chunk_of.get(a), chunk_of.get(b)
-                if {ka, kb} != {k - 1, k}:
-                    continue
-                m = full_stack.get_match((a, b))
-                xy_a, xy_b = m.xy0, m.xy1
-                if ka == k:  # orient so side0 is the placed (previous) chunk
-                    a, b = b, a
-                    xy_a, xy_b = xy_b, xy_a
-                link = Link.from_coordinates(full_stack.get_mesh(a),
-                                             full_stack.get_mesh(b),
-                                             xy_a, xy_b, weight=m.weight)
-                p0s.append(link.xy0(gear=const.MESH_GEAR_MOVING))
-                p1s.append(link.xy1(gear=const.MESH_GEAR_MOVING))
-                ws.append(link.weight())
-            if not p0s:
+            junction = (chunks[k - 1][-junction_width:]
+                        + chunks[k][:junction_width])
+            lo = max(sections.index(junction[0]) - 1, 0)
+            hi = min(sections.index(junction[-1]) + 2, len(sections))
+            window = sections[lo:hi]
+            if len(window) < 3:
                 continue
-            T = fit_affine(np.concatenate(p0s), np.concatenate(p1s),
-                           weights=np.concatenate(ws))
-            for s in chunks[k]:
-                mesh = full_stack.get_mesh(s)
-                mesh.apply_affine(T, gear=(const.MESH_GEAR_MOVING,
-                                           const.MESH_GEAR_MOVING))
-                mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
-            storage.clear_exists_cache()
-        # pass 3: re-relax junction neighborhoods across chunk boundaries
-        for k in range(1, len(chunks)):
-            junction = chunks[k - 1][-junction_width:] + chunks[k][:junction_width]
-            if len(junction) < 2:
-                continue
-            stack = Stack(section_list=junction, mesh_dir=self.mesh_dir,
-                          tform_dir=self.tform_dir, match_dir=self.match_dir,
-                          resolution=self.resolution)
+            free = set(junction)
+            for s in window:
+                final_stack.get_mesh(s).locked = s not in free
+            final_stack.optimize_section_list(window, **dict(slide))
             for s in junction:
-                m = stack.get_mesh(s)
-                m.locked = False
-            # anchor the two outermost sections
-            stack.get_mesh(junction[0]).locked = True
-            stack.get_mesh(junction[-1]).locked = True
-            slm = stack.optimize_section_list(junction, **dict(slide))
-            for s in junction[1:-1]:
-                mesh = stack.get_mesh(s)
+                mesh = final_stack.get_mesh(s)
                 mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
+                mesh.locked = True
             storage.clear_exists_cache()
         return committed
 

@@ -167,7 +167,10 @@ def matching_main(args, conf, logger):
             **{k: v for k, v in matcher_config.items()
                if k in ('spacings', 'sigma', 'conf_thresh', 'pad',
                         'residue_mode', 'residue_len', 'batch_size',
-                        'shrink_factor', 'min_boundary_distance')})
+                        'shrink_factor', 'min_boundary_distance',
+                        'distributor', 'geodesic_mask', 'allow_dwell',
+                        'max_spacing_skip', 'min_block_size_multiplier',
+                        'link_weight_decay', 'split_disconnected')})
         if match is None:
             logger.warning(f'{sec0} -> {sec1}: matching failed')
             continue

@@ -168,3 +168,65 @@ def test_disconnected_components_align_independently(workdir, rng):
                 base = d
             err = (d - base) - (-offs[g] * z)
             assert np.abs(err).max() < 0.25, (g, z, err)
+
+
+def test_chunked_depth2_matches_windowed(workdir, rng):
+    """Depth-2 hierarchical chunking on 64 sections: per-pair residues of
+    the chunked output must match a plain windowed run within tolerance
+    (VERDICT round-1 done-criterion for hierarchical alignment)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import (Aligner, Stack, save_matches_to_h5,
+                                    match_name)
+    from feabas_tpu.common import Match
+    from feabas_tpu.optimizer import Link
+    S = 64
+    mesh_dir = storage.join_paths(str(workdir), 'align', 'mesh')
+    match_dir = storage.join_paths(str(workdir), 'align', 'matches')
+    tform_w = storage.join_paths(str(workdir), 'align_w', 'tform')
+    tform_c = storage.join_paths(str(workdir), 'align_c', 'tform')
+    for d in (mesh_dir, match_dir, tform_w, tform_c):
+        storage.makedirs(d)
+    drift = np.cumsum(rng.normal(0, 1.5, (S, 2)), axis=0)
+    drift -= drift[0]
+    names = [f'sec{z:04d}' for z in range(S)]
+    xs, ys = np.meshgrid(np.linspace(10, 110, 4), np.linspace(10, 110, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    for name in names:
+        m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=40,
+                           name=name, resolution=4)
+        m.save_to_h5(storage.join_paths(mesh_dir, name + '.h5'))
+    for z in range(S - 1):
+        delta = drift[z + 1] - drift[z]
+        match = Match(pts, pts + delta, np.ones(len(pts)), 0.01)
+        save_matches_to_h5(storage.join_paths(
+            match_dir, match_name(names[z], names[z + 1])), match, 4)
+    slide = {'window_size': 6, 'buffer_size': 2, 'start_loc': 'L',
+             'residue_len': 3}
+    # windowed baseline
+    Aligner(mesh_dir, tform_w, match_dir, resolution=4).run(
+        slide_window=dict(slide))
+    # depth-2 chunked: 64 -> 16 metas -> 4 meta^2 -> window
+    Aligner(mesh_dir, tform_c, match_dir, resolution=4).run(
+        chunk_settings={'chunked_to_depth': 2, 'default_chunk_size': 4,
+                        'junction_width': 0.5},
+        slide_window=dict(slide))
+
+    def pair_residues(tform_dir):
+        stack = Stack(section_list=names, mesh_dir=mesh_dir,
+                      tform_dir=tform_dir, match_dir=match_dir, resolution=4)
+        meds = []
+        for pair in stack.match_list:
+            m0, m1 = stack.get_mesh(pair[0]), stack.get_mesh(pair[1])
+            mt = stack.get_match(pair)
+            link = Link.from_coordinates(m0, m1, mt.xy0, mt.xy1,
+                                         weight=mt.weight)
+            meds.append(np.median(link.residues(gear='MOVING')))
+        return np.asarray(meds)
+
+    r_w = pair_residues(tform_w)
+    r_c = pair_residues(tform_c)
+    assert r_w.max() < 0.6, r_w.max()
+    # chunked output residues within tolerance of the windowed output
+    assert r_c.max() < max(2.5 * r_w.max(), 1.0), (r_c.max(), r_w.max())
+    assert np.median(r_c) < max(3 * np.median(r_w), 0.5)
