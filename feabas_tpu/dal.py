@@ -400,14 +400,29 @@ class TensorStoreWriter:
         w._offset = (x0, y0)
         w._chunk_shape = chunk_shape
         w._size = size
+        # materialize the store eagerly: later (re-)opens — including in
+        # pickled worker copies — are open-only, so workers never race on
+        # creation
+        import tensorstore as ts
+        w._dataset = ts.open(spec).result()
         return w
 
     @property
     def dataset(self):
         if self._dataset is None:
             import tensorstore as ts
-            self._dataset = ts.open(self._spec).result()
+            spec = dict(self._spec)
+            # workers open an existing store; never re-create (races)
+            if spec.pop('create', False):
+                spec['open'] = True
+            self._dataset = ts.open(spec).result()
         return self._dataset
+
+    def __getstate__(self):
+        # picklable across process workers: the open handle re-opens lazily
+        state = dict(self.__dict__)
+        state['_dataset'] = None
+        return state
 
     @property
     def offset(self):

@@ -321,11 +321,20 @@ class VolumeRenderer:
 
     def render_volume(self, **kwargs):
         """Render all sections chunk by chunk (reference: renderer.py:1107).
-        Returns the number of chunks written."""
+
+        With ``num_workers`` > 1 each z-section's pending Morton-ordered
+        chunks split into batches rendered by process workers
+        (submesh-per-job: each worker loads only the mesh region covering
+        its batch, reference: renderer.py:1096-1103,1138); the driver
+        updates the per-z flag JSON as batches complete, so an interrupted
+        run resumes without rewriting finished chunks. Returns the number
+        of chunks written."""
         import json as _json
         import time as _time
         from feabas_tpu.mesh import Mesh
         from feabas_tpu.config import CHECKPOINT_TIME_INTERVAL
+        num_workers = int(kwargs.pop('num_workers', 1) or 1)
+        chunks_per_job = int(kwargs.pop('chunks_per_job', 16))
         n_written = 0
         for z, name, mesh_src in self.tform_list:
             mesh = mesh_src if not isinstance(mesh_src, str) else Mesh.from_h5(mesh_src)
@@ -335,26 +344,88 @@ class VolumeRenderer:
             if flags_path and storage.file_exists(flags_path):
                 with storage.File(flags_path, 'r') as f:
                     done = set(tuple(c) for c in _json.load(f).get('done', []))
-            renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
-            chunks = self.writer.plan_chunks(renderer.bounds)
+            bounds = mesh.bbox(gear=const.MESH_GEAR_MOVING)
+            chunks = [b for b in self.writer.plan_chunks(bounds)
+                      if (int(b[0]), int(b[1])) not in done]
             last_flush = _time.time()
-            for bbox in chunks:
-                key = (int(bbox[0]), int(bbox[1]))
-                if key in done:
-                    continue
-                blk = renderer.crop(bbox, return_empty=True)
-                if blk is not None:
-                    self.writer.write_single_chunk(bbox, z, blk)
-                    n_written += 1
-                done.add(key)
-                if flags_path and (_time.time() - last_flush
+
+            def flush(force=False):
+                nonlocal last_flush
+                if flags_path and (force or _time.time() - last_flush
                                    > CHECKPOINT_TIME_INTERVAL):
                     with storage.File(flags_path, 'w') as f:
                         _json.dump({'done': sorted(done)}, f)
                     last_flush = _time.time()
-            if flags_path:
-                with storage.File(flags_path, 'w') as f:
-                    _json.dump({'done': sorted(done)}, f)
+
+            loader_spec = None
+            if num_workers > 1:
+                if isinstance(self.loaders[name], str):
+                    loader_spec = self.loaders[name]
+                else:
+                    try:
+                        loader_spec = loader.to_dict()
+                    except Exception:
+                        loader_spec = None  # not picklable: render serially
+            can_fanout = loader_spec is not None and len(chunks) > 1
+            if can_fanout:
+                from feabas_tpu.concurrent import submit_to_workers
+                batches = [chunks[i:i + chunks_per_job]
+                           for i in range(0, len(chunks), chunks_per_job)]
+                args = [(mesh.get_init_dict(), loader_spec, self.writer,
+                         batch, int(z), self._interp) for batch in batches]
+                for keys, wrote in submit_to_workers(
+                        subprocess_render_volume_chunks, args,
+                        num_workers=num_workers):
+                    done.update(tuple(k) for k in keys)
+                    n_written += wrote
+                    flush()
+            else:
+                renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
+                for bbox in chunks:
+                    key = (int(bbox[0]), int(bbox[1]))
+                    blk = renderer.crop(bbox, return_empty=True)
+                    if blk is not None:
+                        self.writer.write_single_chunk(bbox, z, blk)
+                        n_written += 1
+                    done.add(key)
+                    flush()
+            flush(force=True)
             if self.logger:
                 self.logger.info(f'z={z} {name}: volume chunks done')
         return n_written
+
+
+def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
+                                    chunk_bboxes, z, interp='LINEAR'):
+    """Worker: render a batch of volume chunks for one section
+    (reference subprocess_render_partial_ts_slab: renderer.py:1385).
+
+    Rebuilds the mesh from its init dict, SUBMESHES to the batch's bbox
+    union (so huge sections don't fully load per job), opens the loader
+    from its JSON spec, and writes each chunk. Returns (done_keys,
+    num_written)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
+    mesh = Mesh(mesh_init.pop('vertices'), mesh_init.pop('triangles'),
+                **mesh_init)
+    boxes = np.asarray(chunk_bboxes, np.float64).reshape(-1, 4)
+    union = (boxes[:, 0].min(), boxes[:, 1].min(),
+             boxes[:, 2].max(), boxes[:, 3].max())
+    tb = mesh.triangle_bboxes(const.MESH_GEAR_MOVING)
+    sel = ((tb[:, 0] < union[2]) & (tb[:, 2] > union[0]) &
+           (tb[:, 1] < union[3]) & (tb[:, 3] > union[1]))
+    if sel.any() and not sel.all():
+        mesh = mesh.submesh(sel)
+    if isinstance(loader_spec, str):
+        loader = StaticImageLoader.from_coordinate_file(loader_spec)
+    else:
+        loader = get_loader_from_json(loader_spec)
+    renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
+    keys, wrote = [], 0
+    for bbox in chunk_bboxes:
+        blk = renderer.crop(bbox, return_empty=True)
+        if blk is not None:
+            writer.write_single_chunk(bbox, z, blk)
+            wrote += 1
+        keys.append((int(bbox[0]), int(bbox[1])))
+    return keys, wrote

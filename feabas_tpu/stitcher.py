@@ -562,7 +562,12 @@ class MontageRenderer:
     @classmethod
     def from_h5(cls, fname, loader_config=None, **kwargs):
         st = Stitcher.from_h5(fname, load_matches=False, load_meshes=True)
-        return cls.from_stitcher(st, loader_config=loader_config, **kwargs)
+        obj = cls.from_stitcher(st, loader_config=loader_config, **kwargs)
+        # remember the source so render jobs can rebuild in workers
+        obj._src_h5 = fname
+        obj._loader_config = loader_config
+        obj._init_kwargs = dict(kwargs)
+        return obj
 
     @property
     def bounds(self):
@@ -683,26 +688,55 @@ class MontageRenderer:
             plan.append((fname, bbox))
         return plan
 
+    def render_tile_list(self, plan, out_dir, **kwargs):
+        """Render a list of (filename, bbox) output tiles; existing files
+        are skipped (file-keyed resume). Returns the rendered sublist."""
+        from feabas_tpu import storage
+        rendered = []
+        for fname, bbox in plan:
+            path = join_paths(out_dir, fname)
+            if storage.file_exists(path, use_cache=True):
+                rendered.append((fname, bbox))
+                continue
+            blk = self.crop(bbox, return_empty=True, **kwargs)
+            if blk is None:
+                continue
+            common.imwrite(path, blk)
+            rendered.append((fname, bbox))
+        return rendered
+
     def render_series_to_file(self, out_dir, **kwargs):
         """Render all output tiles as images; writes a metadata coordinate
         file so later stages can mosaic-load the result
-        (reference: stitcher.py:1567)."""
+        (reference: stitcher.py:1567). With ``num_workers`` > 1 the
+        z-ordered plan splits into contiguous job slices rendered by
+        process workers, each rebuilding the renderer from the source H5
+        (reference fan-out: stitcher.py:1790,1967)."""
         from feabas_tpu import storage
         tile_size = kwargs.pop('tile_size', (4096, 4096))
         pattern = kwargs.pop('pattern', '_tr{ROW_IND}-tc{COL_IND}.png')
         one_based = kwargs.pop('one_based', True)
+        num_workers = int(kwargs.pop('num_workers', 1) or 1)
         prefix = self.name or 'section'
         plan = self.plan_render_series(tile_size=tile_size, pattern=pattern,
                                        one_based=one_based, prefix=prefix,
                                        canvas_bbox=kwargs.pop('canvas_bbox', None))
-        rendered = []
-        for fname, bbox in plan:
-            blk = self.crop(bbox, return_empty=True, **kwargs)
-            if blk is None:
-                continue
-            path = join_paths(out_dir, fname)
-            common.imwrite(path, blk)
-            rendered.append((fname, bbox))
+        src = getattr(self, '_src_h5', None)
+        if num_workers > 1 and src is not None and len(plan) > 1:
+            from feabas_tpu.concurrent import submit_to_workers
+            njobs = min(num_workers * 2, len(plan))
+            bounds = np.linspace(0, len(plan), njobs + 1).astype(int)
+            args = [(src, self._loader_config,
+                     getattr(self, '_init_kwargs', {}),
+                     plan[a:b], out_dir, dict(kwargs))
+                    for a, b in zip(bounds[:-1], bounds[1:]) if b > a]
+            rendered = []
+            for part in submit_to_workers(subprocess_render_montage_tiles,
+                                          args, num_workers=num_workers):
+                rendered += part
+            rendered.sort(key=lambda fb: fb[0])
+        else:
+            rendered = self.render_tile_list(plan, out_dir, **kwargs)
         meta_path = join_paths(out_dir, 'metadata.txt')
         with storage.File(meta_path, 'w') as f:
             f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')
@@ -738,3 +772,13 @@ class MontageRenderer:
             writer.write_single_chunk(bbox, 0, blk)
             n += 1
         return n
+
+
+def subprocess_render_montage_tiles(src_h5, loader_config, init_kwargs, plan,
+                                    out_dir, crop_kwargs):
+    """Worker: rebuild a MontageRenderer from its tform H5 and render a
+    slice of the output-tile plan (reference
+    subprocess_render_one_section: stitcher.py:1967)."""
+    mr = MontageRenderer.from_h5(src_h5, loader_config=loader_config,
+                                 **(init_kwargs or {}))
+    return mr.render_tile_list(plan, out_dir, **(crop_kwargs or {}))

@@ -325,7 +325,8 @@ def tsr_main(args, conf, logger):
                         flag_dir=join_paths(out_dir, 'render_flags'),
                         logger=logger,
                         remap_interp=tconf.get('remap_interp', 'LINEAR'))
-    n = vr.render_volume()
+    n = vr.render_volume(num_workers=tconf.get('num_workers', 1),
+                         chunks_per_job=tconf.get('chunks_per_job', 16))
     logger.info(f'tsr: wrote {n} chunks to {out_dir}')
 
 

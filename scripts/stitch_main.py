@@ -146,7 +146,8 @@ def render_main(sections, conf, logger):
                 out_dir, tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
                 pattern=(rconf.get('filename_settings') or {}).get(
                     'pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
-                one_based=(rconf.get('filename_settings') or {}).get('one_based', True))
+                one_based=(rconf.get('filename_settings') or {}).get('one_based', True),
+                num_workers=rconf.get('num_workers', 1))
             n_out = len(tiles)
         else:
             n_out = mr.render_series_to_tensorstore(
