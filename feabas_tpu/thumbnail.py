@@ -233,6 +233,87 @@ def filter_match_global_ransac(xy0, xy1, conf=None, dis_tol=4, maxiter=10000,
     return best_mask, best_T
 
 
+def filter_match_sequential_ransac(xy0, xy1, conf=None, class0=None,
+                                   class1=None, min_features_ratio=0.1,
+                                   max_rounds=10, mixed_class=False, **kwargs):
+    """Peel off affine-consistent match groups one model at a time
+    (reference sequential RANSAC: thumbnail.py:914).
+
+    Sections broken into pieces (or montaged from regions that moved
+    independently) have several affine models in one match set; a single
+    global RANSAC keeps only the dominant one. Each round fits the best
+    remaining model, restricts its inliers to the dominant region
+    (class0/class1) pair unless ``mixed_class``, and removes them; stops
+    when the residue pool is smaller than ``min_features_ratio`` x the
+    first group. Returns a list of index arrays into the input matches.
+    """
+    n = xy0.shape[0]
+    remaining = np.arange(n)
+    groups = []
+    min_features = None
+    for _ in range(int(max_rounds)):
+        if remaining.size < 3:
+            break
+        c = None if conf is None else conf[remaining]
+        inl, T = filter_match_global_ransac(xy0[remaining], xy1[remaining],
+                                            c, **kwargs)
+        if inl.sum() < 3:
+            break
+        if (not mixed_class) and class0 is not None and class1 is not None:
+            cid = (class0[remaining].astype(np.int64) * (2 ** 20)
+                   + class1[remaining].astype(np.int64))
+            vals, cnts = np.unique(cid[inl], return_counts=True)
+            inl = inl & (cid == vals[np.argmax(cnts)])
+            if inl.sum() < 3:
+                break
+        if min_features is None:
+            min_features = max(5, int(inl.sum() * min_features_ratio))
+        groups.append(remaining[inl])
+        remaining = remaining[~inl]
+        if remaining.size < min_features:
+            break
+    return groups
+
+
+def verify_match_elastic(xy0, xy1, weight, settled, img_shape0, img_shape1,
+                         dis_tol=10.0, mesh_size=None):
+    """Verify a small candidate match group against the deformation
+    implied by already-settled matches (reference elastic verification:
+    thumbnail.py:392-414).
+
+    Builds a two-mesh SLM, adds the settled matches as full-weight links
+    and the candidates as a half-weight staging link, relaxes, and keeps
+    candidates whose post-relaxation residues stay under ``dis_tol``.
+    Returns a boolean keep mask.
+    """
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import SLM
+    h0, w0 = img_shape0[:2]
+    h1, w1 = img_shape1[:2]
+    if mesh_size is None:
+        mesh_size = max(min(h0, w0) / 6.0, 20)
+    mesh0 = Mesh.from_bbox((0, 0, w0, h0), cartesian=True,
+                           mesh_size=mesh_size, uid=0, locked=True)
+    mesh1 = Mesh.from_bbox((0, 0, w1, h1), cartesian=True,
+                           mesh_size=mesh_size, uid=1,
+                           soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
+    slm = SLM([mesh0, mesh1])
+    s_xy0, s_xy1, s_w = settled
+    slm.add_link_from_coordinates(0, 1, s_xy0, s_xy1, weight=s_w)
+    staging = slm.add_link_from_coordinates(
+        0, 1, xy0, xy1, weight=np.full(xy0.shape[0], 0.5), name='staging')
+    slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_INITIAL)
+    slm.optimize_linear(tol=1e-6, stiffness_lambda=-0.5, crosslink_lambda=-1.0)
+    r = staging.residues(gear=const.MESH_GEAR_MOVING)
+    # from_coordinates may have dropped far-extrapolated points; map back
+    keep = np.zeros(xy0.shape[0], bool)
+    if r.size == xy0.shape[0]:
+        keep = r < dis_tol
+    else:  # conservative: verify what survived, drop the rest
+        keep[:r.size] = r < dis_tol
+    return keep
+
+
 def prepare_image(img, mask=None, **settings):
     """Detect + describe in one call; cached by callers
     (reference: thumbnail.py:279)."""
@@ -245,28 +326,104 @@ def prepare_image(img, mask=None, **settings):
 def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
     """Feature-based coarse matching (reference: thumbnail.py:336).
 
-    detect -> describe -> rotation-exhaustive matching -> pairwise-strain
-    filter -> global affine RANSAC. Returns a ``common.Match`` or None."""
+    Iterative robustness loop: detect -> describe -> rotation-exhaustive
+    matching -> pairwise-strain filter -> SEQUENTIAL affine RANSAC (one
+    model per section piece) -> elastic verification of small groups
+    against settled matches -> mask out covered keypoints -> repeat until
+    no new group survives. Returns a ``common.Match`` or None."""
     matching = dict(settings.get('matching_settings', {}) or {})
     strain_f = dict(settings.get('strain_filter_settings', {}) or {})
     ransac_f = dict(settings.get('ransac_filter_settings', {}) or {})
+    matchnum_thresh = settings.get('matchnum_thresh', 64)
+    maskout_radius = settings.get(
+        'maskout_radius',
+        2.0 * (settings.get('detect_settings', {}) or {}).get('min_spacing', 10))
+    elastic_dis_tol = settings.get('elastic_dis_tol', None)
+    max_rounds = int(settings.get('max_rounds', 4))
     kp0 = settings.get('kps0') or prepare_image(img0, mask=mask0, **settings)
     kp1 = settings.get('kps1') or prepare_image(img1, mask=mask1, **settings)
-    i0, i1, conf, rot = match_LRadon_feature(
-        kp0, kp1, exhaustive=matching.get('exhaustive', True),
-        conf_thresh=matching.get('conf_thresh', 0.3))
-    if i0.size < 3:
+    shape0 = np.asarray(img0).shape
+    shape1 = np.asarray(img1).shape
+    acc_xy0, acc_xy1, acc_w = [], [], []
+    settled_by_cls = {}   # (class0, class1) -> [xy0, xy1, w] lists
+    min_group = int(settings.get('min_group_size', 5))
+    active0 = np.ones(kp0.num_points, bool)
+    active1 = np.ones(kp1.num_points, bool)
+    for _round in range(max_rounds):
+        k0 = kp0.filter_by_mask(active0)
+        k1 = kp1.filter_by_mask(active1)
+        if k0.num_points < 3 or k1.num_points < 3:
+            break
+        i0, i1, conf, rot = match_LRadon_feature(
+            k0, k1, exhaustive=matching.get('exhaustive', True),
+            conf_thresh=matching.get('conf_thresh', 0.3))
+        if i0.size < 3:
+            break
+        xy0 = k0.xy[i0]
+        xy1 = k1.xy[i1]
+        keep = filter_match_pairwise_strain(xy0, xy1, conf, **strain_f)
+        if _round > 0 and keep.sum() < 3:
+            # later rounds see only leftover pieces: the pairwise-strain
+            # vote can starve; fall back to raw RANSAC on the candidates
+            keep = np.ones(xy0.shape[0], bool)
+        if keep.sum() < 3:
+            break
+        xy0, xy1, conf = xy0[keep], xy1[keep], conf[keep]
+        cls0 = k0.class_id[i0][keep]
+        cls1 = k1.class_id[i1][keep]
+        groups = filter_match_sequential_ransac(
+            xy0, xy1, conf, class0=cls0, class1=cls1, **ransac_f)
+        accepted_any = False
+        for g in groups:
+            gxy0, gxy1, gw = xy0[g], xy1[g], conf[g]
+            # class pair of this group (sequential RANSAC makes groups
+            # class-pure when class ids exist)
+            cpair = (int(cls0[g[0]]), int(cls1[g[0]]))
+            prior = settled_by_cls.get(cpair)
+            if prior is not None and g.size < matchnum_thresh:
+                # small late group on an ALREADY matched piece: must be
+                # elastically consistent with that piece's settled matches
+                # (cross-piece verification would wrongly reject pieces
+                # that moved independently)
+                settled = (np.concatenate(prior[0]), np.concatenate(prior[1]),
+                           np.concatenate(prior[2]))
+                tol = elastic_dis_tol or max(maskout_radius, 8.0)
+                keep_g = verify_match_elastic(gxy0, gxy1, gw, settled,
+                                              shape0, shape1, dis_tol=tol)
+                if keep_g.sum() < 3 or keep_g.mean() < 0.5:
+                    continue
+                gxy0, gxy1, gw = gxy0[keep_g], gxy1[keep_g], gw[keep_g]
+            elif prior is None and g.size < min_group:
+                continue  # unverifiable tiny group on a fresh piece
+            acc_xy0.append(gxy0)
+            acc_xy1.append(gxy1)
+            acc_w.append(gw)
+            ent = settled_by_cls.setdefault(cpair, ([], [], []))
+            ent[0].append(gxy0)
+            ent[1].append(gxy1)
+            ent[2].append(gw)
+            accepted_any = True
+            # mask out covered keypoints so the next round looks at the
+            # remaining (unmatched) section pieces
+            from scipy.spatial import cKDTree
+            if np.any(active0):
+                d0, _ = cKDTree(gxy0).query(kp0.xy[active0], k=1)
+                idx = np.nonzero(active0)[0]
+                active0[idx[d0 < maskout_radius]] = False
+            if np.any(active1):
+                d1, _ = cKDTree(gxy1).query(kp1.xy[active1], k=1)
+                idx = np.nonzero(active1)[0]
+                active1[idx[d1 < maskout_radius]] = False
+        if not accepted_any:
+            break
+    if not acc_xy0:
         return None
-    xy0 = kp0.xy[i0]
-    xy1 = kp1.xy[i1]
-    keep = filter_match_pairwise_strain(xy0, xy1, conf, **strain_f)
-    if keep.sum() < 3:
+    xy0 = np.concatenate(acc_xy0)
+    xy1 = np.concatenate(acc_xy1)
+    w = np.concatenate(acc_w)
+    if xy0.shape[0] < 3:
         return None
-    xy0, xy1, conf = xy0[keep], xy1[keep], conf[keep]
-    inl, T = filter_match_global_ransac(xy0, xy1, conf, **ransac_f)
-    if inl.sum() < 3:
-        return None
-    return Match(xy0[inl], xy1[inl], conf[inl], config.DEFAULT_AVG_DEFORM)
+    return Match(xy0, xy1, w, config.DEFAULT_AVG_DEFORM)
 
 
 def match_two_thumbnails_pmcc(img0, img1, mask0=None, mask1=None,

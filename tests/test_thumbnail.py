@@ -107,3 +107,64 @@ def test_template_mode(rng, workdir):
     assert m is not None
     d = np.median(m.xy0 - m.xy1, axis=0)
     assert np.allclose(d, [-11, 4], atol=0.5), d
+
+
+def test_sequential_ransac_two_models(rng, workdir):
+    """Two affine models in one match set: sequential RANSAC recovers
+    both groups (reference: thumbnail.py:914)."""
+    from feabas_tpu.thumbnail import filter_match_sequential_ransac
+    n = 60
+    xy1a = rng.uniform(0, 100, (n, 2))
+    xy1b = rng.uniform(150, 250, (n, 2))
+    Ta = np.array([[1.0, 0.05], [-0.05, 1.0]])
+    xy0a = xy1a @ Ta + [8, -5]
+    xy0b = xy1b + [-20, 14]
+    xy0 = np.concatenate([xy0a, xy0b]) + rng.normal(0, 0.3, (2 * n, 2))
+    xy1 = np.concatenate([xy1a, xy1b])
+    groups = filter_match_sequential_ransac(xy0, xy1, dis_tol=1.5)
+    assert len(groups) == 2
+    sizes = sorted(g.size for g in groups)
+    assert sizes[0] > 0.8 * n and sizes[1] > 0.8 * n
+    # each group is model-pure
+    for g in groups:
+        assert (g < n).all() or (g >= n).all()
+
+
+def test_two_piece_section_independent_affines(rng, workdir):
+    """A section broken into two pieces that moved independently: the
+    robustness loop must recover a correct match set on EACH piece
+    (VERDICT round-1 done-criterion for the thumbnail loop)."""
+    from feabas_tpu.thumbnail import match_two_thumbnails_LRadon
+    from synthutil import texture
+    h, w = 200, 420
+    img0 = texture(rng, h, w).astype(np.float32)
+    img1 = np.zeros_like(img0)
+    # piece A: left half shifted (+7, +4); piece B: right half rotated
+    # slightly and shifted (-6, +9)
+    img1[:, :200] = np.roll(np.roll(img0[:, :200], 4, axis=0), 7, axis=1)
+    import cv2
+    M = cv2.getRotationMatrix2D((310, 100), 3.0, 1.0)
+    M[:, 2] += [-6, 9]
+    img1[:, 210:] = cv2.warpAffine(img0, M, (w, h),
+                                   borderMode=cv2.BORDER_REFLECT)[:, 210:]
+    mask = np.zeros((h, w), np.uint8)
+    mask[:, :200] = 1
+    mask[:, 210:] = 2
+    match = match_two_thumbnails_LRadon(img0, img1, mask0=mask, mask1=mask)
+    assert match is not None
+    d = match.xy1 - match.xy0
+    left = match.xy1[:, 0] < 200
+    right = match.xy1[:, 0] >= 210
+    assert left.sum() >= 5 and right.sum() >= 5, (left.sum(), right.sum())
+    # piece A: pure translation (+7, +4) -> xy1 - xy0 = -(7, 4)... check
+    # convention: img1(p) contains img0 content at p - t  =>  xy0 = xy1 - t
+    err_l = np.median(np.abs(d[left] - [7, 4]), axis=0)
+    assert (err_l < 1.5).all(), err_l
+    # piece B: rotation by 3 deg about (310, 100) + shift; verify against
+    # the analytic affine
+    th = np.deg2rad(3.0)
+    R = np.array([[np.cos(th), np.sin(th)], [-np.sin(th), np.cos(th)]])
+    c = np.array([310, 100.0])
+    want_xy1 = (match.xy0[right] - c) @ R.T + c + [-6, 9]
+    err_r = np.median(np.abs(match.xy1[right] - want_xy1), axis=0)
+    assert (err_r < 2.0).all(), err_r
