@@ -20,6 +20,7 @@ from feabas_tpu import storage
 
 # tensorstore / checkpoint knobs (reference: feabas/config.py:28-35)
 TS_RETRY = 2
+TS_TIMEOUT = 60.0  # seconds per tensorstore op before reconnect
 CHECKPOINT_TIME_INTERVAL = 300.0  # seconds
 OPT_CHECK_CONVERGENCE = True
 DEFAULT_AVG_DEFORM = 0.05

@@ -39,6 +39,51 @@ class AbstractImageLoader:
         self._cache = generate_cache(cache_type if cache_size else 'none',
                                      maxlen=cache_size or None)
         self._preprocess = kwargs.get('preprocess', None)
+        # per-image intensity transfer LUTs (reference tf_lut: dal.py:492):
+        # a JSON path or dict {'__TYPE__': 'INTERP1D' |
+        # 'BRIGHTNESS_CONTRAST_ADJUST', <image name>: vals}; INTERP1D vals
+        # are (src_grays, tgt_grays) control points, the other is
+        # (brightness_offset, contrast_gain)
+        self._tf_lut = kwargs.get('tf_lut', None)
+        self._tf_lut_cache = None
+
+    def _tf_for(self, name):
+        """Intensity transfer callable for an image name, or None."""
+        if self._tf_lut is None:
+            return None
+        if self._tf_lut_cache is None:
+            lut = self._tf_lut
+            if isinstance(lut, str):
+                with storage.File(lut, 'r') as f:
+                    lut = json.load(f)
+            tf_type = lut.get('__TYPE__', 'INTERP1D')
+            cache = {}
+            for nm, vals in lut.items():
+                if nm == '__TYPE__':
+                    continue
+                if tf_type == 'INTERP1D':
+                    xp = np.asarray(vals[0], np.float64).ravel()
+                    fp = np.asarray(vals[1], np.float64).ravel()
+                    cache[nm] = (lambda img, xp=xp, fp=fp:
+                                 np.interp(img.astype(np.float64), xp, fp))
+                else:  # BRIGHTNESS_CONTRAST_ADJUST
+                    b, c = float(vals[0]), float(vals[1])
+                    cache[nm] = (lambda img, b=b, c=c:
+                                 img.astype(np.float64) * c + b)
+            self._tf_lut_cache = cache
+        key = storage.base_name(str(name))
+        cache = self._tf_lut_cache
+        return cache.get(key, cache.get(str(name)))
+
+    def _apply_tf(self, img, name):
+        tf = self._tf_for(name)
+        if tf is None or img is None:
+            return img
+        out = tf(img)
+        if np.issubdtype(img.dtype, np.integer):
+            info = np.iinfo(img.dtype)
+            out = np.clip(np.round(out), info.min, info.max)
+        return out.astype(img.dtype, copy=False)
 
     # -- to be provided by subclasses --
     def crop(self, bbox, **kwargs):
@@ -82,6 +127,7 @@ class AbstractImageLoader:
             'number_of_channels': self._number_of_channels,
             'resolution': self.resolution,
             'cache_size': getattr(self._cache, '_maxlen', None) or 0,
+            'tf_lut': self._tf_lut,
         }
 
     def to_dict(self):
@@ -105,6 +151,7 @@ class AbstractImageLoader:
         img = common.imread(path, flag=cv2.IMREAD_UNCHANGED)
         if img is None:
             raise RuntimeError(f'failed to read {path}')
+        img = self._apply_tf(img, path)
         img = self.preprocess(img)
         self._cache[path] = img
         return img
@@ -139,8 +186,70 @@ class StaticImageLoader(AbstractImageLoader):
         self.bboxes = np.asarray(bboxes, dtype=np.float64).reshape(-1, 4)
         self.root_dir = root_dir
         self._index = None
+        # border-block caching (reference tile dividers: dal.py:33-62):
+        # stitch matching only reads tile borders (the overlaps), so with
+        # cache_border_margin set, only four border bands per tile are
+        # cached — an interior-touching crop re-reads the file but leaves
+        # the cache footprint tiny
+        self._cache_border_margin = int(kwargs.get('cache_border_margin', 0) or 0)
         if self._dtype is None or self._number_of_channels is None:
             self._probe_meta(kwargs)
+
+    def _border_blocks(self, h, w):
+        """Local-frame bboxes of the four cached border bands (reference
+        _tile_divider_border: dal.py:40)."""
+        m = self._cache_border_margin
+        bh = min(m, h // 2)
+        bw = min(m, w // 2)
+        return [(0, 0, w - bw, bh),          # top (minus right corner)
+                (0, bh, bw, h),              # left
+                (bw, h - bh, w, h),          # bottom
+                (w - bw, 0, w, h - bh)]      # right
+
+    def _crop_tile_local(self, fileid, lb):
+        """Crop a tile in its local pixel frame with border-band caching.
+        lb: integer local bbox (x0, y0, x1, y1), already clipped."""
+        path = self.abs_path(fileid)
+        if self._cache_border_margin <= 0:
+            img = self._read_image(path)
+            return img[lb[1]:lb[3], lb[0]:lb[2]]
+        tw = int(round(self.bboxes[fileid, 2] - self.bboxes[fileid, 0]))
+        th = int(round(self.bboxes[fileid, 3] - self.bboxes[fileid, 1]))
+        blocks = self._border_blocks(th, tw)
+        # fully inside cached bands? assemble from cache
+        covering = []
+        for bi, bb in enumerate(blocks):
+            key = (path, bi)
+            if key in self._cache:
+                covering.append((bb, self._cache[key]))
+        out = np.empty((lb[3] - lb[1], lb[2] - lb[0]), self.dtype) \
+            if not self._number_of_channels or self._number_of_channels == 1 \
+            else np.empty((lb[3] - lb[1], lb[2] - lb[0],
+                           self._number_of_channels), self.dtype)
+        filled = np.zeros(out.shape[:2], bool)
+        for bb, blk in covering:
+            cx0, cx1 = max(lb[0], bb[0]), min(lb[2], bb[2])
+            cy0, cy1 = max(lb[1], bb[1]), min(lb[3], bb[3])
+            if cx0 >= cx1 or cy0 >= cy1:
+                continue
+            out[cy0 - lb[1]:cy1 - lb[1], cx0 - lb[0]:cx1 - lb[0]] = \
+                blk[cy0 - bb[1]:cy1 - bb[1], cx0 - bb[0]:cx1 - bb[0]]
+            filled[cy0 - lb[1]:cy1 - lb[1], cx0 - lb[0]:cx1 - lb[0]] = True
+        if filled.all():
+            return out
+        # cache miss: read the file once, populate the border bands, but
+        # do NOT cache the full image
+        img = common.imread(path, flag=cv2.IMREAD_UNCHANGED)
+        if img is None:
+            raise RuntimeError(f'failed to read {path}')
+        img = self._apply_tf(img, path)
+        img = self.preprocess(img)
+        for bi, bb in enumerate(blocks):
+            key = (path, bi)
+            if key not in self._cache:
+                self._cache[key] = np.ascontiguousarray(
+                    img[bb[1]:bb[3], bb[0]:bb[2]])
+        return img[lb[1]:lb[3], lb[0]:lb[2]]
 
     def _probe_meta(self, kwargs):
         if not self.imgpaths:
@@ -176,18 +285,31 @@ class StaticImageLoader(AbstractImageLoader):
             self._index = GridIndex(self.bboxes)
         return self._index
 
+    def _paste_tile(self, out, bbox, fileid, return_empty):
+        """Paste tile fileid's intersection with world bbox into out."""
+        tb = self.bboxes[fileid]
+        x0, y0 = int(round(bbox[0])), int(round(bbox[1]))
+        x1, y1 = int(round(bbox[2])), int(round(bbox[3]))
+        ix0, iy0 = int(round(tb[0])), int(round(tb[1]))
+        ix1, iy1 = int(round(tb[2])), int(round(tb[3]))
+        cx0, cx1 = max(x0, ix0), min(x1, ix1)
+        cy0, cy1 = max(y0, iy0), min(y1, iy1)
+        if cx0 >= cx1 or cy0 >= cy1:
+            return None if return_empty else out
+        blk = self._crop_tile_local(
+            int(fileid), (cx0 - ix0, cy0 - iy0, cx1 - ix0, cy1 - iy0))
+        out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = blk
+        return out
+
     def crop(self, bbox, fileid=None, return_empty=False, **kwargs):
         """Crop the mosaic (or one indexed tile when fileid given)."""
         out = self._blank(bbox, kwargs.get('fillval'))
         if fileid is not None:
-            img = self._read_image(self.abs_path(fileid))
-            return _paste_crop(out, bbox, img, self.bboxes[fileid],
-                               return_empty=return_empty)
+            return self._paste_tile(out, bbox, int(fileid), return_empty)
         hits = self.file_index.query(bbox)
         filled = False
         for fid in hits:
-            img = self._read_image(self.abs_path(int(fid)))
-            res = _paste_crop(out, bbox, img, self.bboxes[fid], return_empty=True)
+            res = self._paste_tile(out, bbox, int(fid), True)
             filled = filled or (res is not None)
         if not filled and return_empty:
             return None
@@ -196,7 +318,8 @@ class StaticImageLoader(AbstractImageLoader):
     def to_dict(self):
         d = super().to_dict()
         d.update({'imgpaths': self.imgpaths, 'bboxes': self.bboxes.tolist(),
-                  'root_dir': self.root_dir})
+                  'root_dir': self.root_dir,
+                  'cache_border_margin': self._cache_border_margin})
         return d
 
 
@@ -259,8 +382,33 @@ class StreamLoader(AbstractImageLoader):
         raise NotImplementedError('StreamLoader holds raw memory; not serializable')
 
 
+def _ts_retrying(op, reconnect, retries=None, timeout=None):
+    """Run a tensorstore op with timeout + reconnect retries (reference
+    retry/reconnect: dal.py:1207-1241). ``op`` returns a tensorstore
+    Future; reconnect() drops the dataset handle so the next attempt
+    reopens the connection."""
+    from feabas_tpu.config import TS_RETRY, TS_TIMEOUT
+    retries = TS_RETRY if retries is None else int(retries)
+    timeout = TS_TIMEOUT if timeout is None else float(timeout)
+    err = None
+    for attempt in range(retries + 1):
+        try:
+            return op().result(timeout=timeout)
+        except (TimeoutError, Exception) as e:  # ts raises its own types
+            if type(e).__name__ not in ('TimeoutError', 'DeadlineExceeded',
+                                        'Unavailable', 'Aborted'):
+                # only transient classes retry; real errors surface
+                if not isinstance(e, TimeoutError):
+                    raise
+            err = e
+            reconnect()
+    raise TimeoutError(f'tensorstore op failed after {retries + 1} '
+                       f'attempts: {err!r}')
+
+
 class TensorStoreLoader(AbstractImageLoader):
-    """Chunked-volume loader over tensorstore (reference: dal.py:1156)."""
+    """Chunked-volume loader over tensorstore with timeout/reconnect
+    retries on transient failures (reference: dal.py:1156,1207)."""
 
     def __init__(self, spec=None, dataset=None, z=0, **kwargs):
         super().__init__(**kwargs)
@@ -275,6 +423,11 @@ class TensorStoreLoader(AbstractImageLoader):
             self._dataset = ts.open(self._spec).result()
         return self._dataset
 
+    def reconnect(self):
+        """Drop the connection; the next access reopens (reference:
+        dal.py:1207)."""
+        self._dataset = None
+
     def crop(self, bbox, return_empty=False, **kwargs):
         ds = self.dataset
         x0, y0, x1, y1 = [int(round(v)) for v in bbox]
@@ -286,12 +439,18 @@ class TensorStoreLoader(AbstractImageLoader):
         out = self._blank(bbox, kwargs.get('fillval'))
         if cx0 >= cx1 or cy0 >= cy1:
             return None if return_empty else out
-        if ds.rank == 4:
-            blk = ds[cx0:cx1, cy0:cy1, self._z, 0].read().result()
-        elif ds.rank == 3:
-            blk = ds[cx0:cx1, cy0:cy1, self._z].read().result()
-        else:
-            blk = ds[cx0:cx1, cy0:cy1].read().result()
+
+        def read():
+            ds_now = self.dataset
+            if ds_now.rank == 4:
+                return ds_now[cx0:cx1, cy0:cy1, self._z, 0].read()
+            elif ds_now.rank == 3:
+                return ds_now[cx0:cx1, cy0:cy1, self._z].read()
+            return ds_now[cx0:cx1, cy0:cy1].read()
+
+        blk = _ts_retrying(read, self.reconnect,
+                           retries=kwargs.get('ts_retry'),
+                           timeout=kwargs.get('ts_timeout'))
         blk = np.swapaxes(np.asarray(blk), 0, 1)  # ts is x-major; images y-major
         out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = self.preprocess(blk)
         return out
@@ -462,20 +621,61 @@ class TensorStoreWriter:
             out.append((bx0, by0, min(bx0 + cx, x0 + W), min(by0 + cy, y0 + H)))
         return out
 
-    def write_single_chunk(self, bbox, z, img):
-        """Write one (y, x) image block at world bbox into section z
-        (reference: dal.py:1372)."""
+    def reconnect(self):
+        """Drop the handle; next access reopens (reference: dal.py:1207)."""
+        self._dataset = None
+
+    def write_single_chunk(self, bbox, z, img, txn=None, ts_retry=None):
+        """Write one (y, x) image block at world bbox into section z, with
+        timeout/reconnect retries (reference: dal.py:1372,1207)."""
         x0, y0 = self.offset
         a = int(bbox[0] - x0)
         b = int(bbox[1] - y0)
         c = a + img.shape[1]
         d = b + img.shape[0]
-        ds = self.dataset
         blk = np.ascontiguousarray(np.swapaxes(img, 0, 1))
-        if ds.rank == 4:
-            ds[a:c, b:d, int(z), 0] = blk
-        else:
-            ds[a:c, b:d, int(z)] = blk
+
+        def write():
+            ds = self.dataset
+            if txn is not None:
+                ds = ds.with_transaction(txn)
+            if self.dataset.rank == 4:
+                return ds[a:c, b:d, int(z), 0].write(blk)
+            return ds[a:c, b:d, int(z)].write(blk)
+
+        if txn is not None:
+            # inside a transaction the commit carries the retry semantics
+            write().result()
+            return
+        _ts_retrying(write, self.reconnect, retries=ts_retry)
+
+    def write_chunks_w_transaction(self, bboxes, z, imgs, ts_retry=None):
+        """Atomically write several chunks in one tensorstore transaction,
+        retried with reconnect on transient failure (reference:
+        dal.py:1429)."""
+        if len(bboxes) == 1:
+            self.write_single_chunk(bboxes[0], z, imgs[0], ts_retry=ts_retry)
+            return
+        import tensorstore as ts
+        from feabas_tpu.config import TS_RETRY, TS_TIMEOUT
+        retries = TS_RETRY if ts_retry is None else int(ts_retry)
+        err = None
+        for attempt in range(retries + 1):
+            try:
+                txn = ts.Transaction()
+                for bbox, img in zip(bboxes, imgs):
+                    self.write_single_chunk(bbox, z, img, txn=txn)
+                txn.commit_async().result(timeout=TS_TIMEOUT)
+                if not txn.aborted:
+                    return
+            except (TimeoutError, Exception) as e:
+                if not isinstance(e, TimeoutError) and type(e).__name__ not in (
+                        'DeadlineExceeded', 'Unavailable', 'Aborted'):
+                    raise
+                err = e
+                self.reconnect()
+        raise TimeoutError(f'transactional write failed after '
+                           f'{retries + 1} attempts: {err!r}')
 
     def read_chunk(self, bbox, z):
         x0, y0 = self.offset

@@ -111,6 +111,19 @@ class Stitcher:
 
     def _dispatch_batch(self, overlaps, bboxes, margin, loader_config,
                         matcher_config, num_workers, num_overlaps_per_job):
+        loader_config = dict(loader_config or {})
+        if 'cache_border_margin' not in loader_config and overlaps:
+            # size the cached border bands from the overlap statistics so
+            # matching serves from cache without holding whole tiles
+            # (reference: stitcher.py:522-528)
+            widths = []
+            for i, j in overlaps:
+                ovl, valid = intersect_bbox(bboxes[i], bboxes[j])
+                if valid:
+                    widths.append(min(ovl[2] - ovl[0], ovl[3] - ovl[1]))
+            if widths:
+                loader_config['cache_border_margin'] = int(
+                    np.median(widths) + 2 * margin)
         loader = StaticImageLoader(self.imgpaths, bboxes,
                                    root_dir=self.root_dir,
                                    resolution=self.resolution, **loader_config)
@@ -558,6 +571,37 @@ class MontageRenderer:
         kwargs.setdefault('tile_transfers',
                           getattr(stitcher, 'tile_transfers', None))
         return cls(stitcher.meshes, loader, name=stitcher.name, **kwargs)
+
+    def add_transfer_functions(self, lut, scale=1.0):
+        """Per-tile intensity transfer from a LUT JSON (reference
+        add_transfer_functions: stitcher.py:1376): keys are image names;
+        INTERP1D control points are reduced to an equivalent (gain,
+        offset) least-squares line so the blend math stays linear."""
+        import json as _json
+        from feabas_tpu import storage as _storage
+        if isinstance(lut, str):
+            with _storage.File(lut, 'r') as f:
+                lut = _json.load(f)
+        tf_type = lut.get('__TYPE__', 'INTERP1D')
+        transfers = np.tile(np.array([1.0, 0.0]), (len(self.meshes), 1))
+        name2idx = {_storage.base_name(str(p)): i
+                    for i, p in enumerate(self.loader.imgpaths)}
+        for nm, vals in lut.items():
+            if nm == '__TYPE__':
+                continue
+            i = name2idx.get(_storage.base_name(str(nm)))
+            if i is None:
+                continue
+            if tf_type == 'INTERP1D':
+                xp = np.asarray(vals[0], np.float64).ravel()
+                fp = np.asarray(vals[1], np.float64).ravel()
+                A = np.stack([xp, np.ones_like(xp)], -1)
+                g, o = np.linalg.lstsq(A, fp, rcond=None)[0]
+            else:  # BRIGHTNESS_CONTRAST_ADJUST: (brightness, contrast)
+                o, g = float(vals[0]), float(vals[1])
+            transfers[i] = (g, o)
+        self._transfers = transfers
+        return transfers
 
     @classmethod
     def from_h5(cls, fname, loader_config=None, **kwargs):

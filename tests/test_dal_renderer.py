@@ -149,3 +149,133 @@ def test_render_whole_mesh_tiles(tile_set, tmp_path, workdir):
     for fname, bbox in out.items():
         img = imread(fname)
         assert img.shape == (128, 128)
+
+
+def test_tensorstore_retry_reconnect(tmp_path, workdir, rng):
+    """Transient tensorstore failures trigger reconnect + retry instead of
+    surfacing (reference: dal.py:1207-1241)."""
+    from feabas_tpu.dal import TensorStoreWriter, TensorStoreLoader
+
+    class _FlakyFuture:
+        def __init__(self, fails):
+            self.fails = fails
+        def result(self, timeout=None):
+            raise TimeoutError('injected')
+
+    class _Dim:
+        def __init__(self, lo, hi):
+            self.inclusive_min = lo
+            self.exclusive_max = hi
+
+    class _FlakyIndex:
+        def __init__(self, fails):
+            self.fails = fails
+            self.rank = 3
+            self.domain = [_Dim(0, 128), _Dim(0, 128), _Dim(0, 2)]
+        def __getitem__(self, idx):
+            return self
+        def read(self):
+            return _FlakyFuture(self.fails)
+        def write(self, blk):
+            return _FlakyFuture(self.fails)
+
+    w = TensorStoreWriter.create(str(tmp_path / 'vol'), (0, 0, 128, 128), 2,
+                                 driver='zarr', chunk_shape=[64, 64, 1])
+    img = rng.integers(0, 255, (64, 64)).astype(np.uint8)
+    # inject a dead handle: first write attempt times out, reconnect
+    # reopens the real store and the retry succeeds
+    w._dataset = _FlakyIndex(1)
+    w.write_single_chunk((0, 0, 64, 64), 0, img)
+    assert np.array_equal(w.read_chunk((0, 0, 64, 64), 0), img)
+    # loader path: same injection (dead handle -> reconnect -> real read)
+    spec = dict(w._spec)
+    spec.pop('create', None)
+    spec['open'] = True
+    ld = TensorStoreLoader(spec, z=0)
+    ld._dataset = _FlakyIndex(1)
+    blk = ld.crop((0, 0, 64, 64))
+    assert np.array_equal(blk, img)
+    # transactional multi-chunk write round-trips
+    imgs = [rng.integers(0, 255, (64, 64)).astype(np.uint8) for _ in range(2)]
+    w.write_chunks_w_transaction([(0, 0, 64, 64), (64, 0, 128, 64)], 1, imgs)
+    assert np.array_equal(w.read_chunk((0, 0, 64, 64), 1), imgs[0])
+    assert np.array_equal(w.read_chunk((64, 0, 128, 64), 1), imgs[1])
+
+
+def test_border_block_caching(tmp_path, workdir, rng, monkeypatch):
+    """With cache_border_margin set, border crops are served from the
+    cached bands without re-reading the file, and the cache never holds
+    the full tile (reference tile dividers: dal.py:33-62)."""
+    from feabas_tpu import common as fcommon
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.common import imwrite
+    img = rng.integers(0, 255, (200, 300)).astype(np.uint8)
+    imwrite(str(tmp_path / 'tile.png'), img)
+    reads = {'n': 0}
+    orig = fcommon.imread
+    def counting_imread(path, **kw):
+        reads['n'] += 1
+        return orig(path, **kw)
+    monkeypatch.setattr(fcommon, 'imread', counting_imread)
+    ld = StaticImageLoader(['tile.png'], [(0, 0, 300, 200)],
+                           root_dir=str(tmp_path), cache_size=32,
+                           cache_border_margin=30)
+    # first border crop: one file read, bands cached
+    a = ld.crop((0, 0, 100, 20))
+    n_after_first = reads['n']
+    assert np.array_equal(a, img[0:20, 0:100])
+    # second border crop (different band region): served from cache
+    b = ld.crop((280, 50, 300, 150))
+    assert reads['n'] == n_after_first
+    assert np.array_equal(b, img[50:150, 280:300])
+    # interior crop: must re-read (interior is not cached)
+    c = ld.crop((100, 80, 200, 120))
+    assert reads['n'] == n_after_first + 1
+    assert np.array_equal(c, img[80:120, 100:200])
+    # cache holds only the four bands, not the full image
+    assert len(ld._cache) <= 4
+
+
+def test_tf_lut_loader_and_montage(tmp_path, workdir, rng):
+    """Intensity-transfer LUTs: per-image correction applied at load time
+    and per-tile gain/offset hooked into MontageRenderer (reference:
+    dal.py:492, stitcher.py:1376)."""
+    import json
+    from feabas_tpu.dal import StaticImageLoader
+    img = np.full((50, 60), 100, np.uint8)
+    from feabas_tpu.common import imwrite
+    imwrite(str(tmp_path / 'a.png'), img)
+    lut = {'__TYPE__': 'BRIGHTNESS_CONTRAST_ADJUST', 'a.png': [10.0, 1.5]}
+    (tmp_path / 'lut.json').write_text(json.dumps(lut))
+    ld = StaticImageLoader(['a.png'], [(0, 0, 60, 50)],
+                           root_dir=str(tmp_path),
+                           tf_lut=str(tmp_path / 'lut.json'))
+    out = ld.crop((0, 0, 60, 50))
+    assert (out == 160).all()  # 100 * 1.5 + 10
+    # INTERP1D variant
+    lut2 = {'__TYPE__': 'INTERP1D', 'a.png': [[0, 200], [0, 100]]}
+    ld2 = StaticImageLoader(['a.png'], [(0, 0, 60, 50)],
+                            root_dir=str(tmp_path), tf_lut=lut2)
+    assert (ld2.crop((0, 0, 60, 50)) == 50).all()
+
+
+def test_montage_add_transfer_functions(tmp_path, workdir, rng):
+    import json
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    base = (rng.random((100, 100)) * 100 + 50).astype(np.uint8)
+    # tile B is tile A's right neighbor with brightness halved
+    imwrite(str(tmp_path / 'a.png'), base)
+    imwrite(str(tmp_path / 'b.png'), (base // 2).astype(np.uint8))
+    st = Stitcher(['a.png', 'b.png'], [(0, 0, 100, 100), (100, 0, 200, 100)],
+                  root_dir=str(tmp_path), name='s')
+    st.initialize_meshes()
+    mr = MontageRenderer.from_stitcher(
+        st, loader_config={'apply_CLAHE': False, 'inverse': False})
+    lut = {'__TYPE__': 'BRIGHTNESS_CONTRAST_ADJUST',
+           'b.png': [0.0, 2.0]}   # gain 2 restores tile B
+    mr.add_transfer_functions(lut)
+    out = mr.crop((0, 0, 200, 100))
+    # after the transfer, both halves match the source brightness
+    assert abs(float(out[:, :100].mean()) - float(base.mean())) < 2.0
+    assert abs(float(out[:, 100:].mean()) - float(base.mean())) < 3.0
