@@ -559,6 +559,14 @@ class MontageRenderer:
         # per-tile linear intensity transfer (gain, offset), from
         # equalize_brightness_contrast (reference: stitcher.py:1376)
         self._transfers = kwargs.get('tile_transfers', None)
+        # per-tile maskouts (artifact masks in tile pixel frame): blend
+        # weights damp with distance to the masked region so defects fade
+        # out instead of cutting hard seams (reference maskout distance
+        # damping: stitcher.py:1484-1556)
+        self._maskouts = kwargs.get('tile_maskouts', None)
+        self._maskout_margin = kwargs.get('maskout_margin', 16.0)
+        # two-band blend sigma derived once, not per tile per block
+        self._pyramid_sigma = max((self._blend_margin or 16) / 4.0, 2.0)
         self._renderers = [MeshRenderer.from_mesh(m) for m in meshes]
         self._bounds = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING)
                                    for m in meshes])
@@ -667,6 +675,21 @@ class MontageRenderer:
             d = np.minimum.reduce([map_x, tw - map_x, map_y, th - map_y])
             w = np.clip(np.nan_to_num(d, nan=0.0) / margin, 0, 1.0)
             w = np.where(mask, w, 0.0)
+            if self._maskouts is not None and int(t) in self._maskouts:
+                # damp by distance to the tile's maskout: weight reaches
+                # zero inside the defect, full strength maskout_margin
+                # source-pixels away (reference: stitcher.py:1484-1556)
+                mo = np.asarray(self._maskouts[int(t)])
+                sx = np.clip(np.nan_to_num(map_x, nan=0).astype(np.int64),
+                             0, mo.shape[1] - 1)
+                sy = np.clip(np.nan_to_num(map_y, nan=0).astype(np.int64),
+                             0, mo.shape[0] - 1)
+                hit = mo[sy, sx] & mask
+                if hit.any():
+                    from scipy.ndimage import distance_transform_edt
+                    dmo = distance_transform_edt(~hit)
+                    w = w * np.clip(dmo / max(self._maskout_margin, 1.0),
+                                    0.0, 1.0)
             m = mask & (w > 0)
             any_mask |= m
             imgf = img.astype(np.float64)
@@ -674,7 +697,7 @@ class MontageRenderer:
             wacc[m] += w[m]
             upd = m & (w > best_w)
             if pyramid:
-                sigma = max((self._blend_margin or 16) / 4.0, 2.0)
+                sigma = self._pyramid_sigma
                 # mask-normalized blur so fill values outside the tile do
                 # not bleed into the low band near mask edges
                 mf = m.astype(np.float64)

@@ -37,13 +37,15 @@ def _dedupe(points, tol):
 
 
 def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
-                     min_edge_ratio=0.25):
+                     min_edge_ratio=0.25, extra_points=None):
     """Mesh a region given a membership oracle + boundary rings.
 
     Args:
         inside_fn: (N,2) world pts -> bool mask (region membership).
         boundary_rings: list of (K,2) world-coordinate rings.
         mesh_size: target edge length.
+        extra_points: optional (K,2) refinement points (e.g. a denser
+            lattice over refine materials) merged into the point set.
     Returns:
         (vertices (N,2) float64, triangles (M,3) int32)
     """
@@ -59,6 +61,16 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
                 b_pts[:, 0].max(), b_pts[:, 1].max())
     grid = sp.generate_equilat_grid_bbox(bbox, mesh_size)
     grid = grid[inside_fn(grid)]
+    if extra_points is not None and len(extra_points):
+        extra = np.asarray(extra_points, np.float64).reshape(-1, 2)
+        extra = extra[inside_fn(extra)]
+        if extra.shape[0]:
+            # refinement points win over the base lattice where they crowd
+            tree = cKDTree(extra)
+            if grid.shape[0]:
+                d, _ = tree.query(grid, k=1)
+                grid = grid[d > 0.6 * mesh_size]
+            grid = np.concatenate([grid, extra], axis=0)
     if b_pts.shape[0] > 0 and grid.shape[0] > 0:
         # keep lattice points clear of the boundary so Delaunay edges stay
         # well-shaped near it
@@ -107,8 +119,22 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0):
     def inside(pts):
         return geom.label_at(pts) != exclude
 
+    # per-material area constraints: materials with area_constraint in
+    # (0, 1) get a denser lattice over their labeled region (edge length
+    # scales with sqrt(area))
+    extra = []
+    for name, mat in geom.material_table:
+        af = float(getattr(mat, 'area_constraint', 1.0))
+        if not (0 < af < 1) or mat.mask_label is None:
+            continue
+        dense = sp.generate_equilat_grid_bbox(geom.bbox(),
+                                              mesh_size * np.sqrt(af))
+        sel = geom.label_at(dense) == int(mat.mask_label)
+        if sel.any():
+            extra.append(dense[sel])
+    extra = np.concatenate(extra, axis=0) if extra else None
     verts, tris = triangulate_mask(inside, world_rings, mesh_size,
-                                   bbox=geom.bbox())
+                                   bbox=geom.bbox(), extra_points=extra)
     labels = geom.label_at(verts[tris].mean(axis=1))
     lut = {}
     for name, mat in geom.material_table:

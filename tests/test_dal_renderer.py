@@ -279,3 +279,57 @@ def test_montage_add_transfer_functions(tmp_path, workdir, rng):
     # after the transfer, both halves match the source brightness
     assert abs(float(out[:, :100].mean()) - float(base.mean())) < 2.0
     assert abs(float(out[:, 100:].mean()) - float(base.mean())) < 3.0
+
+
+def test_montage_maskout_distance_damping(tmp_path, workdir, rng):
+    """A tile defect marked in a maskout fades out (weights damp with
+    distance) and the overlapping neighbor fills it in."""
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    base = (rng.random((100, 160)) * 100 + 50).astype(np.uint8)
+    a = base[:, :100].copy()
+    b = base[:, 60:].copy()
+    # corrupt tile A inside the overlap (world x 70..90)
+    a[40:60, 70:90] = 255
+    imwrite(str(tmp_path / 'a.png'), a)
+    imwrite(str(tmp_path / 'b.png'), b)
+    st = Stitcher(['a.png', 'b.png'], [(0, 0, 100, 100), (60, 0, 160, 100)],
+                  root_dir=str(tmp_path), name='s')
+    st.initialize_meshes()
+    lc = {'apply_CLAHE': False, 'inverse': False}
+    mo = np.zeros((100, 100), bool)
+    mo[40:60, 70:90] = True   # defect in tile A's pixel frame
+    mr_plain = MontageRenderer.from_stitcher(st, loader_config=lc)
+    mr_mask = MontageRenderer.from_stitcher(st, loader_config=lc,
+                                            tile_maskouts={0: mo},
+                                            maskout_margin=8.0)
+    out_p = mr_plain.crop((0, 0, 160, 100)).astype(float)
+    out_m = mr_mask.crop((0, 0, 160, 100)).astype(float)
+    want = base.astype(float)
+    err_p = np.abs(out_p[42:58, 72:88] - want[42:58, 72:88]).mean()
+    err_m = np.abs(out_m[42:58, 72:88] - want[42:58, 72:88]).mean()
+    assert err_m < 3.0, err_m            # neighbor fills the defect
+    assert err_p > 10 * max(err_m, 0.1)  # without maskout the defect shows
+
+
+def test_triangulate_geometry_per_material_density(workdir):
+    """Materials with area_constraint < 1 are meshed denser."""
+    from feabas_tpu.spatial import Geometry
+    from feabas_tpu.triangulation import triangulate_geometry
+    from feabas_tpu.material import Material, MaterialTable
+    mt = MaterialTable()
+    mt.add('soft_fine', Material(area_constraint=0.2, mask_label=7))
+    label = np.full((120, 120), 1, np.uint8)
+    label[:, 60:] = 7
+    geom = Geometry(label, material_table=mt)
+    verts, tris, uids = triangulate_geometry(geom, mesh_size=25)
+    cent = verts[tris].mean(axis=1)
+    import numpy as _np
+    area = _np.abs(_np.cross(verts[tris[:, 1]] - verts[tris[:, 0]],
+                             verts[tris[:, 2]] - verts[tris[:, 0]])) / 2
+    left = cent[:, 0] < 55
+    right = cent[:, 0] > 65
+    assert left.sum() > 4 and right.sum() > 4
+    # refined side triangles are substantially smaller on average
+    assert area[right].mean() < 0.5 * area[left].mean(), \
+        (area[right].mean(), area[left].mean())

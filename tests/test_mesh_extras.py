@@ -122,7 +122,9 @@ def test_overlapping_triangles_perf_100k(workdir):
     pairs = m.overlapping_triangles('MOVING')
     dt = time.perf_counter() - t0
     assert pairs.shape[0] == 0
-    assert dt < 2.0, dt
+    # generous bound: guards against the round-1 minutes-long Python loop,
+    # not against CI load jitter
+    assert dt < 5.0, dt
 
 
 def test_geodesic_mask_excludes_fold_zone(workdir):
