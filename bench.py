@@ -1,13 +1,19 @@
-"""Headline benchmark: stitch-matching throughput (block pairs/sec).
+"""Headline benchmark: the BASELINE.json metric set.
 
-Runs the device xcorr matching step (masked DoG + rfft2 conj-product +
-peak + mirror confidence + subpixel) end-to-end on batches of 128x128
-block pairs — the hot loop of stitching/alignment matching (BASELINE.json
-metric "matches/sec"). The baseline is the same computation through
-scipy.fft on the host CPU (the reference's compute path,
-``feabas/matcher.py:22``), all cores.
+1. HEADLINE — matches/sec on a full 3000x4000 tile pair through
+   ``stitching_matcher`` end to end, INGEST INCLUDED (host->device
+   transfer through the tunnel, coarse seed, block distribution, device
+   warp+DoG+rfft2 xcorr, elastic relaxation). vs_baseline compares the
+   equivalent per-block xcorr work through scipy.fft on all host cores
+   (the reference's compute path, ``feabas/matcher.py:22``).
+2. window_solve_s — wall time of one 64-section sliding-window elastic
+   solve (~160k DOF) on device, the align-stage hot kernel.
+3. residual_parity_px — median error of the tile-pair matches against
+   the synthetic ground-truth offset (BASELINE.json north star: 0.1 px).
+4. device_xcorr_rate — the device-resident 128x128 block-pair
+   microbenchmark (round-1 headline, kept for continuity).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", extras}.
 """
 
 import json
@@ -115,12 +121,175 @@ def main():
         cpu_dt.append(time.perf_counter() - t0)
     cpu_rate = N / min(cpu_dt)
 
+    # ---- full 3000x4000 tile-pair match, ingest included ----
+    tile_rate, n_matches, pair_dt, parity_px = _bench_tile_pair()
+
+    # honest end-to-end baseline: the SAME tile-pair match forced onto the
+    # host CPU backend in a subprocess (XLA-CPU, all cores — if anything a
+    # stronger baseline than the reference's scipy+matplotlib path)
+    cpu_pair_dt = _bench_tile_pair_cpu_subprocess()
+
+    # ---- 64-section window elastic solve ----
+    window_dt, window_dof = _bench_window_solve()
+
+    vs = (cpu_pair_dt / pair_dt) if cpu_pair_dt else None
     print(json.dumps({
-        'metric': 'stitch_match_throughput',
-        'value': round(tpu_rate, 1),
-        'unit': 'block_pairs/sec (128x128 device-resident, DoG+rfft2+peak+conf+subpixel)',
-        'vs_baseline': round(tpu_rate / cpu_rate, 2),
+        'metric': 'stitch_tile_pair_match',
+        'value': round(tile_rate, 1),
+        'unit': ('matches/sec on one 3000x4000 tile pair, end-to-end incl '
+                 'host->device ingest (coarse seed + device warp/DoG/xcorr '
+                 '+ elastic relax); vs_baseline = same pipeline on '
+                 'all-core host CPU'),
+        'vs_baseline': None if vs is None else round(vs, 2),
+        'tile_pair_seconds': round(pair_dt, 2),
+        'cpu_tile_pair_seconds': None if not cpu_pair_dt else round(cpu_pair_dt, 2),
+        'tile_pair_matches': int(n_matches),
+        'residual_parity_px': round(parity_px, 3),
+        'window_solve_s': round(window_dt, 3),
+        'window_solve_dof': int(window_dof),
+        'device_xcorr_blockpairs_per_sec': round(tpu_rate, 1),
+        'device_xcorr_vs_cpu': round(tpu_rate / cpu_rate, 2),
     }))
+
+
+def _tile_pair_images():
+    """Deterministic 3000x4000 tile pair with SUBPIXEL ground-truth
+    offset (so parity genuinely measures subpixel accuracy)."""
+    import cv2
+    from scipy.ndimage import gaussian_filter
+    rng = np.random.default_rng(1)
+    H, W, OVL = 3000, 4000, 400
+    world = gaussian_filter(rng.normal(0, 1, (H + 16, 2 * W - OVL + 16)), 2)
+    world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.float32)
+    t0_img = world[:H, :W].astype(np.uint8)
+    off = (W - OVL + 0.4, 7.3)   # tile1 origin in tile0 frame (subpixel)
+    M = np.float32([[1, 0, -off[0]], [0, 1, -off[1]]])
+    t1_img = cv2.warpAffine(world, M, (W, H),
+                            flags=cv2.INTER_LINEAR).astype(np.uint8)
+    return t0_img, t1_img, off
+
+
+_TILE_KWARGS = dict(sigma=2.5, conf_thresh=0.3, coarse_downsample=0.25,
+                    fine_downsample=1.0)
+
+
+def _bench_tile_pair():
+    """Match one synthetic 3000x4000 tile pair end to end; returns
+    (matches/sec, n_matches, seconds, parity_px vs ground truth)."""
+    from feabas_tpu.matcher import stitching_matcher
+    t0_img, t1_img, off = _tile_pair_images()
+    match = stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)  # warm-up
+    assert match is not None and match.xy0.shape[0] >= 8, 'bench tile pair'
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        match = stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)
+        dts.append(time.perf_counter() - t0)
+    dt = min(dts)
+    err = match.xy0 - (match.xy1 + np.asarray(off))
+    parity = float(np.median(np.linalg.norm(err, axis=-1)))
+    return match.xy0.shape[0] / dt, match.xy0.shape[0], dt, parity
+
+
+def cpu_tile_pair_worker():
+    """Subprocess body: same tile-pair match on the host CPU backend."""
+    from feabas_tpu.matcher import stitching_matcher
+    t0_img, t1_img, off = _tile_pair_images()
+    stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)  # warm-up/compile
+    dts = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)
+        dts.append(time.perf_counter() - t0)
+    print(json.dumps({'cpu_pair_dt': min(dts)}))
+
+
+def _bench_tile_pair_cpu_subprocess():
+    """Run cpu_tile_pair_worker with JAX pinned to the CPU backend.
+    Returns seconds or None on failure."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    env['PYTHONPATH'] = os.pathsep.join(
+        [os.path.dirname(os.path.abspath(__file__))]
+        + [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+           if p and 'axon_site' not in p])
+    code = 'import bench; bench.cpu_tile_pair_worker()'
+    try:
+        out = subprocess.run([sys.executable, '-c', code], env=env,
+                             capture_output=True, text=True, timeout=900,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.strip().splitlines()[::-1]:
+            try:
+                return float(json.loads(line)['cpu_pair_dt'])
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return None
+
+
+def _bench_window_solve():
+    """One 64-section window relaxation (~160k DOF) on device; returns
+    (seconds, dof)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.parallel.window import build_stack_system, stack_solve
+    rng = np.random.default_rng(0)
+    S = 64
+    meshes = []
+    for z in range(S):
+        m = Mesh.from_bbox((0, 0, 3000, 3000), cartesian=True, mesh_size=86,
+                           uid=z, name=f'z{z}', resolution=4)
+        m.set_translation((0, 0))
+        meshes.append(m)
+    meshes[0].locked = True
+    xs, ys = np.meshgrid(np.linspace(100, 2900, 12), np.linspace(100, 2900, 12))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    links = []
+    for z in range(S - 1):
+        d = rng.normal(0, 1.5, 2)
+        tid0 = meshes[z].tri_finder(pts, gear='INITIAL', extrapolate=True)
+        tid1 = meshes[z + 1].tri_finder(pts + d, gear='INITIAL', extrapolate=True)
+        links.append({
+            'idx0': meshes[z].triangles[tid0],
+            'bary0': meshes[z].cart2bary(pts, tid0, gear='INITIAL'),
+            'idx1': meshes[z + 1].triangles[tid1],
+            'bary1': meshes[z + 1].cart2bary(pts + d, tid1, gear='INITIAL'),
+            'weight': np.ones(len(pts), np.float32),
+        })
+    system = build_stack_system(meshes, links)
+    dof = int(system['pos'].size)
+    import jax.numpy as jnp
+    from feabas_tpu.ops import fem
+    args = {k: jnp.asarray(v) if not isinstance(v, tuple) else
+            tuple(jnp.asarray(a) for a in v) for k, v in system.items()}
+    # gather-mode FEM transpose: TPU scatter-adds serialize on duplicate
+    # indices, the incidence gather doesn't
+    inc, imask = fem.build_incidence(system['tris'],
+                                     system['verts0'].shape[1])
+    inc = jnp.asarray(inc)
+    imask = jnp.asarray(imask)
+
+    def run():
+        return stack_solve(args['verts0'], args['pos'], args['tris'],
+                           args['multiplier'], args['poisson'],
+                           args['links'], args['free'], lam_s=0.1,
+                           maxiter=500, inc=inc, imask=imask)
+
+    pos, n_it, res = run()   # compile warm-up
+    _ = float(np.asarray(pos).sum())
+    dts = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        pos, n_it, res = run()
+        # force a value fetch; block_until_ready is unreliable through the
+        # tunnel (CLAUDE.md)
+        _ = float(np.asarray(pos).sum())
+        dts.append(time.perf_counter() - t0)
+    return min(dts), dof
 
 
 if __name__ == '__main__':
