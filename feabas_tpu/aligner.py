@@ -192,10 +192,14 @@ class Stack:
 
     def optimize_section_list(self, sections, **kwargs):
         """Affine cascade + elastic relaxation over a window
-        (reference: aligner.py:678)."""
+        (reference: aligner.py:678). Sections broken into disconnected
+        pieces split into component meshes (links redistributed) so each
+        piece relaxes independently; results sync back to the section
+        meshes (reference: aligner.py:343, optimizer.py:738)."""
         slm = self.initialize_SLM(sections)
         if np.all(slm.lock_flags):
             return slm
+        n_split = slm.divide_disconnected_submeshes()
         residue_mode = kwargs.pop('residue_mode', 'huber')
         residue_len = kwargs.pop('residue_len', -3)
         if residue_len < 0:
@@ -210,6 +214,8 @@ class Stack:
                              residue_mode=residue_mode,
                              residue_len=residue_len,
                              **elastic_params)
+        if n_split:
+            slm.sync_component_positions()
         return slm
 
     def optimize_slide_window(self, **kwargs):

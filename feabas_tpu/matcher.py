@@ -555,20 +555,38 @@ def stitching_matcher(img0, img1, **kwargs):
          - np.array([f1.shape[1], f1.shape[0]]) / 2
          - np.array([dx, dy]) * fs)
     mesh1.set_translation(t)
+    ovl, valid = common.intersect_bbox(
+        (0, 0, f0.shape[1], f0.shape[0]),
+        (t[0], t[1], t[0] + f1.shape[1], t[1] + f1.shape[0]))
+    if not valid:
+        return None
     if spacings is None:
         # size grid spacing to the overlap so borders get dense coverage
         # (reference sizes spacings dynamically, matcher.py:265)
-        ovl, valid = common.intersect_bbox(
-            (0, 0, f0.shape[1], f0.shape[0]),
-            (t[0], t[1], t[0] + f1.shape[1], t[1] + f1.shape[0]))
-        if not valid:
-            return None
         short = min(ovl[2] - ovl[0], ovl[3] - ovl[1])
         s0 = float(np.clip(short / 3.0, 25.0, 200.0))
         spacings = [s0] if s0 <= 60 else [s0, max(s0 / 2, 50.0)]
         spacings = np.asarray(spacings) / fs
+    # ship only the overlap band (+ block-reach margin) to the device:
+    # tile-pair matching is ingest-bound through the host->device link and
+    # blocks are only ever rendered inside the overlap
+    band_margin = 2.0 * float(np.max(spacings))
+
+    def _band(img, bbox):
+        h, w = img.shape[:2]
+        x0 = int(np.clip(np.floor(bbox[0] - band_margin), 0, w))
+        y0 = int(np.clip(np.floor(bbox[1] - band_margin), 0, h))
+        x1 = int(np.clip(np.ceil(bbox[2] + band_margin), 0, w))
+        y1 = int(np.clip(np.ceil(bbox[3] + band_margin), 0, h))
+        return img[y0:y1, x0:x1], (x0, y0)
+
+    f0b, off0 = _band(f0, ovl)
+    # overlap in img1's own pixel frame
+    ovl1 = (ovl[0] - t[0], ovl[1] - t[1], ovl[2] - t[0], ovl[3] - t[1])
+    f1b, off1 = _band(f1, ovl1)
     match = iterative_xcorr_matcher_w_mesh(
-        mesh0, mesh1, StreamLoader(f0), StreamLoader(f1),
+        mesh0, mesh1, StreamLoader(f0b, offset=off0),
+        StreamLoader(f1b, offset=off1),
         np.asarray(spacings, np.float64) * fs,
         sigma=sigma * fs, conf_thresh=conf_thresh,
         **{k: v for k, v in kwargs.items()

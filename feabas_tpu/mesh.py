@@ -203,6 +203,10 @@ class Mesh:
         init_dict.update(kwargs)
         sub = Mesh(self._vertices[const.MESH_GEAR_INITIAL][used],
                    remap[T].astype(np.int32), **init_dict)
+        # in-memory provenance so solvers can write component results back
+        # into the parent (not serialized)
+        sub._parent_mesh = self
+        sub._parent_vertex_indices = used
         return sub
 
     def divide_disconnected_mesh(self, **kwargs):

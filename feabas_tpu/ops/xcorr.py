@@ -184,7 +184,11 @@ def xcorr_fft(img0, img1, conf_mode=const.FFT_CONF_MIRROR, **kwargs):
     m1 = _expand_mask(mask1, shp1, img1.shape[0])
     dx, dy, conf = _xcorr_core(img0, img1, m0, m1, fftshp, shp0, shp1,
                                int(conf_mode), subpixel, normalize)
-    dx, dy, conf = np.asarray(dx), np.asarray(dy), np.asarray(conf)
+    # ONE device->host fetch for all three outputs: each fetch pays a full
+    # host<->device round trip (dominant cost on tunneled links)
+    out = np.asarray(jnp.stack([dx.astype(jnp.float32),
+                                dy.astype(jnp.float32), conf]))
+    dx, dy, conf = out[0], out[1], out[2]
     if squeeze:
         return dx[0], dy[0], conf[0]
     return dx, dy, conf

@@ -42,7 +42,8 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     numbering). Assembles element blocks, trace-balances the stiffness
     lambda, builds rhs/diag, and runs Jacobi-PCG — all in one XLA program
     so a solve costs one dispatch instead of ~15 (material for tunneled
-    hosts). Returns dx (NV, 2)."""
+    hosts). Returns (NV+2, 2): dx rows followed by a stats block
+    [[bnorm, res], [cost0, 0]]."""
     nv = pos_start.shape[0]
     Ke = fem.eng_element_stiffness(B, area2, multiplier, poisson)
     u_cur = pos_start - pos_shape
@@ -74,7 +75,12 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     diag = jnp.where(free > 0, diag, 1.0)
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter)
-    return dx * free, jnp.linalg.norm(b), res
+    # pack (dx, bnorm, res, cost0) into ONE array so the caller pays a
+    # single device->host round trip (dominant cost on tunneled links)
+    cost0 = jnp.linalg.norm(r0 * weight[:, None])
+    stats = jnp.stack([jnp.stack([jnp.linalg.norm(b), res]),
+                       jnp.stack([cost0, cost0 * 0])])
+    return jnp.concatenate([dx * free, stats.astype(dx.dtype)], axis=0)
 
 
 class Link:
@@ -193,6 +199,44 @@ class Link:
         return idx0, self._bary0, idx1, self._bary1, self.weight()
 
 
+def distribute_link(mesh0_list, mesh1_list, xy0, xy1, weight=None,
+                    gear=const.MESH_GEAR_INITIAL, exclusive=True, **kwargs):
+    """Distribute one link's matches over split meshes (reference
+    distribute_link: optimizer.py:1818): each match goes to the component
+    pair that actually contains its endpoints, so matches never tie
+    disconnected pieces to the wrong fragment. Returns a list of Links."""
+    xy0 = np.asarray(xy0, np.float64).reshape(-1, 2)
+    xy1 = np.asarray(xy1, np.float64).reshape(-1, 2)
+    n = xy0.shape[0]
+    weight = np.ones(n) if weight is None else np.asarray(weight).ravel()
+    remaining = np.arange(n)
+    out = []
+    for m0 in mesh0_list:
+        if remaining.size == 0:
+            break
+        tid0 = m0.tri_finder(xy0[remaining], gear=gear)
+        in0 = tid0 >= 0
+        if not in0.any():
+            continue
+        cand0 = remaining[in0]
+        for m1 in mesh1_list:
+            if cand0.size == 0:
+                break
+            tid1 = m1.tri_finder(xy1[cand0], gear=gear)
+            take = cand0[tid1 >= 0]
+            if take.size == 0:
+                continue
+            link = Link.from_coordinates(m0, m1, xy0[take], xy1[take],
+                                         weight=weight[take],
+                                         gear=(gear, gear), **kwargs)
+            if link.num_matches > 0:
+                out.append(link)
+            if exclusive:
+                cand0 = np.setdiff1d(cand0, take)
+                remaining = np.setdiff1d(remaining, take)
+    return out
+
+
 class SLM:
     """A system of meshes coupled by links (reference: optimizer.py:487)."""
 
@@ -237,6 +281,67 @@ class SLM:
     def active_links(self):
         return [l for l in self.links if (not l.disabled) and l.num_matches > 0
                 and np.any(l.weight() > 0)]
+
+    def divide_disconnected_submeshes(self, prune_links=True):
+        """Split every disconnected mesh into its components and
+        redistribute its links onto them (reference
+        divide_disconnected_submeshes + distribute_link:
+        optimizer.py:738,1818). Component uids extend the parent's with a
+        decimal suffix; components remember their parent so
+        :meth:`sync_component_positions` can write results back.
+        Returns the number of meshes that were split."""
+        replaced = {}
+        new_meshes = []
+        for m in self.meshes:
+            if m.num_connected <= 1:
+                new_meshes.append(m)
+                continue
+            comps = m.divide_disconnected_mesh()
+            for k, c in enumerate(comps):
+                c.uid = float(m.uid) + (k + 1) * 1e-3
+                c.locked = m.locked
+                c.soft_factor = m.soft_factor
+            replaced[m.uid] = comps
+            new_meshes.extend(comps)
+        if not replaced:
+            return 0
+        self.meshes = new_meshes
+        new_links = []
+        for l in self.links:
+            u0, u1 = l.uids
+            if u0 not in replaced and u1 not in replaced:
+                new_links.append(l)
+                continue
+            l0 = replaced.get(u0) or [self.mesh_by_uid(u0)]
+            l1 = replaced.get(u1) or [self.mesh_by_uid(u1)]
+            new_links.extend(distribute_link(
+                l0, l1, l.xy0(gear=const.MESH_GEAR_INITIAL),
+                l.xy1(gear=const.MESH_GEAR_INITIAL), weight=l.weight()))
+        self.links = [l for l in new_links
+                      if (not prune_links) or l.num_matches > 0]
+        return len(replaced)
+
+    def sync_component_positions(self, gear=const.MESH_GEAR_MOVING):
+        """Write split-component vertex positions back into their parent
+        meshes (inverse of :meth:`divide_disconnected_submeshes`)."""
+        parents = {}
+        for m in self.meshes:
+            parent = getattr(m, '_parent_mesh', None)
+            idx = getattr(m, '_parent_vertex_indices', None)
+            if parent is None or idx is None:
+                continue
+            if id(parent) not in parents:
+                if not parent.vertices_initialized(gear):
+                    parent.set_vertices(parent.vertices(const.MESH_GEAR_FIXED),
+                                        gear,
+                                        offset=parent.offset(const.MESH_GEAR_FIXED))
+                parents[id(parent)] = (parent,
+                                       parent.vertices_w_offset(gear).copy())
+            parents[id(parent)][1][idx] = m.vertices_w_offset(gear)
+        for parent, mv in parents.values():
+            center = mv.mean(axis=0, keepdims=True)
+            parent.set_vertices(mv - center, gear, offset=center)
+        return len(parents)
 
     def prune_links(self, min_matches=1):
         self.links = [l for l in self.links if l.num_matches >= min_matches]
@@ -677,21 +782,20 @@ class SLM:
             mult = jnp.concatenate([g['multiplier'] for g in groups])
             poisson = jnp.concatenate([g['poisson'] for g in groups])
             p_start = jnp.asarray(pos_start, dt)
-            dx, bnorm, res = _linear_solve_eng(
+            packed = np.asarray(_linear_solve_eng(
                 tris, B, area2, mult, poisson,
                 idx0, bary0, idx1, bary1, weight,
                 p_start, jnp.asarray(pos_shape, dt),
                 sys_d['free'].astype(dt),
-                abs(lam_s / lam_c), tol, atol, int(maxiter))
-            r0n = fem.link_eval(p_start, idx1, bary1) \
-                - fem.link_eval(p_start, idx0, bary0)
-            cost0 = float(jnp.linalg.norm(r0n * weight[:, None]))
-            ok = (float(res) < float(bnorm)
-                  or float(res) <= max(tol * float(bnorm), atol))
+                abs(lam_s / lam_c), tol, atol, int(maxiter)))
+            dx = packed[:-2]
+            bnorm, res = float(packed[-2, 0]), float(packed[-2, 1])
+            cost0 = float(packed[-1, 0])
+            ok = res < bnorm or res <= max(tol * bnorm, atol)
             if check_converge and not ok:
                 self.last_solve_converged = False
                 return cost0, cost0
-            self._scatter_positions(pos_start + np.asarray(dx), target_gear)
+            self._scatter_positions(pos_start + dx, target_gear)
             r1 = self.match_residues(gear=target_gear)
             w_all = np.concatenate([l.weight() for l in self.active_links()]) \
                 if self.active_links() else np.zeros(0)

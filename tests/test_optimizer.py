@@ -313,3 +313,38 @@ def test_newton_flip_guard(workdir):
                                 crosslink_lambda=-1, max_newtonstep=4,
                                 residue_mode='huber', residue_len=2)
     assert m1.flipped_triangles('MOVING').size == 0
+
+
+def test_divide_disconnected_submeshes_redistributes_links(workdir):
+    """A disconnected mesh splits into components; its links distribute to
+    the component actually containing each match; pieces relax
+    independently and sync back (reference: optimizer.py:738,1818)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import SLM
+    anchor = _tile_mesh((0, 0, 300, 100), 0, locked=True, mesh_size=25)
+    broken = Mesh.from_bbox((0, 0, 300, 100), cartesian=True, mesh_size=25,
+                            uid=1)
+    cent = broken.triangle_centers('INITIAL')
+    broken = broken.submesh(np.abs(cent[:, 0] - 150) > 20)
+    broken.uid = 1.0
+    assert broken.num_connected == 2
+    slm = SLM([anchor, broken])
+    # left piece needs (+4, 0); right piece needs (-3, +2)
+    ptsL = _grid_pts((10, 10, 120, 90), n=4)
+    ptsR = _grid_pts((180, 10, 290, 90), n=4)
+    slm.add_link_from_coordinates(0, 1, ptsL, ptsL - [4.0, 0.0])
+    slm.add_link_from_coordinates(0, 1, ptsR, ptsR - [-3.0, 2.0])
+    n_split = slm.divide_disconnected_submeshes()
+    assert n_split == 1
+    assert len(slm.meshes) == 3  # anchor + 2 components
+    # each distributed link couples the anchor to ONE component
+    assert len(slm.links) == 2
+    slm.optimize_linear(tol=1e-10, stiffness_lambda=-0.01, crosslink_lambda=-1)
+    slm.sync_component_positions()
+    mv = broken.vertices_w_offset('MOVING')
+    fx = broken.vertices_w_offset('FIXED')
+    d = mv - fx
+    left = fx[:, 0] < 140
+    right = fx[:, 0] > 160
+    assert np.allclose(np.median(d[left], axis=0), [4.0, 0.0], atol=0.05)
+    assert np.allclose(np.median(d[right], axis=0), [-3.0, 2.0], atol=0.05)
