@@ -153,3 +153,48 @@ def terminate_logger(logger_info, logger=None):
             h.close()
             logger.removeHandler(h)
         logger._feabas_initialized = False
+
+
+class stage_timer:
+    """Context manager logging a pipeline stage's wall time (the in-driver
+    stage timing the reference scatters through its CLIs,
+    reference: stitch_main.py:43,210, aligner.py:741).
+
+    Usage::
+
+        with stage_timer(logger, 'matching', section='s0001'):
+            ...
+
+    Logs "<stage> [k=v ...]: <dt>s" at INFO on success; failures log the
+    elapsed time at ERROR and re-raise. Nesting is fine.
+    """
+
+    def __init__(self, logger, stage, level=logging.INFO, **context):
+        self._logger = logger
+        self._stage = stage
+        self._level = level
+        self._context = context
+        self._t0 = None
+
+    def __enter__(self):
+        self._t0 = time.perf_counter()
+        return self
+
+    @property
+    def elapsed(self):
+        return time.perf_counter() - self._t0
+
+    def _fmt(self):
+        ctx = ' '.join(f'{k}={v}' for k, v in self._context.items())
+        return f'{self._stage}{" [" + ctx + "]" if ctx else ""}'
+
+    def __exit__(self, exc_type, exc, tb):
+        dt = self.elapsed
+        if self._logger is None:
+            return False
+        if exc_type is None:
+            self._logger.log(self._level, f'{self._fmt()}: {dt:.2f}s')
+        else:
+            self._logger.error(f'{self._fmt()}: FAILED after {dt:.2f}s '
+                               f'({exc_type.__name__}: {exc})')
+        return False

@@ -32,6 +32,13 @@ def _solver_dtype():
     return jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
 
 
+def _solver_log():
+    """Per-iteration solver observability (reference SLM_Callback logging,
+    optimizer.py:1913-1942); DEBUG level so production runs stay quiet."""
+    import logging as _logging
+    return _logging.getLogger('feabas_tpu.solver')
+
+
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def _linear_solve_eng(tris, B, area2, multiplier, poisson,
                       idx0, bary0, idx1, bary1, weight,
@@ -79,7 +86,7 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     # single device->host round trip (dominant cost on tunneled links)
     cost0 = jnp.linalg.norm(r0 * weight[:, None])
     stats = jnp.stack([jnp.stack([jnp.linalg.norm(b), res]),
-                       jnp.stack([cost0, cost0 * 0])])
+                       jnp.stack([cost0, n_it.astype(dx.dtype)])])
     return jnp.concatenate([dx * free, stats.astype(dx.dtype)], axis=0)
 
 
@@ -791,6 +798,9 @@ class SLM:
             dx = packed[:-2]
             bnorm, res = float(packed[-2, 0]), float(packed[-2, 1])
             cost0 = float(packed[-1, 0])
+            _solver_log().debug(
+                'fused ENG solve: %d CG iters, |b|=%.3e, res=%.3e',
+                int(packed[-1, 1]), bnorm, res)
             ok = res < bnorm or res <= max(tol * bnorm, atol)
             if check_converge and not ok:
                 self.last_solve_converged = False
@@ -853,6 +863,8 @@ class SLM:
                                          chances=chances)
             bnorm = float(jnp.linalg.norm(b))
             dx = np.asarray(dx * free)
+            _solver_log().debug('linear solve: %d CG iters, |b|=%.3e, res=%.3e',
+                                int(n_it), bnorm, float(res))
         else:
             # projected system: P^T A P with P = expansion by dof_map
             def seg(y):

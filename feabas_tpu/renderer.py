@@ -244,7 +244,56 @@ class MeshRenderer:
         return render_by_subregions(map_x, map_y, mask, loader, **kwargs)
 
     def crop_multiple(self, bboxes, image_loader=None, **kwargs):
-        return [self.crop(b, image_loader=image_loader, **kwargs) for b in bboxes]
+        """Render several output blocks with ONE loader IO pass: the
+        source-coordinate fields stack vertically (NaN-padded to a common
+        width) and a single ``render_by_subregions`` sweep serves them all
+        (reference stacked fields: renderer.py:601)."""
+        loader = image_loader or self._image_loader
+        if loader is None:
+            raise RuntimeError('no image loader linked')
+        bboxes = list(bboxes)
+        if not bboxes:
+            return []
+        fields = [self.crop_field(b, **kwargs) for b in bboxes]
+        if len(fields) == 1:
+            mx, my, mk = fields[0]
+            if not mk.any():
+                return [None if kwargs.get('return_empty', False) else
+                        self._filled(mk.shape, loader, kwargs)]
+            return [render_by_subregions(mx, my, mk, loader, **kwargs)]
+        wmax = max(f[0].shape[1] for f in fields)
+
+        def padw(a, fill):
+            if a.shape[1] == wmax:
+                return a
+            out = np.full((a.shape[0], wmax), fill, dtype=a.dtype)
+            out[:, :a.shape[1]] = a
+            return out
+
+        MX = np.concatenate([padw(f[0], np.nan) for f in fields])
+        MY = np.concatenate([padw(f[1], np.nan) for f in fields])
+        MK = np.concatenate([padw(f[2], False) for f in fields])
+        if MK.any():
+            big = render_by_subregions(MX, MY, MK, loader, **kwargs)
+        else:
+            big = None
+        out = []
+        r = 0
+        for (mx, my, mk), bbox in zip(fields, bboxes):
+            h, w = mk.shape
+            if not mk.any():
+                out.append(None if kwargs.get('return_empty', False) else
+                           self._filled((h, w), loader, kwargs))
+            else:
+                out.append(big[r:r + h, :w].copy())
+            r += h
+        return out
+
+    def _filled(self, shape, loader, kwargs):
+        fv = kwargs.get('fillval', self._fillval)
+        if fv is None:
+            fv = getattr(loader, 'default_fillval', 0)
+        return np.full(shape, fv, dtype=getattr(loader, 'dtype', np.uint8))
 
 
 def render_whole_mesh(mesh, image_loader, prefix, **kwargs):

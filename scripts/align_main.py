@@ -363,10 +363,11 @@ def main(argv=None):
     args = parse_args(argv)
     conf = config.align_configs()
     info, logger = initialize_main_logger(prefix=f'align_{args.mode}', mp_queue=False)
-    logger.info(f'align {args.mode}')
-    {'meshing': meshing_main, 'matching': matching_main,
-     'optimization': optimize_main, 'rendering': render_main,
-     'tsr': tsr_main, 'tsd': tsd_main}[args.mode](args, conf, logger)
+    from feabas_tpu.logging import stage_timer
+    with stage_timer(logger, f'align.{args.mode}'):
+        {'meshing': meshing_main, 'matching': matching_main,
+         'optimization': optimize_main, 'rendering': render_main,
+         'tsr': tsr_main, 'tsd': tsd_main}[args.mode](args, conf, logger)
     terminate_logger(info, logger)
 
 

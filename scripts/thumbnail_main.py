@@ -225,10 +225,11 @@ def main(argv=None):
     conf = config.thumbnail_configs()
     info, logger = initialize_main_logger(prefix=f'thumb_{args.mode}',
                                           mp_queue=False)
-    logger.info(f'thumbnail {args.mode}')
-    {'downsample': downsample_main, 'matching': matching_main,
-     'optimization': optimize_main, 'render': render_main}[args.mode](
-        args, conf, logger)
+    from feabas_tpu.logging import stage_timer
+    with stage_timer(logger, f'thumbnail.{args.mode}'):
+        {'downsample': downsample_main, 'matching': matching_main,
+         'optimization': optimize_main, 'render': render_main}[args.mode](
+            args, conf, logger)
     terminate_logger(info, logger)
 
 

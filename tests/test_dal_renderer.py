@@ -333,3 +333,25 @@ def test_triangulate_geometry_per_material_density(workdir):
     # refined side triangles are substantially smaller on average
     assert area[right].mean() < 0.5 * area[left].mean(), \
         (area[right].mean(), area[left].mean())
+
+
+def test_crop_multiple_stacked_fields(tile_set, workdir):
+    """crop_multiple (one stacked IO pass) matches per-bbox crop()."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    m.set_translation((5, -3))
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    out_bboxes = [(10, 10, 110, 90), (100, 60, 220, 200), (-40, -40, 0, 0),
+                  (150, 0, 200, 220)]
+    singles = [r.crop(b, return_empty=True) for b in out_bboxes]
+    multi = r.crop_multiple(out_bboxes, return_empty=True)
+    assert len(multi) == len(singles)
+    for s, g in zip(singles, multi):
+        if s is None:
+            assert g is None
+        else:
+            assert np.array_equal(s, g)
