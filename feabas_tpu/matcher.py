@@ -270,14 +270,18 @@ def _pad_pow2(n, lo=8):
 
 
 def _render_blocks(renderer, centers, block_size):
-    """Render equal-size blocks centered at world points. Returns
-    (stack (N,h,w) float32, kept_indices)."""
+    """Render equal-size blocks centered at world points with one stacked
+    IO pass (reference bboxes_mesh_renderer_matcher -> crop_multiple,
+    matcher.py:781). Returns (stack (N,h,w) float32, kept_indices)."""
     h = w = int(round(block_size))
+    bboxes = []
+    for cx, cy in centers:
+        x0 = int(round(cx - w / 2))
+        y0 = int(round(cy - h / 2))
+        bboxes.append((x0, y0, x0 + w, y0 + h))
+    blocks = renderer.crop_multiple(bboxes, return_empty=True)
     out, kept = [], []
-    for i, (cx, cy) in enumerate(centers):
-        bbox = (int(round(cx - w / 2)), int(round(cy - h / 2)),
-                int(round(cx - w / 2)) + w, int(round(cy - h / 2)) + h)
-        blk = renderer.crop(bbox, return_empty=True)
+    for i, blk in enumerate(blocks):
         if blk is None:
             continue
         out.append(np.asarray(blk, dtype=np.float32))

@@ -431,10 +431,23 @@ class Mesh:
             return
         vw_src = self.vertices_w_offset(src)
         vw_dst = self.vertices_w_offset(dst)
-        T, T_rigid = sp.fit_affine(vw_src, vw_dst, return_rigid=True)
-        use = T_rigid if mode in (const.ANNEAL_GLOBAL_RIGID,
-                                  const.ANNEAL_CONNECTED_RIGID) else T
-        out = sp.apply_affine(vw_dst, use)
+        rigid = mode in (const.ANNEAL_GLOBAL_RIGID, const.ANNEAL_CONNECTED_RIGID)
+        if mode in (const.ANNEAL_CONNECTED_RIGID, const.ANNEAL_CONNECTED_AFFINE):
+            # one transform per connected component (pieces anneal
+            # independently, reference: feabas/mesh.py:2421)
+            labels = self.connected_vertices()
+            out = vw_dst.copy()
+            for lbl in np.unique(labels):
+                sel = labels == lbl
+                if sel.sum() < 3:
+                    continue
+                T, T_rigid = sp.fit_affine(vw_src[sel], vw_dst[sel],
+                                           return_rigid=True)
+                out[sel] = sp.apply_affine(vw_dst[sel],
+                                           T_rigid if rigid else T)
+        else:
+            T, T_rigid = sp.fit_affine(vw_src, vw_dst, return_rigid=True)
+            out = sp.apply_affine(vw_dst, T_rigid if rigid else T)
         center = out.mean(axis=0, keepdims=True)
         self.set_vertices(out - center, dst, offset=center)
 
