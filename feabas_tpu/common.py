@@ -369,6 +369,47 @@ def numpy_to_str_ascii(arr):
     return bytes(np.asarray(arr, dtype=np.uint8)).decode('ascii', errors='replace')
 
 
+def chain_segment_rings(segments, directed=False):
+    """Chain boundary segments into ordered closed rings (reference
+    chain_segment_rings: common.py:581).
+
+    Args:
+        segments: (N, 2) int array of vertex-index pairs forming closed
+            loops (each vertex appears in exactly two segments).
+    Returns:
+        list of 1-D index arrays, one per ring, in traversal order
+        (the closing edge back to the first vertex is implicit).
+    """
+    segments = np.asarray(segments).reshape(-1, 2)
+    adj = {}
+    for a, b in segments:
+        adj.setdefault(int(a), []).append(int(b))
+        if not directed:
+            adj.setdefault(int(b), []).append(int(a))
+    visited = set()
+    rings = []
+    for start in sorted(adj):
+        if start in visited:
+            continue
+        ring = [start]
+        visited.add(start)
+        prev, cur = None, start
+        while True:
+            nxts = [v for v in adj.get(cur, []) if v != prev]
+            nxts = [v for v in nxts if v not in visited or v == ring[0]]
+            if not nxts:
+                break
+            nxt = nxts[0]
+            if nxt == ring[0]:
+                break
+            ring.append(nxt)
+            visited.add(nxt)
+            prev, cur = cur, nxt
+        if len(ring) >= 3:
+            rings.append(np.asarray(ring, np.int64))
+    return rings
+
+
 def func_to_str(func, **params):
     """Serialize a callable factory reference to a string.  Named module
     functions serialize as 'module.submodule::qualname'; arbitrary callables

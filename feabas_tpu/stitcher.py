@@ -733,6 +733,26 @@ class MontageRenderer:
             out = np.clip(np.round(out), info.min, info.max)
         return out.astype(dtype)
 
+    def generate_roi_mask(self, scale=1.0, canvas_bbox=None):
+        """Binary ROI mask of where montage content exists, at ``scale``
+        (reference generate_roi_mask: stitcher.py:1823) — feeds thumbnail
+        material-mask generation."""
+        from feabas_tpu.renderer import rasterize_mesh
+        if canvas_bbox is None:
+            canvas_bbox = self.bounds
+        x0, y0, x1, y1 = canvas_bbox
+        H = int(np.ceil((y1 - y0) * scale))
+        W = int(np.ceil((x1 - x0) * scale))
+        mask = np.zeros((H, W), bool)
+        for m in self.meshes:
+            ms = m.copy()
+            ms.change_resolution(ms.resolution / max(scale, 1e-9))
+            tid = rasterize_mesh(
+                ms, (x0 * scale, y0 * scale, x0 * scale + W, y0 * scale + H),
+                gear=const.MESH_GEAR_MOVING)
+            mask |= tid >= 0
+        return (mask * np.uint8(255))
+
     def plan_render_series(self, tile_size=(4096, 4096), canvas_bbox=None,
                            one_based=True, pattern='_tr{ROW_IND}-tc{COL_IND}.png',
                            prefix=''):

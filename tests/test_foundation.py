@@ -160,3 +160,19 @@ def test_imread_imwrite(tmp_path):
     imwrite(p, img)
     back = imread(p)
     assert np.array_equal(img, back)
+
+
+def test_chain_segment_rings():
+    from feabas_tpu.common import chain_segment_rings
+    # two separate loops: 0-1-2-3 and 10-11-12
+    segs = np.array([[0, 1], [1, 2], [2, 3], [3, 0],
+                     [11, 12], [10, 11], [12, 10]])
+    rings = chain_segment_rings(segs)
+    assert len(rings) == 2
+    ring_sets = sorted(tuple(sorted(r)) for r in rings)
+    assert ring_sets == [(0, 1, 2, 3), (10, 11, 12)]
+    # traversal order is a valid cycle
+    r = [list(x) for x in rings if len(x) == 4][0]
+    edges = {tuple(sorted(e)) for e in segs[:4].tolist()}
+    for a, b in zip(r, r[1:] + r[:1]):
+        assert tuple(sorted((a, b))) in edges

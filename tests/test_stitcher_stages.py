@@ -186,3 +186,25 @@ def test_stitch_render_to_tensorstore(rng, workdir, tmp_path):
     cc = np.corrcoef(blk.astype(float).ravel(),
                      world[20:100, 20:100].astype(float).ravel())[0, 1]
     assert cc > 0.98, cc
+
+
+def test_generate_roi_mask(workdir, rng):
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    import numpy as np
+    img = (rng.random((160, 160)) * 255).astype(np.uint8)
+    import tempfile, pathlib
+    td = pathlib.Path(tempfile.mkdtemp())
+    imwrite(str(td / 'a.png'), img)
+    imwrite(str(td / 'b.png'), img)
+    st = Stitcher(['a.png', 'b.png'],
+                  [(0, 0, 160, 160), (120, 0, 280, 160)],
+                  root_dir=str(td), name='s')
+    st.initialize_meshes()
+    mr = MontageRenderer.from_stitcher(
+        st, loader_config={'apply_CLAHE': False, 'inverse': False})
+    mask = mr.generate_roi_mask(scale=0.5)
+    assert mask.shape == (80, 140)
+    assert mask[40, 20] == 255 and mask[40, 120] == 255
+    inner = mask[2:-2, 2:-2]
+    assert (inner > 0).mean() > 0.95
