@@ -199,6 +199,9 @@ def distribute_matching_blocks(mesh0, mesh1, spacing, distributor='cartesian_reg
     min_boundary_distance = kwargs.get('min_boundary_distance', 0)
     refine_box_exp = kwargs.get('refine_box_exp', 0.5)
     refine_mode = kwargs.get('refine_mode', 2)
+    render_weight_threshold = kwargs.get('render_weight_threshold', 0)
+    stiffness_multiplier_threshold = kwargs.get(
+        'stiffness_multiplier_threshold', 0)
     triangular = (str(distributor).lower() == 'intersect_triangulation')
     bbox0 = mesh0.bbox(gear=gear)
     bbox1 = mesh1.bbox(gear=gear)
@@ -210,6 +213,26 @@ def distribute_matching_blocks(mesh0, mesh1, spacing, distributor='cartesian_reg
     in0, in1, tid0, tid1, xs, ys = _coverage_grids(mesh0, mesh1, ovl, cell,
                                                    gear=gear)
     inter = in0 & in1
+    # exclude non-rendering or too-soft (wrinkle/split) material cells
+    # (reference render_weight_threshold / stiffness_multiplier_threshold
+    # handling: matcher.py:938-944)
+    if render_weight_threshold > 0 or stiffness_multiplier_threshold > 0:
+        for msh, tg, ins in ((mesh0, tid0, in0), (mesh1, tid1, in1)):
+            uid2mat = msh.material_table.uid_to_material()
+            bad_uids = set()
+            for uid, mat in uid2mat.items():
+                rw = mat.render_weight if mat.render else 0.0
+                if render_weight_threshold > 0 and rw < render_weight_threshold:
+                    bad_uids.add(int(uid))
+                if (stiffness_multiplier_threshold > 0
+                        and mat.stiffness_multiplier
+                        < stiffness_multiplier_threshold):
+                    bad_uids.add(int(uid))
+            if not bad_uids:
+                continue
+            mat_cell = np.full(tg.shape, -9, np.int32)
+            mat_cell[ins] = msh.material_ids[tg[ins]]
+            inter &= ~np.isin(mat_cell, list(bad_uids))
     if not inter.any():
         return np.zeros((0, 2)), np.zeros(0)
     if min_boundary_distance > 0:
@@ -427,7 +450,11 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
             centers, size_factors = distribute_matching_blocks(
                 mesh0, mesh1, spacing, distributor=distributor,
                 min_boundary_distance=min_boundary_distance,
-                shrink_factor=shrink_factor)
+                shrink_factor=shrink_factor,
+                render_weight_threshold=kwargs.get(
+                    'render_weight_threshold', 0),
+                stiffness_multiplier_threshold=kwargs.get(
+                    'stiffness_multiplier_threshold', 0))
         else:
             bbox0 = mesh0.bbox(gear=const.MESH_GEAR_MOVING)
             bbox1 = mesh1.bbox(gear=const.MESH_GEAR_MOVING)

@@ -170,7 +170,9 @@ def matching_main(args, conf, logger):
                         'shrink_factor', 'min_boundary_distance',
                         'distributor', 'geodesic_mask', 'allow_dwell',
                         'max_spacing_skip', 'min_block_size_multiplier',
-                        'link_weight_decay', 'split_disconnected')})
+                        'link_weight_decay', 'split_disconnected',
+                        'render_weight_threshold',
+                        'stiffness_multiplier_threshold')})
         if match is None:
             logger.warning(f'{sec0} -> {sec1}: matching failed')
             continue

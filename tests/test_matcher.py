@@ -213,3 +213,30 @@ def test_section_matcher_splits_disconnected_pieces(rng, workdir):
     err_r = np.median(np.abs(d[right] - [-5, 7]), axis=0)
     assert (err_l < 0.75).all(), err_l
     assert (err_r < 0.75).all(), err_r
+
+
+def test_distributor_excludes_soft_materials(rng, workdir):
+    """stiffness_multiplier_threshold / render_weight_threshold keep block
+    centers off wrinkle/split materials (reference: matcher.py:938-944)."""
+    from feabas_tpu.matcher import distribute_matching_blocks
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.material import Material, MaterialTable
+    mt = MaterialTable()
+    mt.add('wrinkle', Material(stiffness_multiplier=0.01, mask_label=40))
+    m0 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25,
+                        uid=0, material_table=mt)
+    m1 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=25,
+                        uid=1, material_table=mt)
+    cent = m0.triangle_centers('INITIAL')
+    ids = m0.material_ids.copy()
+    ids[(cent[:, 0] > 80) & (cent[:, 0] < 120)] = mt['wrinkle'].uid
+    m0._material_ids = ids
+    for m in (m0, m1):
+        m.set_translation((0, 0))
+    c_all, _ = distribute_matching_blocks(m0, m1, 25, refine_mode=0)
+    c_thr, _ = distribute_matching_blocks(
+        m0, m1, 25, refine_mode=0, stiffness_multiplier_threshold=0.1)
+    in_band = lambda c: ((c[:, 0] > 85) & (c[:, 0] < 115)).sum()
+    assert in_band(c_all) > 0
+    assert in_band(c_thr) == 0
+    assert c_thr.shape[0] > 10
