@@ -205,7 +205,13 @@ class Stack:
         if residue_len < 0:
             residue_len = abs(residue_len) * config.section_thickness() / self.resolution
         elastic_params = dict(kwargs.pop('elastic_params', {}) or {})
-        elastic_params.pop('callback_settings', None)
+        # callback_settings (timeout / cost-increase chances / eval_step)
+        # map onto the CG stall-chances early stop; the wall-clock timeout
+        # is the iteration budget in a compiled solve
+        cb = elastic_params.pop('callback_settings', None) or {}
+        if cb and 'chances' not in elastic_params:
+            elastic_params['chances'] = (int(cb.get('chances') or 5)
+                                         * int(cb.get('eval_step') or 10))
         elastic_params.pop('precondition', None)
         lam = elastic_params.pop('stiffness_lambda', 1.0)
         slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_FIXED)
@@ -632,8 +638,12 @@ class Aligner:
         for k in range(1, len(chunks)):
             junction = (chunks[k - 1][-junction_width:]
                         + chunks[k][:junction_width])
-            lo = max(sections.index(junction[0]) - 1, 0)
-            hi = min(sections.index(junction[-1]) + 2, len(sections))
+            # pad_junctional: include one locked context section on each
+            # side so the free sections relax against committed anchors
+            # (reference: aligner.py:1216-1228)
+            pad = 1 if chunk_settings.get('pad_junctional', True) else 0
+            lo = max(sections.index(junction[0]) - pad, 0)
+            hi = min(sections.index(junction[-1]) + 1 + pad, len(sections))
             window = sections[lo:hi]
             if len(window) < 3:
                 continue

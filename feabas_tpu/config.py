@@ -95,7 +95,22 @@ def parallel_framework():
         return 'thread'
     if frmwk.startswith('se') or frmwk == 'none':
         return 'serial'
+    if frmwk.startswith('sl'):
+        return 'slurm'
     raise ValueError(f'unsupported parallel framework "{frmwk}"')
+
+
+def ts_timeout():
+    """Seconds before a hung tensorstore op raises (general_configs
+    ``tensorstore_timeout``; falls back to TS_TIMEOUT)."""
+    v = general_settings().get('tensorstore_timeout', None)
+    return TS_TIMEOUT if v is None else float(v)
+
+
+def fft_batch():
+    """Default xcorr batch size (general_configs ``device.fft_batch``)."""
+    dev = general_settings().get('device', {}) or {}
+    return int(dev.get('fft_batch', 128) or 128)
 
 
 def get_work_dir():

@@ -387,9 +387,9 @@ def _ts_retrying(op, reconnect, retries=None, timeout=None):
     retry/reconnect: dal.py:1207-1241). ``op`` returns a tensorstore
     Future; reconnect() drops the dataset handle so the next attempt
     reopens the connection."""
-    from feabas_tpu.config import TS_RETRY, TS_TIMEOUT
-    retries = TS_RETRY if retries is None else int(retries)
-    timeout = TS_TIMEOUT if timeout is None else float(timeout)
+    from feabas_tpu import config as _config
+    retries = _config.TS_RETRY if retries is None else int(retries)
+    timeout = _config.ts_timeout() if timeout is None else float(timeout)
     err = None
     for attempt in range(retries + 1):
         try:

@@ -328,7 +328,7 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     conf_thresh = kwargs.get('conf_thresh', 0.3)
     shrink_factor = kwargs.get('shrink_factor', 1.0)
     pad = kwargs.get('pad', True)
-    batch_size = kwargs.get('batch_size', 128)
+    batch_size = kwargs.get('batch_size', None) or config.fft_batch()
     residue_mode = kwargs.get('residue_mode', 'huber')
     residue_len = kwargs.get('residue_len', 3)
     min_boundary_distance = kwargs.get('min_boundary_distance', 0)

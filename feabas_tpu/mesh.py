@@ -141,7 +141,8 @@ class Mesh:
         v, t, uids = tri_mod.triangulate_geometry(
             mask_geom, mesh_size,
             area_thresh=kwargs.pop('area_thresh', 0),
-            simplify_tol=kwargs.pop('simplify_tol', 2.0))
+            simplify_tol=kwargs.pop('simplify_tol', 2.0),
+            min_angle=kwargs.pop('min_mesh_angle', 0.0))
         kwargs.setdefault('material_table', mask_geom.material_table)
         return cls(v, t, material_ids=uids, **kwargs)
 

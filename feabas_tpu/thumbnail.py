@@ -335,6 +335,9 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
     strain_f = dict(settings.get('strain_filter_settings', {}) or {})
     ransac_f = dict(settings.get('ransac_filter_settings', {}) or {})
     matchnum_thresh = settings.get('matchnum_thresh', 64)
+    # affine_only: every region pair contributes exactly ONE affine model
+    # (reference: thumbnail.py:336,affine_only branch)
+    affine_only = bool(settings.get('affine_only', False))
     maskout_radius = settings.get(
         'maskout_radius',
         2.0 * (settings.get('detect_settings', {}) or {}).get('min_spacing', 10))
@@ -380,6 +383,8 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
             # class-pure when class ids exist)
             cpair = (int(cls0[g[0]]), int(cls1[g[0]]))
             prior = settled_by_cls.get(cpair)
+            if affine_only and prior is not None:
+                continue  # this region pair already has its one model
             if prior is not None and g.size < matchnum_thresh:
                 # small late group on an ALREADY matched piece: must be
                 # elastically consistent with that piece's settled matches
@@ -459,10 +464,13 @@ def match_two_thumbnails_pmcc(img0, img1, mask0=None, mask1=None,
                                        'shrink_factor')})
 
 
-def align_two_thumbnails(img0, img1, mask0=None, mask1=None, **settings):
+def align_two_thumbnails(img0, img1, mask0=None, mask1=None,
+                         return_coarse=False, **settings):
     """Full coarse alignment of a section pair: feature (or template)
     stage, then PMCC refinement (reference: thumbnail.py:529).
-    Returns a ``common.Match`` or None."""
+    Returns a ``common.Match`` or None; with ``return_coarse`` returns
+    (refined, coarse) so drivers can archive the feature-stage matches
+    (reference save_feature_match: thumbnail_main.py)."""
     mode = settings.get('match_mode', 'feature')
     if mode == 'feature':
         coarse = match_two_thumbnails_LRadon(
@@ -486,7 +494,8 @@ def align_two_thumbnails(img0, img1, mask0=None, mask1=None, **settings):
             coarse = Match(pts1 + t, pts1, np.full(pts1.shape[0], cf),
                            config.DEFAULT_AVG_DEFORM)
     if coarse is None:
-        return None
+        return (None, None) if return_coarse else None
     refined = match_two_thumbnails_pmcc(img0, img1, mask0=mask0, mask1=mask1,
                                         initial_match=coarse, **settings)
-    return refined if refined is not None else coarse
+    out = refined if refined is not None else coarse
+    return (out, coarse) if return_coarse else out

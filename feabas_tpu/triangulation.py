@@ -36,8 +36,22 @@ def _dedupe(points, tol):
     return points[keep]
 
 
+def _min_angles_deg(pts, T):
+    """Per-triangle minimum interior angle (degrees)."""
+    p = pts[T]
+    angs = []
+    for k in range(3):
+        a = p[:, (k + 1) % 3] - p[:, k]
+        b = p[:, (k + 2) % 3] - p[:, k]
+        cosv = (a * b).sum(-1) / np.clip(
+            np.linalg.norm(a, axis=-1) * np.linalg.norm(b, axis=-1), 1e-12, None)
+        angs.append(np.degrees(np.arccos(np.clip(cosv, -1, 1))))
+    return np.min(np.stack(angs, -1), axis=-1)
+
+
 def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
-                     min_edge_ratio=0.25, extra_points=None):
+                     min_edge_ratio=0.25, extra_points=None,
+                     min_angle=0.0):
     """Mesh a region given a membership oracle + boundary rings.
 
     Args:
@@ -90,6 +104,11 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
     e = pts[T] - pts[np.roll(T, 1, axis=1)]
     elen = np.sqrt((e ** 2).sum(-1)).max(axis=1)
     keep &= elen < 2.0 * mesh_size
+    if min_angle and min_angle > 0:
+        # honor the meshing min_mesh_angle quality constraint: Delaunay
+        # over the lattice only produces bad angles in boundary slivers,
+        # so dropping them does not open interior holes
+        keep &= _min_angles_deg(pts, T) >= float(min_angle)
     T = T[keep]
     verts, T = compact_vertices(pts, T)
     return verts, T
@@ -103,7 +122,8 @@ def compact_vertices(vertices, triangles):
     return vertices[used], remap[triangles].astype(np.int32)
 
 
-def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0):
+def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
+                         min_angle=0.0):
     """Mesh a :class:`feabas_tpu.spatial.Geometry` (all mesh-enabled
     materials as one region), assigning per-triangle material uids by
     centroid label. Returns (vertices, triangles, material_uids)."""
@@ -134,7 +154,8 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0):
             extra.append(dense[sel])
     extra = np.concatenate(extra, axis=0) if extra else None
     verts, tris = triangulate_mask(inside, world_rings, mesh_size,
-                                   bbox=geom.bbox(), extra_points=extra)
+                                   bbox=geom.bbox(), extra_points=extra,
+                                   min_angle=min_angle)
     labels = geom.label_at(verts[tris].mean(axis=1))
     lut = {}
     for name, mat in geom.material_table:

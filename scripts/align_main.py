@@ -62,6 +62,7 @@ def meshing_main(args, conf, logger):
                 geom, mesh_size=mesh_size,
                 simplify_tol=mconf.get('simplify_tol', 2),
                 area_thresh=mconf.get('area_thresh', 25),
+                min_mesh_angle=mconf.get('min_mesh_angle', 0),
                 resolution=res, name=name)
         else:
             loader = StaticImageLoader.from_coordinate_file(meta)
@@ -222,10 +223,13 @@ def optimize_main(args, conf, logger):
     from feabas_tpu.aligner import Aligner
     work_dir = config.get_work_dir()
     oconf = conf.get('optimization', {})
+    stack_conf = oconf.get('stack_config') or {}
+    mip = int(stack_conf.get('mip_level', 0) or 0)
     al = Aligner(join_paths(work_dir, 'align', 'mesh'),
                  join_paths(work_dir, 'align', 'tform'),
                  join_paths(work_dir, 'align', 'matches'),
-                 resolution=config.montage_resolution(), logger=logger)
+                 resolution=config.montage_resolution() * (2 ** mip),
+                 logger=logger)
     committed = al.run(chunk_settings=oconf.get('chunk_settings'),
                        slide_window=oconf.get('slide_window'),
                        num_workers=oconf.get('num_workers', 1))
@@ -255,7 +259,9 @@ def render_main(args, conf, logger):
             boxes = np.asarray(boxes)
             canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
                       float(boxes[:, 2].max()), float(boxes[:, 3].max()))
-    for z, (name, meta) in enumerate(sections):
+    z_base = int(rconf.get('z_min', 0) or 0)
+    for z0, (name, meta) in enumerate(sections):
+        z = z0 + z_base
         t = join_paths(tform_dir, name + '.h5')
         if not storage.file_exists(t):
             continue
@@ -328,7 +334,9 @@ def tsr_main(args, conf, logger):
                         logger=logger,
                         remap_interp=tconf.get('remap_interp', 'LINEAR'))
     n = vr.render_volume(num_workers=tconf.get('num_workers', 1),
-                         chunks_per_job=tconf.get('chunks_per_job', 16))
+                         chunks_per_job=tconf.get(
+                             'chunks_per_job',
+                             tconf.get('max_tile_per_job') or 16))
     logger.info(f'tsr: wrote {n} chunks to {out_dir}')
 
 

@@ -131,11 +131,17 @@ def matching_main(args, conf, logger):
                                      kps0=kps0, kps1=kps1),
             'block_matching': aconf.get('block_matching', {}),
         }
-        match = align_two_thumbnails(img0, img1, mask0=mask0, mask1=mask1,
-                                     **settings)
+        match, coarse = align_two_thumbnails(img0, img1, mask0=mask0,
+                                             mask1=mask1, return_coarse=True,
+                                             **settings)
         if match is None:
             logger.warning(f'{sec0} -> {sec1}: thumbnail matching failed')
             continue
+        if aconf.get('save_feature_match', False) and coarse is not None:
+            fdir = join_paths(work_dir, 'thumbnail_align', 'feature_matches')
+            save_matches_to_h5(join_paths(fdir, match_name(
+                sec0, sec1, aconf.get('match_name_delimiter', '__to__'))),
+                coarse, res)
         save_matches_to_h5(out, match, res)
         logger.info(f'{sec0} -> {sec1}: {len(match.weight)} coarse matches '
                     f'in {time.time() - t0:.1f}s')
