@@ -607,19 +607,33 @@ class SLM:
             if m.locked:
                 free[offsets[i]:offsets[i + 1]] = 0.0
         groups = []
+        dt = _solver_dtype()
         for i, m in enumerate(self.meshes):
-            for g in m.element_arrays(gear=shape_gear):
-                tris = m.triangles[g['start']:g['stop']] + offsets[i]
-                groups.append({
-                    'model': g['model'],
-                    'tris': jnp.asarray(tris),
-                    'B_area': fem.shape_matrices(jnp.asarray(g['tripts'], _solver_dtype())),
-                    'multiplier': jnp.asarray(g['multiplier'], _solver_dtype()),
-                    'poisson': jnp.asarray(g['poisson'], _solver_dtype()),
-                    'knots': (None if g['knots'] is None else
-                              (jnp.asarray(g['knots'][0], _solver_dtype()),
-                               jnp.asarray(g['knots'][1], _solver_dtype()))),
-                })
+            # per-mesh device element groups depend only on the shape-gear
+            # geometry: memoize on the mesh (invalidated by set_vertices)
+            # so the matcher's per-round rebuilds skip the shape-matrix
+            # recompute and host->device conversions
+            def _build(m=m):
+                out = []
+                for g in m.element_arrays(gear=shape_gear):
+                    out.append({
+                        'model': g['model'],
+                        'tris_local': jnp.asarray(
+                            m.triangles[g['start']:g['stop']]),
+                        'B_area': fem.shape_matrices(
+                            jnp.asarray(g['tripts'], dt)),
+                        'multiplier': jnp.asarray(g['multiplier'], dt),
+                        'poisson': jnp.asarray(g['poisson'], dt),
+                        'knots': (None if g['knots'] is None else
+                                  (jnp.asarray(g['knots'][0], dt),
+                                   jnp.asarray(g['knots'][1], dt))),
+                    })
+                return out
+
+            cached = m._memo(shape_gear, f'device_element_groups_{dt}',
+                             _build)
+            for g in cached:
+                groups.append({**g, 'tris': g['tris_local'] + int(offsets[i])})
         la = [l.global_arrays(uid2off[l.uids[0]], uid2off[l.uids[1]])
               for l in self.active_links()]
         if la:
