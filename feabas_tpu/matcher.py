@@ -403,18 +403,26 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                         [s0, jnp.broadcast_to(s0[:1], (nb - n_real,) + s0.shape[1:])])
                     s1 = jnp.concatenate(
                         [s1, jnp.broadcast_to(s1[:1], (nb - n_real,) + s1.shape[1:])])
-            dxs, dys, confs = [], [], []
+            # dispatch every batch, fetch ONCE per round (each fetch is a
+            # full host<->device round trip on tunneled links)
+            parts = []
             for b0 in range(0, int(s0.shape[0]), batch_size):
-                dx, dy, cf = xcorr_fft(s0[b0:b0 + batch_size],
+                parts.append(xcorr_fft(s0[b0:b0 + batch_size],
                                        s1[b0:b0 + batch_size],
                                        conf_mode=conf_mode, sigma=sigma,
-                                       pad=pad, subpixel=subpixel)
-                dxs.append(np.atleast_1d(dx))
-                dys.append(np.atleast_1d(dy))
-                confs.append(np.atleast_1d(cf))
-            dx = np.concatenate(dxs)[:n_real]
-            dy = np.concatenate(dys)[:n_real]
-            conf = np.concatenate(confs)[:n_real]
+                                       pad=pad, subpixel=subpixel,
+                                       return_device=use_device))
+            if use_device:
+                import jax.numpy as jnp
+                out = np.asarray(jnp.concatenate(parts, axis=1))
+                dx, dy, conf = out[0], out[1], out[2]
+            else:
+                dx = np.concatenate([np.atleast_1d(p[0]) for p in parts])
+                dy = np.concatenate([np.atleast_1d(p[1]) for p in parts])
+                conf = np.concatenate([np.atleast_1d(p[2]) for p in parts])
+            dx = dx[:n_real]
+            dy = dy[:n_real]
+            conf = conf[:n_real]
             ok = conf >= conf_thresh
             if not ok.any():
                 continue

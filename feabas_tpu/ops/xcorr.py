@@ -186,8 +186,11 @@ def xcorr_fft(img0, img1, conf_mode=const.FFT_CONF_MIRROR, **kwargs):
                                int(conf_mode), subpixel, normalize)
     # ONE device->host fetch for all three outputs: each fetch pays a full
     # host<->device round trip (dominant cost on tunneled links)
-    out = np.asarray(jnp.stack([dx.astype(jnp.float32),
-                                dy.astype(jnp.float32), conf]))
+    stacked = jnp.stack([dx.astype(jnp.float32),
+                         dy.astype(jnp.float32), conf])
+    if kwargs.get('return_device', False):
+        return stacked  # (3, N) device array; caller batches the fetch
+    out = np.asarray(stacked)
     dx, dy, conf = out[0], out[1], out[2]
     if squeeze:
         return dx[0], dy[0], conf[0]
