@@ -499,10 +499,16 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
         if not initialized:
             slm.optimize_translation()
         rlen = residue_len if residue_len > 0 else max(spacing * 0.1, 2.0)
+        # intermediate rounds only need the mesh roughly right — the next
+        # round re-measures; scale the solve tolerance to the observed
+        # displacement (reference opt_tol_t: matcher.py:686-688), and only
+        # the final solve runs tight
+        tol_round = 1e-8 if last_round else \
+            kwargs.get('opt_tol', None) or min(0.01 / max(1.0, disp_max), 1e-3)
         slm.optimize_elastic(stiffness_lambda=stiffness_lambda,
                              crosslink_lambda=-1.0,
                              residue_mode=residue_mode, residue_len=rlen,
-                             tol=1e-8)
+                             tol=tol_round)
         initialized = True
         # schedule the next spacing from the observed displacement
         # (reference: matcher.py:684-716)

@@ -461,7 +461,13 @@ def match_two_thumbnails_pmcc(img0, img1, mask0=None, mask1=None,
                               if k in ('spacings', 'sigma', 'conf_thresh',
                                        'pad', 'residue_mode', 'residue_len',
                                        'min_boundary_distance', 'batch_size',
-                                       'shrink_factor')})
+                                       'shrink_factor', 'distributor',
+                                       'geodesic_mask', 'allow_dwell',
+                                       'max_spacing_skip', 'link_weight_decay',
+                                       'min_block_size_multiplier',
+                                       'split_disconnected',
+                                       'render_weight_threshold',
+                                       'stiffness_multiplier_threshold')})
 
 
 def align_two_thumbnails(img0, img1, mask0=None, mask1=None,
