@@ -562,7 +562,6 @@ def stitching_matcher(img0, img1, **kwargs):
     spacings = kwargs.get('spacings', None)
     mask0 = kwargs.get('mask0', None)
     mask1 = kwargs.get('mask1', None)
-    err_thresh = kwargs.get('coarse_error_thresh', None)
     import cv2
     img0 = np.asarray(img0)
     img1 = np.asarray(img1)

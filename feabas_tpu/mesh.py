@@ -645,20 +645,6 @@ class Mesh:
 
 # ------------------------- helpers ------------------------- #
 
-def _barycentric(pts, verts, tris):
-    """pts (P,2) x tris (M,3) -> bary (P,M,3)."""
-    tp = verts[tris]                                 # (M,3,2)
-    v0 = tp[:, 1] - tp[:, 0]
-    v1 = tp[:, 2] - tp[:, 0]
-    den = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]  # (M,)
-    den = np.where(np.abs(den) < 1e-12, 1e-12, den)
-    d = pts[:, None, :] - tp[None, :, 0, :]          # (P,M,2)
-    l1 = (d[..., 0] * v1[None, :, 1] - d[..., 1] * v1[None, :, 0]) / den
-    l2 = (v0[None, :, 0] * d[..., 1] - v0[None, :, 1] * d[..., 0]) / den
-    l0 = 1.0 - l1 - l2
-    return np.stack([l0, l1, l2], axis=-1)
-
-
 def _barycentric_pointwise(pts, verts, tris):
     """pts (N,2) paired with tris (N,3) -> bary (N,3)."""
     tp = verts[tris]

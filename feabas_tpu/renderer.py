@@ -311,7 +311,18 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
     pattern = kwargs.pop('pattern', '_tr{ROW_IND}-tc{COL_IND}.png')
     one_based = kwargs.pop('one_based', True)
     canvas_bbox = kwargs.pop('canvas_bbox', None)
-    scale = kwargs.pop('scale', 1.0)
+    scale = float(kwargs.pop('scale', 1.0))
+    if scale != 1.0:
+        # render at a different output resolution: shrink the output
+        # (MOVING) frame while the source (INITIAL) frame keeps indexing
+        # the image
+        mesh = mesh.copy()
+        for g in (const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING):
+            if mesh.vertices_initialized(g):
+                mesh.set_vertices(mesh.vertices(g) * scale, g,
+                                  offset=mesh.offset(g) * scale)
+        if canvas_bbox is not None:
+            canvas_bbox = tuple(v * scale for v in canvas_bbox)
     renderer = MeshRenderer.from_mesh(mesh, image_loader=image_loader)
     if canvas_bbox is None:
         canvas_bbox = renderer.bounds
