@@ -355,3 +355,24 @@ def test_crop_multiple_stacked_fields(tile_set, workdir):
             assert g is None
         else:
             assert np.array_equal(s, g)
+
+
+def test_render_whole_mesh_scale(tile_set, tmp_path, workdir):
+    """scale=0.5 renders the same content at half output resolution."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import render_whole_mesh
+    from feabas_tpu.common import imread
+    import cv2
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    out = render_whole_mesh(m, loader, str(tmp_path / 'half' / 's'),
+                            tile_size=(128, 128), scale=0.5)
+    assert len(out) == 1
+    img = imread(list(out)[0])
+    want = cv2.resize(world[:220, :220], (110, 110),
+                      interpolation=cv2.INTER_AREA).astype(float)
+    got = img[:110, :110].astype(float)
+    cc = np.corrcoef(want[2:-2, 2:-2].ravel(), got[2:-2, 2:-2].ravel())[0, 1]
+    assert cc > 0.95, cc
