@@ -4,4 +4,4 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of FEABAS
 (YuelongWu/feabas). See ARCHITECTURE.md for the design.
 """
 
-__version__ = '0.1.0'
+__version__ = '0.2.0'

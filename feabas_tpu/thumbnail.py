@@ -43,6 +43,44 @@ class KeyPoints:
         return kp
 
 
+class KeyPointMatches:
+    """Matched keypoint pairs with per-side region labels (reference
+    KeyPointMatches: thumbnail.py:173) — the container API reference users
+    pass between the filter stages."""
+
+    def __init__(self, xy0, xy1, conf=None, class_id0=None, class_id1=None):
+        self.xy0 = np.asarray(xy0, np.float64).reshape(-1, 2)
+        self.xy1 = np.asarray(xy1, np.float64).reshape(-1, 2)
+        n = self.xy0.shape[0]
+        self.conf = (np.ones(n) if conf is None
+                     else np.asarray(conf, np.float64).ravel())
+        self.class_id0 = (np.zeros(n, np.int32) if class_id0 is None
+                          else np.asarray(class_id0, np.int32).ravel())
+        self.class_id1 = (np.zeros(n, np.int32) if class_id1 is None
+                          else np.asarray(class_id1, np.int32).ravel())
+
+    @classmethod
+    def from_keypoints(cls, kps0, kps1, idx0, idx1, conf=None):
+        return cls(kps0.xy[idx0], kps1.xy[idx1], conf,
+                   kps0.class_id[idx0], kps1.class_id[idx1])
+
+    @property
+    def num_points(self):
+        return self.xy0.shape[0]
+
+    def filter_match(self, keep, inplace=True):
+        sub = KeyPointMatches(self.xy0[keep], self.xy1[keep], self.conf[keep],
+                              self.class_id0[keep], self.class_id1[keep])
+        if inplace:
+            self.__dict__.update(sub.__dict__)
+            return self
+        return sub
+
+    def to_match(self, strain=None):
+        return Match(self.xy0, self.xy1, self.conf,
+                     config.DEFAULT_AVG_DEFORM if strain is None else strain)
+
+
 def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
                        num_features=5000):
     """DoG band-pass + local-maximum keypoints (reference:

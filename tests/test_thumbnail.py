@@ -168,3 +168,18 @@ def test_two_piece_section_independent_affines(rng, workdir):
     want_xy1 = (match.xy0[right] - c) @ R.T + c + [-6, 9]
     err_r = np.median(np.abs(match.xy1[right] - want_xy1), axis=0)
     assert (err_r < 2.0).all(), err_r
+
+
+def test_keypoint_matches_container(rng, workdir):
+    from feabas_tpu.thumbnail import KeyPoints, KeyPointMatches
+    kp0 = KeyPoints(rng.uniform(0, 100, (10, 2)), class_id=np.arange(10) % 2)
+    kp1 = KeyPoints(rng.uniform(0, 100, (12, 2)), class_id=np.arange(12) % 3)
+    km = KeyPointMatches.from_keypoints(kp0, kp1, [0, 2, 4], [1, 3, 5],
+                                        conf=[0.9, 0.8, 0.7])
+    assert km.num_points == 3
+    assert np.array_equal(km.class_id0, [0, 0, 0])
+    assert np.array_equal(km.class_id1, [1, 0, 2])
+    km2 = km.filter_match(np.array([True, False, True]), inplace=False)
+    assert km2.num_points == 2 and km.num_points == 3
+    m = km2.to_match()
+    assert m.xy0.shape == (2, 2) and m.weight.shape == (2,)
