@@ -195,7 +195,13 @@ class Stack:
         (reference: aligner.py:678). Sections broken into disconnected
         pieces split into component meshes (links redistributed) so each
         piece relaxes independently; results sync back to the section
-        meshes (reference: aligner.py:343, optimizer.py:738)."""
+        meshes (reference: aligner.py:343, optimizer.py:738).
+
+        When the window buckets into a z-chain of identical-topology
+        linear meshes (the common serial-section case), the solve routes
+        through the z-SHARDED stacked system (``parallel/window.py``) and
+        spans every available device; otherwise it falls back to the
+        general matrix-free SLM solve."""
         slm = self.initialize_SLM(sections)
         if np.all(slm.lock_flags):
             return slm
@@ -204,6 +210,7 @@ class Stack:
         residue_len = kwargs.pop('residue_len', -3)
         if residue_len < 0:
             residue_len = abs(residue_len) * config.section_thickness() / self.resolution
+        use_sharded = kwargs.pop('use_sharded_solve', True)
         elastic_params = dict(kwargs.pop('elastic_params', {}) or {})
         # callback_settings (timeout / cost-increase chances / eval_step)
         # map onto the CG stall-chances early stop; the wall-clock timeout
@@ -215,14 +222,89 @@ class Stack:
         elastic_params.pop('precondition', None)
         lam = elastic_params.pop('stiffness_lambda', 1.0)
         slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_FIXED)
-        slm.optimize_elastic(stiffness_lambda=-abs(lam),
-                             crosslink_lambda=-1.0,
-                             residue_mode=residue_mode,
-                             residue_len=residue_len,
-                             **elastic_params)
+        done = False
+        if use_sharded and not n_split:
+            done = self._sharded_window_solve(
+                slm, abs(lam), residue_mode, residue_len,
+                tol=elastic_params.get('tol', 1e-7),
+                maxiter=int(elastic_params.get('maxiter') or 2000))
+        if not done:
+            slm.optimize_elastic(stiffness_lambda=-abs(lam),
+                                 crosslink_lambda=-1.0,
+                                 residue_mode=residue_mode,
+                                 residue_len=residue_len,
+                                 **elastic_params)
         if n_split:
             slm.sync_component_positions()
         return slm
+
+    def _sharded_window_solve(self, slm, lam_ratio, residue_mode,
+                              residue_len, tol=1e-7, maxiter=2000,
+                              max_passes=3):
+        """Solve one window as the z-sharded stacked system on all
+        available devices; returns False when the window is not
+        bucketable (caller falls back to the general solve)."""
+        from feabas_tpu.parallel.window import (
+            slm_window_to_stack, shard_stack_system, stack_solve,
+            _stack_lambda_balance, JMesh)
+        import jax
+        import jax.numpy as jnp
+        system = slm_window_to_stack(slm)
+        if system is None:
+            return False
+        S = system['pos'].shape[0]
+        devices = jax.devices()
+        # largest device count that divides S (sharding needs even shards)
+        n_dev = max(d for d in range(1, len(devices) + 1) if S % d == 0)
+        jmesh = JMesh(np.array(devices[:n_dev]), ('z',))
+        base_weight = system['links'][4].copy()
+        pos = system['pos']
+        for _pass in range(max(int(max_passes), 1)):
+            sharded = shard_stack_system(system, jmesh)
+            lam_s = float(_stack_lambda_balance(
+                sharded['verts0'], sharded['tris'], sharded['multiplier'],
+                sharded['poisson'], sharded['links'],
+                float(lam_ratio))) * 1.0
+            out, n_it, res = stack_solve(
+                sharded['verts0'], sharded['pos'], sharded['tris'],
+                sharded['multiplier'], sharded['poisson'], sharded['links'],
+                sharded['free'], lam_s=lam_s, tol=tol, maxiter=maxiter)
+            pos = np.asarray(out)
+            system['pos'] = pos.astype(np.float32)
+            if residue_mode is None or not residue_len or residue_len <= 0:
+                break
+            # robust residue reweighting (huber/threshold) host-side
+            idx0, bary0, idx1, bary1, weight = system['links']
+            p0 = np.einsum('klc,klcd->kld', bary0, pos[:-1][
+                np.arange(S - 1)[:, None, None], idx0])
+            p1 = np.einsum('klc,klcd->kld', bary1, pos[1:][
+                np.arange(S - 1)[:, None, None], idx1])
+            r = np.linalg.norm(p1 - p0, axis=-1)
+            if residue_mode == 'threshold':
+                f = (r <= residue_len).astype(np.float32)
+            else:  # huber
+                f = np.clip(residue_len / np.clip(r, 1e-9, None),
+                            None, 1.0).astype(np.float32)
+            new_w = base_weight * f
+            if np.allclose(new_w, weight, atol=1e-6):
+                break
+            system['links'] = (idx0, bary0, idx1, bary1, new_w)
+        # commit MOVING positions for free meshes
+        for k, m in enumerate(slm.meshes):
+            if m.locked:
+                continue
+            mv = pos[k].astype(np.float64)
+            center = mv.mean(axis=0, keepdims=True)
+            m.set_vertices(mv - center, const.MESH_GEAR_MOVING, offset=center)
+        # propagate the robust weights back onto the SLM links so residue
+        # reports see the damped weights
+        if residue_mode and residue_len and residue_len > 0:
+            for l in slm.active_links():
+                l.adjust_weight_from_residue(gear=const.MESH_GEAR_MOVING,
+                                             residue_len=residue_len,
+                                             residue_mode=residue_mode)
+        self.last_window_sharded = True
+        return True
 
     def optimize_slide_window(self, **kwargs):
         """Sliding-window relaxation over the whole stack

@@ -213,6 +213,128 @@ def gather_stack_result(pos):
         pos, tiled=True))
 
 
+def slm_window_to_stack(slm, shape_gear=None):
+    """Bucket an SLM window into the stacked z-chain form, or None.
+
+    Bucketable when every mesh shares one topology, every material is
+    linear ENG with no stiffness curve, and every link couples
+    z-neighbors — the standard case for serial-section alignment windows
+    meshed by one config. Returns (system dict, free_mesh_flags) built at
+    ``shape_gear`` (default FIXED, matching optimize_linear semantics).
+    """
+    from feabas_tpu import constant as const
+    shape_gear = const.MESH_GEAR_FIXED if shape_gear is None else shape_gear
+    meshes = slm.meshes
+    if len(meshes) < 2 or not slm.is_linear:
+        return None
+    T0 = meshes[0].triangles
+    for m in meshes:
+        if (m.triangles.shape != T0.shape
+                or not np.array_equal(m.triangles, T0)):
+            return None
+        for g in m.element_arrays(gear=shape_gear):
+            if g['knots'] is not None:
+                return None
+    uid2idx = {m.uid: i for i, m in enumerate(meshes)}
+    S = len(meshes)
+    pair_links = {}
+    for l in slm.active_links():
+        i0, i1 = uid2idx[l.uids[0]], uid2idx[l.uids[1]]
+        if abs(i0 - i1) != 1:
+            return None  # long-range anchor: not a pure z-chain
+        k = min(i0, i1)
+        flip = i0 > i1
+        tid0, bary0 = l._tid0, l._bary0
+        tid1, bary1 = l._tid1, l._bary1
+        if flip:
+            tid0, bary0, tid1, bary1 = tid1, bary1, tid0, bary0
+            m_lo, m_hi = meshes[i1], meshes[i0]
+        else:
+            m_lo, m_hi = meshes[i0], meshes[i1]
+        ent = pair_links.setdefault(k, {'idx0': [], 'bary0': [], 'idx1': [],
+                                        'bary1': [], 'weight': []})
+        ent['idx0'].append(m_lo.triangles[tid0])
+        ent['bary0'].append(bary0)
+        ent['idx1'].append(m_hi.triangles[tid1])
+        ent['bary1'].append(bary1)
+        ent['weight'].append(l.weight())
+    links_per_pair = []
+    for k in range(S - 1):
+        ent = pair_links.get(k)
+        if ent is None:
+            links_per_pair.append({
+                'idx0': np.zeros((0, 3), np.int32),
+                'bary0': np.zeros((0, 3), np.float32),
+                'idx1': np.zeros((0, 3), np.int32),
+                'bary1': np.zeros((0, 3), np.float32),
+                'weight': np.zeros(0, np.float32)})
+        else:
+            links_per_pair.append(
+                {kk: np.concatenate(vv) for kk, vv in ent.items()})
+    verts0 = np.stack([m.vertices_w_offset(shape_gear) for m in meshes])
+    pos = np.stack([m.vertices_w_offset(const.MESH_GEAR_MOVING)
+                    for m in meshes])
+    mult, poisson = [], []
+    for m in meshes:
+        groups = m.element_arrays(gear=shape_gear)
+        mult.append(np.concatenate([g['multiplier'] for g in groups]))
+        poisson.append(np.concatenate([g['poisson'] for g in groups]))
+    L = max((l['weight'].shape[0] for l in links_per_pair), default=0)
+    # pow2 bucket so the jitted solve recompiles per size class, not per
+    # window (zero-weight padding rows are inert)
+    L = max(8, 1 << (int(max(L, 1)) - 1).bit_length())
+    idx0 = np.zeros((S - 1, L, 3), np.int32)
+    bary0 = np.zeros((S - 1, L, 3), np.float32)
+    idx1 = np.zeros((S - 1, L, 3), np.int32)
+    bary1 = np.zeros((S - 1, L, 3), np.float32)
+    weight = np.zeros((S - 1, L), np.float32)
+    for k, l in enumerate(links_per_pair):
+        n = l['weight'].shape[0]
+        idx0[k, :n] = l['idx0']
+        bary0[k, :n] = l['bary0']
+        idx1[k, :n] = l['idx1']
+        bary1[k, :n] = l['bary1']
+        weight[k, :n] = l['weight']
+    locked = np.asarray([m.locked for m in meshes], np.float32)
+    system = {
+        'tris': np.asarray(T0, np.int32),
+        'verts0': verts0.astype(np.float32),
+        'pos': pos.astype(np.float32),
+        'multiplier': np.stack(mult).astype(np.float32),
+        'poisson': np.stack(poisson).astype(np.float32),
+        'links': (idx0, bary0, idx1, bary1, weight),
+        'free': (1.0 - locked)[:, None, None].astype(np.float32),
+    }
+    return system
+
+
+@functools.partial(jax.jit)
+def _stack_lambda_balance(verts0, tris, multiplier, poisson, links, ratio):
+    """Trace-ratio stiffness balance for the stacked system (matches
+    SLM._balance_lambdas semantics)."""
+    def per_section(v0):
+        return fem.shape_matrices(v0[tris])
+    B, area2 = jax.vmap(per_section)(verts0)
+    Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
+    dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, verts0.shape[1]))(Ke)
+    idx0, bary0, idx1, bary1, weight = links
+    nv = verts0.shape[1]
+    dC = jnp.zeros_like(dK)
+    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((nv, 2), verts0.dtype)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), verts0.dtype)))(
+        idx0, bary0, weight)
+    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((nv, 2), verts0.dtype)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), verts0.dtype)))(
+        idx1, bary1, weight)
+    dC = dC.at[:-1].add(dC0).at[1:].add(dC1)
+    tr_c = jnp.sum(dC)
+    tr_k = jnp.sum(jnp.where(dC != 0, dK, 0.0))
+    ok = (tr_c > 0) & (tr_k > 0)
+    return jnp.where(ok, ratio * tr_c / jnp.where(tr_k > 0, tr_k, 1.0), 1.0)
+
+
 def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
                            maxiter=500):
     """Solve one window across every device of a (multi-host) cluster.

@@ -230,3 +230,48 @@ def test_chunked_depth2_matches_windowed(workdir, rng):
     # chunked output residues within tolerance of the windowed output
     assert r_c.max() < max(2.5 * r_w.max(), 1.0), (r_c.max(), r_w.max())
     assert np.median(r_c) < max(3 * np.median(r_w), 0.5)
+
+
+def test_window_uses_sharded_stack_solve(stack_dirs):
+    """Identical-topology linear windows route through the z-sharded
+    stacked solve (production multi-chip path) and still align."""
+    workdir, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Stack
+    stack = Stack(mesh_dir=mesh_dir, tform_dir=tform_dir,
+                  match_dir=match_dir, resolution=4)
+    stack.last_window_sharded = False
+    slm = stack.optimize_section_list(names, residue_len=3)
+    assert getattr(stack, 'last_window_sharded', False) is True
+    _check_alignment_from_slm(slm, names, drift)
+
+
+def _check_alignment_from_slm(slm, names, drift, atol=0.3):
+    offs = []
+    for m in slm.meshes:
+        d = m.vertices_w_offset('MOVING') - m.vertices_w_offset('INITIAL')
+        assert np.ptp(d, axis=0).max() < 0.25, 'should be near-rigid'
+        offs.append(d.mean(axis=0))
+    offs = np.asarray(offs)
+    offs -= offs[0]
+    err = offs - (-(drift - drift[0]))
+    assert np.abs(err).max() < atol, np.abs(err).max()
+
+
+def test_window_falls_back_for_mixed_topology(stack_dirs, workdir):
+    """A window with a different-topology mesh falls back to the general
+    solve and still aligns."""
+    _, mesh_dir, tform_dir, match_dir, names, drift = stack_dirs
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    # re-mesh one section at a different density
+    m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=20,
+                       name=names[3], resolution=4)
+    m.save_to_h5(storage.join_paths(mesh_dir, names[3] + '.h5'))
+    storage.clear_exists_cache()
+    stack = Stack(mesh_dir=mesh_dir, tform_dir=tform_dir,
+                  match_dir=match_dir, resolution=4)
+    stack.last_window_sharded = False
+    slm = stack.optimize_section_list(names, residue_len=3)
+    assert getattr(stack, 'last_window_sharded', False) is False
+    _check_alignment_from_slm(slm, names, drift)
