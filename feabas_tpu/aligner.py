@@ -17,7 +17,7 @@ from feabas_tpu import common, config, storage
 from feabas_tpu import constant as const
 from feabas_tpu.caching import generate_cache
 from feabas_tpu.mesh import Mesh, transform_mesh
-from feabas_tpu.optimizer import SLM, relax_mesh_most_deformed
+from feabas_tpu.optimizer import SLM
 from feabas_tpu.storage import H5File, join_paths
 from feabas_tpu.common import Match
 
@@ -248,7 +248,6 @@ class Stack:
             slm_window_to_stack, shard_stack_system, stack_solve,
             _stack_lambda_balance, JMesh)
         import jax
-        import jax.numpy as jnp
         system = slm_window_to_stack(slm)
         if system is None:
             return False

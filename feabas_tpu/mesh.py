@@ -8,7 +8,6 @@ exported by :meth:`Mesh.element_arrays`. Capability parity with reference
 init-dict schema so mesh/tform files interchange.
 """
 
-import json
 
 import numpy as np
 import scipy.sparse as sparse

@@ -19,13 +19,11 @@ displacement gradient ``[du/dx, du/dy, dv/dx, dv/dy]``; element area factor
 ``area2 = 2*area``; K_e = area2 * (Bn B)^T D (Bn B).
 """
 
-import functools
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from feabas_tpu import constant as const
 
 # Voigt selector: [du/dx, dv/dy, du/dy + dv/dx] from the flat gradient
 _VOIGT = np.array([[1, 0, 0, 0],

@@ -21,9 +21,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from feabas_tpu import common, config
+from feabas_tpu import config
 from feabas_tpu import constant as const
-from feabas_tpu.mesh import Mesh
 from feabas_tpu.ops import fem
 
 

@@ -14,7 +14,7 @@ import numpy as np
 
 from feabas_tpu import common
 from feabas_tpu import constant as const
-from feabas_tpu.common import divide_bbox, render_by_subregions, z_order
+from feabas_tpu.common import render_by_subregions, z_order
 from feabas_tpu import storage
 
 

@@ -10,7 +10,6 @@ answered by sampling the mask — no boolean polygon algebra needed.
 import cv2
 import numpy as np
 
-from feabas_tpu import constant as const
 from feabas_tpu.common import imread
 
 

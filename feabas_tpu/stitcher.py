@@ -12,7 +12,7 @@ import numpy as np
 from feabas_tpu import common, config
 from feabas_tpu import constant as const
 from feabas_tpu.concurrent import submit_to_workers
-from feabas_tpu.dal import StaticImageLoader, StreamLoader, get_loader_from_json
+from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
 from feabas_tpu.matcher import stitching_matcher
 from feabas_tpu.mesh import Mesh
 from feabas_tpu.optimizer import SLM
