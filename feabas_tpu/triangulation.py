@@ -23,17 +23,27 @@ from scipy.spatial import Delaunay, cKDTree
 from feabas_tpu import spatial as sp
 
 
-def _dedupe(points, tol):
-    """Merge points closer than tol (keeps first occurrence)."""
+def _dedupe(points, tol, return_map=False):
+    """Merge points closer than tol (keeps first occurrence). With
+    ``return_map`` also returns old-index -> new-index (merged points map
+    to their survivor)."""
     if points.shape[0] == 0:
-        return points
+        return (points, np.zeros(0, np.int64)) if return_map else points
     tree = cKDTree(points)
     pairs = tree.query_pairs(tol, output_type='ndarray')
     keep = np.ones(points.shape[0], dtype=bool)
-    for i, j in pairs:
+    alias = np.arange(points.shape[0])
+    for i, j in pairs[np.argsort(pairs[:, 1])] if pairs.size else []:
+        i, j = int(min(i, j)), int(max(i, j))
         if keep[i] and keep[j]:
-            keep[max(i, j)] = False
-    return points[keep]
+            keep[j] = False
+            alias[j] = i
+    if not return_map:
+        return points[keep]
+    new_index = np.cumsum(keep) - 1
+    # chase aliases one level (first occurrences always survive)
+    idx_map = new_index[alias]
+    return points[keep], idx_map
 
 
 def _min_angles_deg(pts, T):
@@ -64,10 +74,20 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
         (vertices (N,2) float64, triangles (M,3) int32)
     """
     b_pts = []
+    ring_segs = []
+    offset = 0
     for ring in boundary_rings:
-        b_pts.append(sp.resample_ring(np.asarray(ring, np.float64), mesh_size))
+        rp = sp.resample_ring(np.asarray(ring, np.float64), mesh_size)
+        k = rp.shape[0]
+        if k >= 2:
+            idx = np.arange(k) + offset
+            ring_segs.append(np.stack([idx, np.roll(idx, -1)], -1))
+        b_pts.append(rp)
+        offset += k
     b_pts = (np.concatenate(b_pts, axis=0) if b_pts
              else np.zeros((0, 2)))
+    ring_segs = (np.concatenate(ring_segs, axis=0) if ring_segs
+                 else np.zeros((0, 2), np.int64))
     if bbox is None:
         if b_pts.shape[0] == 0:
             raise ValueError('need boundary rings or bbox')
@@ -92,11 +112,23 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
         d, _ = tree.query(grid, k=1)
         grid = grid[d > 0.5 * mesh_size]
     pts = np.concatenate([b_pts, grid], axis=0)
-    pts = _dedupe(pts, min_edge_ratio * mesh_size)
+    pts, idx_map = _dedupe(pts, min_edge_ratio * mesh_size, return_map=True)
     if pts.shape[0] < 3:
         raise ValueError('region too small to mesh')
-    tri = Delaunay(pts)
-    T = tri.simplices.astype(np.int32)
+    # TRUE constrained Delaunay when the native helper is available: the
+    # boundary-ring edges are enforced as triangulation edges, so the mesh
+    # conforms exactly to concavities/holes with no bridging
+    T = None
+    from feabas_tpu import native
+    if ring_segs.shape[0] and native.cdt_available():
+        segs = idx_map[ring_segs]
+        segs = segs[segs[:, 0] != segs[:, 1]]
+        T, n_ok = native.cdt_triangulate(pts, segments=segs)
+        if T is not None and n_ok < segs.shape[0]:
+            T = None  # degenerate input (vertex on a segment): fall back
+    if T is None:
+        tri = Delaunay(pts)
+        T = tri.simplices.astype(np.int32)
     centroids = pts[T].mean(axis=1)
     keep = inside_fn(centroids)
     # drop slivers: triangles with an edge much longer than mesh_size appear

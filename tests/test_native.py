@@ -132,3 +132,61 @@ def test_native_speedup(deformed_mesh):
         native.rasterize_triangles(vw, m.triangles, 300, 400, 0, 0)
     t_cc = time.perf_counter() - t0
     assert t_cc < t_np, (t_cc, t_np)
+
+
+def test_cdt_constraint_recovery(rng):
+    """Native CDT: every requested segment becomes a triangulation edge;
+    convex-hull coverage is exact (no holes, no overlaps)."""
+    from feabas_tpu import native
+    if not native.cdt_available():
+        import pytest
+        pytest.skip('no native toolchain')
+    from scipy.spatial import ConvexHull
+    pts = rng.uniform(0, 500, (400, 2))
+    order = np.argsort(pts[:, 0])
+    segs = np.stack([order[:80:2], order[1:81:2]], -1)
+    tris, ok = native.cdt_triangulate(pts, segments=segs)
+    assert ok == len(segs)
+    E = np.concatenate((tris[:, [0, 1]], tris[:, [1, 2]], tris[:, [2, 0]]))
+    for a, b in segs:
+        assert (((E[:, 0] == a) & (E[:, 1] == b))
+                | ((E[:, 0] == b) & (E[:, 1] == a))).any()
+    p = pts[tris]
+    area = np.abs((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+                  - (p[:, 1, 1] - p[:, 0, 1]) * (p[:, 2, 0] - p[:, 0, 0])).sum() / 2
+    hull = ConvexHull(pts).volume
+    assert abs(area - hull) < 1e-6 * hull
+
+
+def test_cdt_concave_region_conforms(workdir, rng):
+    """triangulate_mask with the CDT: a deeply concave (C-shaped) region
+    meshes with NO triangle crossing the concavity mouth."""
+    from feabas_tpu import native
+    if not native.cdt_available():
+        import pytest
+        pytest.skip('no native toolchain')
+    from feabas_tpu.triangulation import triangulate_mask
+    # C-shape: 100x100 square minus a 60x34 notch on the right
+    ring = np.array([[0, 0], [100, 0], [100, 33], [40, 33], [40, 67],
+                     [100, 67], [100, 100], [0, 100]], float)
+
+    def inside(p):
+        p = np.asarray(p)
+        in_sq = (p[:, 0] >= 0) & (p[:, 0] <= 100) & (p[:, 1] >= 0) & (p[:, 1] <= 100)
+        in_notch = (p[:, 0] > 40) & (p[:, 1] > 33) & (p[:, 1] < 67)
+        return in_sq & ~in_notch
+
+    verts, tris = triangulate_mask(inside, [ring], mesh_size=12)
+    # no triangle may have its centroid in the notch and none may cross
+    # the notch mouth (x=100 gap between y 33..67)
+    cent = verts[tris].mean(axis=1)
+    assert inside(cent).all()
+    # segment conformity: every edge crossing y in (33, 67) at x>40 would
+    # bridge the notch — there must be none
+    p = verts[tris]
+    for k in range(3):
+        a = p[:, k]
+        b = p[:, (k + 1) % 3]
+        mid = (a + b) / 2
+        bridge = (mid[:, 0] > 42) & (mid[:, 1] > 35) & (mid[:, 1] < 65)
+        assert not bridge.any()
