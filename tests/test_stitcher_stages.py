@@ -208,3 +208,26 @@ def test_generate_roi_mask(workdir, rng):
     assert mask[40, 20] == 255 and mask[40, 120] == 255
     inner = mask[2:-2, 2:-2]
     assert (inner > 0).mean() > 0.95
+
+
+def test_overlap_sweep_multisem_scale(workdir):
+    """MultiSEM-scale planning (BASELINE config #5): the overlap sweep
+    over 12k tiles finds every cardinal AND corner overlap in well under
+    a second."""
+    import time
+    from feabas_tpu.stitcher import Stitcher
+    rows, cols, th, tw, ov = 100, 120, 3000, 4000, 300
+    bboxes, paths = [], []
+    for r in range(rows):
+        for c in range(cols):
+            x0, y0 = c * (tw - ov), r * (th - ov)
+            bboxes.append((x0, y0, x0 + tw, y0 + th))
+            paths.append(f'tile_{r:03d}_{c:03d}.png')
+    st = Stitcher(paths, bboxes, name='msem')
+    t0 = time.perf_counter()
+    ovl = st.find_overlaps(min_overlap_width=25)
+    dt = time.perf_counter() - t0
+    cardinal = rows * (cols - 1) + cols * (rows - 1)
+    diagonal = 2 * (rows - 1) * (cols - 1)   # 300x300 corner overlaps
+    assert len(ovl) == cardinal + diagonal
+    assert dt < 5.0, dt
