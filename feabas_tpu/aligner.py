@@ -251,6 +251,12 @@ class Stack:
         system = slm_window_to_stack(slm)
         if system is None:
             return False
+        # center the coordinates so f32 device math keeps sub-0.001 px
+        # resolution even at large absolute offsets (u = pos - verts0 and
+        # link residuals are translation-invariant)
+        stack_center = system['pos'].reshape(-1, 2).mean(axis=0)
+        system['pos'] = (system['pos'] - stack_center).astype(np.float32)
+        system['verts0'] = (system['verts0'] - stack_center).astype(np.float32)
         S = system['pos'].shape[0]
         devices = jax.devices()
         # largest device count that divides S (sharding needs even shards)
@@ -288,13 +294,13 @@ class Stack:
             if np.allclose(new_w, weight, atol=1e-6):
                 break
             system['links'] = (idx0, bary0, idx1, bary1, new_w)
-        # commit MOVING positions for free meshes
+        # commit MOVING positions for free meshes (back in world frame)
         for k, m in enumerate(slm.meshes):
             if m.locked:
                 continue
-            mv = pos[k].astype(np.float64)
-            center = mv.mean(axis=0, keepdims=True)
-            m.set_vertices(mv - center, const.MESH_GEAR_MOVING, offset=center)
+            mv = pos[k].astype(np.float64) + stack_center
+            c = mv.mean(axis=0, keepdims=True)
+            m.set_vertices(mv - c, const.MESH_GEAR_MOVING, offset=c)
         # propagate the robust weights back onto the SLM links so residue
         # reports see the damped weights
         if residue_mode and residue_len and residue_len > 0:
