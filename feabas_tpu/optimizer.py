@@ -15,6 +15,7 @@ reference ``optimizer.py:1571``) are preserved so configs transfer.
 """
 
 import functools
+import os
 
 import numpy as np
 
@@ -790,9 +791,31 @@ class SLM:
         all_eng = all(g['model'] == const.MATERIAL_MODEL_ENG
                       and g['knots'] is None for g in groups)
         self._last_solve_fused = False
+        self._last_solve_sharded = False
         if (all_eng and groups and lam_s < 0 and lam_c < 0
                 and groupings is None
                 and sys_d['links'][4].shape[0] > 0):
+            # montage-scale systems with >1 device: shard the tile axis
+            # over the device mesh (per-tile FEM local, link coupling via
+            # XLA collectives) instead of solving on one chip
+            n_dev = jax.local_device_count()
+            min_tiles = int(os.environ.get('FEABAS_TPU_SHARD_MIN_TILES',
+                                           max(2 * n_dev, 16)))
+            if n_dev > 1 and len(self.meshes) >= min_tiles:
+                from feabas_tpu.parallel.montage import (
+                    sharded_montage_linear_solve)
+                out = sharded_montage_linear_solve(
+                    self, abs(lam_s / lam_c), shape_gear=shape_gear,
+                    start_gear=start_gear, target_gear=target_gear,
+                    tol=tol, atol=atol, maxiter=int(maxiter))
+                if out is not None:
+                    cost0, cost1, ok = out
+                    self._last_solve_fused = True
+                    self._last_solve_sharded = True
+                    if check_converge and not ok:
+                        self.last_solve_converged = False
+                        return cost0, cost0
+                    return cost0, cost1
             self._last_solve_fused = True
             idx0, bary0, idx1, bary1, weight = sys_d['links']
             dt = _solver_dtype()

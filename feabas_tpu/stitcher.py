@@ -270,13 +270,23 @@ class Stitcher:
                     ovw.append(min(ovl[2] - ovl[0], ovl[3] - ovl[1]))
             border_width = float(np.median(ovw)) if ovw else np.inf
         self.meshes = []
+        # shared-mesh dedup: one template per tile size so identically
+        # sized tiles carry IDENTICAL topology (reference param-key mesh
+        # sharing: stitcher.py:754-771). Float jitter in stage coords
+        # must not leak into the mesh: round the extent key so ULP
+        # differences map to one template (also what makes sections
+        # bucketable for the device-sharded montage solve).
+        templates = {}
         for i, bbox in enumerate(self.init_bboxes):
-            wd = bbox[2] - bbox[0]
-            ht = bbox[3] - bbox[1]
-            m = Mesh.from_boarder_bbox((0, 0, wd, ht), bd_width=border_width,
-                                       mesh_size=mesh_size,
-                                       resolution=self.resolution,
-                                       uid=i, name=f'tile{i}')
+            wd = round(float(bbox[2] - bbox[0]), 3)
+            ht = round(float(bbox[3] - bbox[1]), 3)
+            key = (wd, ht)
+            if key not in templates:
+                templates[key] = Mesh.from_boarder_bbox(
+                    (0, 0, wd, ht), bd_width=border_width,
+                    mesh_size=mesh_size, resolution=self.resolution,
+                    uid=-1, name='template')
+            m = templates[key].copy(deep=True, uid=i, name=f'tile{i}')
             if soft_top < 1.0 and soft_top_width > 0:
                 # the first rows of each tile are charge-unstable: soften
                 # their stiffness so they absorb distortion

@@ -1,0 +1,202 @@
+"""Device-sharded montage elastic solve vs the single-device fused path."""
+
+import numpy as np
+import pytest
+
+from feabas_tpu import constant as const
+from feabas_tpu.mesh import Mesh
+from feabas_tpu.optimizer import SLM
+from feabas_tpu.parallel import montage
+
+
+def _grid_slm(rows=4, cols=8, tile=(0, 0, 400, 300), overlap=60, seed=0,
+              lock_first=True):
+    """A rows x cols montage of identical tiles with noisy stage positions
+    and exact links on every overlap (ground truth: perfect lattice)."""
+    rng = np.random.default_rng(seed)
+    wd = tile[2] - tile[0]
+    ht = tile[3] - tile[1]
+    sx, sy = wd - overlap, ht - overlap
+    meshes = []
+    truth = []
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            m = Mesh.from_boarder_bbox(tile, bd_width=overlap,
+                                       mesh_size=120, uid=i, name=f't{i}')
+            t = np.array([c * sx, r * sy], float)
+            truth.append(t)
+            jitter = rng.normal(0, 3.0, 2)
+            m.set_translation(t + jitter,
+                              gear=(const.MESH_GEAR_INITIAL,
+                                    const.MESH_GEAR_FIXED))
+            m.set_translation(t + jitter, gear=(const.MESH_GEAR_INITIAL,
+                                                const.MESH_GEAR_MOVING))
+            meshes.append(m)
+    if lock_first:
+        meshes[0].locked = True
+        meshes[0].set_translation(truth[0],
+                                  gear=(const.MESH_GEAR_INITIAL,
+                                        const.MESH_GEAR_MOVING))
+    slm = SLM(meshes)
+    # links in the shared frame: matching points on each overlap strip
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            if c + 1 < cols:
+                j = i + 1
+                ys = np.linspace(20, ht - 20, 5)
+                x_world = truth[i][0] + wd - overlap / 2
+                pts_w = np.stack([np.full_like(ys, x_world), ys + truth[i][1]],
+                                 axis=-1)
+                slm.add_link_from_coordinates(
+                    i, j, pts_w - truth[i], pts_w - truth[j],
+                    gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+            if r + 1 < rows:
+                j = i + cols
+                xs = np.linspace(20, wd - 20, 5)
+                y_world = truth[i][1] + ht - overlap / 2
+                pts_w = np.stack([xs + truth[i][0], np.full_like(xs, y_world)],
+                                 axis=-1)
+                slm.add_link_from_coordinates(
+                    i, j, pts_w - truth[i], pts_w - truth[j],
+                    gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+    return slm, truth
+
+
+def test_bucketing_and_shapes():
+    slm, _ = _grid_slm(rows=2, cols=3)
+    system = montage.slm_montage_to_tiles(slm)
+    assert system is not None
+    M, V = system['num_meshes'], system['num_vertices']
+    assert M == 6
+    assert system['pos'].shape == (M, V, 2)
+    m0, idx0, bary0, m1, idx1, bary1, weight = system['links']
+    assert m0.shape == m1.shape == weight.shape
+    assert (weight[: slm.num_meshes] >= 0).all()
+    # pow2 bucketed
+    assert weight.shape[0] & (weight.shape[0] - 1) == 0
+
+
+def test_padding_is_inert():
+    slm, _ = _grid_slm(rows=2, cols=3)
+    system = montage.slm_montage_to_tiles(slm)
+    padded = montage.pad_montage_system(dict(system), 4)
+    assert padded['pos'].shape[0] == 8
+    assert (padded['free'][6:] == 0).all()
+
+
+def test_sharded_matches_single_device():
+    import jax
+    slm_a, truth = _grid_slm(rows=4, cols=8, seed=3)
+    slm_b, _ = _grid_slm(rows=4, cols=8, seed=3)
+
+    # reference: the general single-device fused solve
+    c0a, c1a = slm_a.optimize_linear(stiffness_lambda=-1.0,
+                                     crosslink_lambda=-1.0, tol=1e-10,
+                                     maxiter=4000)
+    assert slm_a._last_solve_fused
+
+    jmesh = montage.montage_device_mesh()
+    assert jmesh.devices.size == jax.device_count() == 8
+    out = montage.sharded_montage_linear_solve(slm_b, 1.0, tol=1e-10,
+                                               maxiter=4000,
+                                               device_mesh=jmesh)
+    assert out is not None
+    c0b, c1b, ok = out
+    assert ok
+    assert c0b == pytest.approx(c0a, rel=1e-5)
+    # both paths drive residues to ~zero and agree on every vertex
+    assert c1a < 1e-3 and c1b < 1e-3
+    for ma, mb in zip(slm_a.meshes, slm_b.meshes):
+        va = ma.vertices_w_offset(const.MESH_GEAR_MOVING)
+        vb = mb.vertices_w_offset(const.MESH_GEAR_MOVING)
+        np.testing.assert_allclose(vb, va, atol=5e-3)
+    # and the recovered layout matches the analytic truth
+    for k, mb in enumerate(slm_b.meshes):
+        off = mb.vertices_w_offset(const.MESH_GEAR_MOVING) \
+            - mb.vertices_w_offset(const.MESH_GEAR_INITIAL)
+        np.testing.assert_allclose(off.mean(axis=0), truth[k], atol=0.05)
+
+
+def test_optimize_linear_routes_through_sharded(monkeypatch):
+    """With >1 device and enough tiles, SLM.optimize_linear's fused branch
+    solves on the sharded tile mesh and commits identical positions."""
+    monkeypatch.setenv('FEABAS_TPU_SHARD_MIN_TILES', '4')
+    slm_s, _ = _grid_slm(rows=2, cols=4, seed=7)
+    slm_r, _ = _grid_slm(rows=2, cols=4, seed=7)
+    c0s, c1s = slm_s.optimize_linear(stiffness_lambda=-1.0,
+                                     crosslink_lambda=-1.0, tol=1e-10,
+                                     maxiter=4000)
+    assert slm_s._last_solve_sharded
+    monkeypatch.setenv('FEABAS_TPU_SHARD_MIN_TILES', '10000')
+    c0r, c1r = slm_r.optimize_linear(stiffness_lambda=-1.0,
+                                     crosslink_lambda=-1.0, tol=1e-10,
+                                     maxiter=4000)
+    assert not slm_r._last_solve_sharded and slm_r._last_solve_fused
+    assert c0s == pytest.approx(c0r, rel=1e-5)
+    for ms, mr in zip(slm_s.meshes, slm_r.meshes):
+        np.testing.assert_allclose(
+            ms.vertices_w_offset(const.MESH_GEAR_MOVING),
+            mr.vertices_w_offset(const.MESH_GEAR_MOVING), atol=5e-3)
+
+
+def test_stitcher_elastic_engages_sharded(monkeypatch, workdir, rng):
+    """Full Stitcher staging (translation -> elastic) on an 8x8 section
+    routes its elastic solve through the sharded montage path and recovers
+    the true lattice."""
+    from feabas_tpu.stitcher import Stitcher
+    from feabas_tpu.common import Match, intersect_bbox
+    monkeypatch.setenv('FEABAS_TPU_SHARD_MIN_TILES', '16')
+    rows = cols = 8
+    th, tw, ov = 120, 150, 40
+    true_bboxes = []
+    stage_bboxes = []
+    for r in range(rows):
+        for c in range(cols):
+            x = c * (tw - ov)
+            y = r * (th - ov)
+            true_bboxes.append((x, y, x + tw, y + th))
+            jx, jy = rng.normal(0, 2.0, 2)
+            stage_bboxes.append((x + jx, y + jy, x + jx + tw, y + jy + th))
+    true_bboxes = np.asarray(true_bboxes, float)
+    st = Stitcher([f't{i}.png' for i in range(rows * cols)], stage_bboxes)
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            for j in ([i + 1] if c + 1 < cols else []) + \
+                     ([i + cols] if r + 1 < rows else []):
+                ovl, ok = intersect_bbox(true_bboxes[i], true_bboxes[j])
+                assert ok
+                xs = np.linspace(ovl[0] + 3, ovl[2] - 3, 3)
+                ys = np.linspace(ovl[1] + 3, ovl[3] - 3, 3)
+                gx, gy = np.meshgrid(xs, ys)
+                w_pts = np.stack([gx.ravel(), gy.ravel()], -1)
+                st.matches[(i, j)] = Match(w_pts - true_bboxes[i][:2],
+                                           w_pts - true_bboxes[j][:2],
+                                           np.ones(len(w_pts)), 0.01)
+    st.initialize_meshes(mesh_sizes=(60,))
+    st.optimize_translation()
+    st.optimize_elastic(tol=1e-9)
+    slm = st._slm
+    assert slm._last_solve_sharded
+    assert st.last_solve_converged
+    # recovered relative layout matches truth to subpixel
+    offs = np.stack([
+        (m.vertices_w_offset(const.MESH_GEAR_MOVING)
+         - m.vertices_w_offset(const.MESH_GEAR_INITIAL)).mean(axis=0)
+        for m in st.meshes])
+    got = offs - offs[0]
+    want = true_bboxes[:, :2] - true_bboxes[0, :2]
+    # f32 device solve across a ~1000 px lattice: hold the 0.1 px
+    # residual-parity north star
+    assert np.abs(got - want).max() < 0.1
+
+
+def test_not_bucketable_mixed_topology():
+    slm, _ = _grid_slm(rows=2, cols=2)
+    extra = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=50,
+                           uid=99, name='odd')
+    extra.set_translation((0, 0))
+    slm.add_mesh(extra)
+    assert montage.slm_montage_to_tiles(slm) is None
