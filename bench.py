@@ -206,14 +206,19 @@ def _bench_tile_pair():
 
 
 def cpu_tile_pair_worker():
-    """Subprocess body: same tile-pair match on the host CPU backend."""
+    """Subprocess body: same tile-pair match on the host CPU backend.
+
+    Uses the classic per-round loop — the fused one-dispatch program is a
+    round-trip optimization that costs more on CPU; the baseline gets its
+    BEST configuration."""
     from feabas_tpu.matcher import stitching_matcher
     t0_img, t1_img, off = _tile_pair_images()
-    stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)  # warm-up/compile
+    kw = dict(_TILE_KWARGS, fused_rounds=False)
+    stitching_matcher(t0_img, t1_img, **kw)  # warm-up/compile
     dts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)
+        stitching_matcher(t0_img, t1_img, **kw)
         dts.append(time.perf_counter() - t0)
     print(json.dumps({'cpu_pair_dt': min(dts)}))
 

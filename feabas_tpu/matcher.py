@@ -314,6 +314,152 @@ def _render_blocks(renderer, centers, block_size):
     return np.stack(out), np.asarray(kept, np.int64)
 
 
+def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
+    """The whole fine-match schedule as ONE device dispatch + fetch
+    (ops/match_loop.fused_rounds); covers the dominant stitching case —
+    mesh0 locked, mesh1 linear ENG, cartesian lattice, fixed schedule.
+    Returns a Match, or None when the case doesn't apply or too few
+    blocks matched (caller falls back to the classic per-round loop)."""
+    import jax.numpy as jnp
+    from feabas_tpu.ops import match_loop
+    from feabas_tpu.ops.xcorr import good_fft_size
+    sigma = kwargs.get('sigma', 2.5)
+    conf_thresh = kwargs.get('conf_thresh', 0.3)
+    shrink_factor = kwargs.get('shrink_factor', 1.0)
+    residue_len = kwargs.get('residue_len', 3)
+    stiffness_lambda = kwargs.get('stiffness_lambda', -0.35)
+    min_boundary_distance = kwargs.get('min_boundary_distance', 0)
+    min_num_blocks = kwargs.get('min_num_blocks', 2)
+    compute_strain = kwargs.get('compute_strain', True)
+    if stiffness_lambda >= 0:
+        return None
+    groups = mesh1.element_arrays(gear=const.MESH_GEAR_FIXED)
+    groups0 = mesh0.element_arrays(gear=const.MESH_GEAR_FIXED)
+    if any(g['model'] != const.MATERIAL_MODEL_ENG or g['knots'] is not None
+           for g in list(groups) + list(groups0)):
+        return None
+    bbox0 = mesh0.bbox(gear=const.MESH_GEAR_MOVING)
+    bbox1 = mesh1.bbox(gear=const.MESH_GEAR_MOVING)
+    ovl, valid_b = common.intersect_bbox(bbox0, bbox1)
+    if not valid_b:
+        return None
+    A0_all, b0_all = mesh0.triangle_affine_tform(
+        gear0=const.MESH_GEAR_MOVING, gear1=const.MESH_GEAR_INITIAL)
+    off0 = np.asarray(loader0._offset, np.float64)
+    off1 = np.asarray(loader1._offset, np.float64)
+    spacings = np.asarray(sorted(np.atleast_1d(spacings).astype(np.float64),
+                                 reverse=True))
+    rounds = []
+    meta = []
+    valid_rounds = []
+    first = True
+    for i, spacing in enumerate(spacings):
+        last = i == len(spacings) - 1
+        centers = distributor_cartesian_bbox(
+            ovl, spacing, spacing * shrink_factor,
+            min_boundary_distance=min_boundary_distance)
+        if centers.shape[0] == 0 or (centers.shape[0] < min_num_blocks
+                                     and not last):
+            continue
+        tid0 = mesh0.tri_finder(centers, gear=const.MESH_GEAR_MOVING,
+                                extrapolate=False)
+        tid1 = mesh1.tri_finder(centers, gear=const.MESH_GEAR_MOVING,
+                                extrapolate=False)
+        keep = (tid0 >= 0) & (tid1 >= 0)
+        if not keep.any():
+            continue
+        centers = centers[keep]
+        tid0 = tid0[keep]
+        tid1 = tid1[keep]
+        bs = _quantize_block(max(spacing * shrink_factor, 16.0))
+        A0 = A0_all[tid0]
+        b0 = b0_all[tid0] - off0
+        anchor_idx = mesh1.triangles[tid1]
+        origins = np.round(centers - bs / 2.0)
+        n = centers.shape[0]
+        nb = _pad_pow2(n)
+        valid = np.zeros(nb, np.float32)
+        valid[:n] = 1.0
+
+        def _pad(a):
+            if nb == n:
+                return a
+            return np.concatenate([a, np.repeat(a[:1], nb - n, axis=0)])
+
+        rlen = residue_len if residue_len > 0 else max(spacing * 0.1, 2.0)
+        fs = good_fft_size(2 * bs - 1, pow2=True)
+        rounds.append({
+            'origins': jnp.asarray(_pad(origins), jnp.float32),
+            'A0': jnp.asarray(_pad(A0), jnp.float32),
+            'b0': jnp.asarray(_pad(b0), jnp.float32),
+            'tri_idx': jnp.asarray(_pad(anchor_idx), jnp.int32),
+            'centers': jnp.asarray(_pad(centers)),
+            'anchor_idx': jnp.asarray(_pad(anchor_idx), jnp.int32),
+            'anchor_idx0': jnp.asarray(_pad(mesh0.triangles[tid0]),
+                                       jnp.int32),
+            'valid': jnp.asarray(valid),
+            'rlen': jnp.asarray(float(rlen)),
+        })
+        meta.append((bs, fs, fs, bool(last), bool(first),
+                     1e-8 if last else 1e-6))
+        valid_rounds.append((n, nb, centers, anchor_idx))
+        first = False
+    if not rounds or not meta[-1][3]:
+        return None
+    src0 = loader0.preprocess(loader0._img)
+    src1 = loader1.preprocess(loader1._img)
+    mult = np.concatenate([g['multiplier'] for g in groups])
+    poisson = np.concatenate([g['poisson'] for g in groups])
+    pos1 = mesh1.vertices_w_offset(const.MESH_GEAR_MOVING)
+    verts0_1 = mesh1.vertices_w_offset(const.MESH_GEAR_INITIAL) - off1
+    shape1 = mesh1.vertices_w_offset(const.MESH_GEAR_FIXED)
+    V = pos1.shape[0]
+    mult0 = np.concatenate([g['multiplier'] for g in groups0])
+    poisson0 = np.concatenate([g['poisson'] for g in groups0])
+    packed = match_loop.fused_rounds(
+        jnp.asarray(src0), jnp.asarray(src1), jnp.asarray(pos1),
+        jnp.asarray(verts0_1), jnp.asarray(shape1),
+        jnp.asarray(mesh1.triangles, jnp.int32), jnp.asarray(mult),
+        jnp.asarray(poisson), tuple(rounds), tuple(meta),
+        jnp.asarray(mesh0.vertices_w_offset(const.MESH_GEAR_FIXED)),
+        jnp.asarray(mesh0.triangles, jnp.int32), jnp.asarray(mult0),
+        jnp.asarray(poisson0),
+        jnp.asarray(mesh0.vertices_w_offset(const.MESH_GEAR_MOVING)),
+        lam_ratio=abs(float(stiffness_lambda)), sigma=float(sigma),
+        conf_thresh=float(conf_thresh))
+    arr = np.asarray(packed)  # the ONE fetch
+    n_last, nb_last, centers_last, anchor_idx_last = valid_rounds[-1]
+    pos1_new = arr[:V]
+    d = arr[V:V + nb_last][:n_last]
+    conf = arr[V + nb_last:V + 2 * nb_last][:n_last, 0]
+    w = arr[V + nb_last:V + 2 * nb_last][:n_last, 1]
+    bary12 = arr[V + 2 * nb_last:V + 3 * nb_last][:n_last]
+    bary_last = np.concatenate(
+        [bary12, 1.0 - bary12.sum(axis=-1, keepdims=True)], axis=-1)
+    keep = w > 0
+    if keep.sum() < max(min_num_blocks, 1):
+        return None
+    # commit mesh1 and derive INITIAL-gear coordinates (same convention as
+    # the classic path's link.xy0/xy1(INITIAL))
+    c = pos1_new.mean(axis=0, keepdims=True)
+    mesh1.set_vertices(pos1_new - c, const.MESH_GEAR_MOVING, offset=c)
+    xy1_init = np.einsum(
+        'nk,nkc->nc', bary_last,
+        mesh1.vertices_w_offset(const.MESH_GEAR_INITIAL)[anchor_idx_last])
+    xy0_world = centers_last - d
+    tid0f = mesh0.tri_finder(xy0_world, gear=const.MESH_GEAR_MOVING,
+                             extrapolate=True)
+    bary0f = mesh0.cart2bary(xy0_world, tid0f, gear=const.MESH_GEAR_MOVING)
+    xy0_init = mesh0.bary2cart(tid0f, bary0f, gear=const.MESH_GEAR_INITIAL)
+    if compute_strain:
+        strain = float(np.mean(mesh1.svds_to_deform(
+            gear1=const.MESH_GEAR_MOVING)))
+        strain = max(strain, 1e-4)
+    else:
+        strain = config.DEFAULT_AVG_DEFORM
+    return common.Match(xy0_init[keep], xy1_init[keep], w[keep], strain)
+
+
 def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                                    **kwargs):
     """Coarse-to-fine mesh-deforming block matcher
@@ -363,6 +509,19 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
         src1 = jnp.asarray(np.asarray(loader1.preprocess(loader1._img)))
         src_off0 = np.asarray(loader0._offset, np.float64)
         src_off1 = np.asarray(loader1._offset, np.float64)
+
+    # dominant stitching case -> fuse the WHOLE fine schedule into one
+    # device dispatch + one fetch (ops/match_loop); fall through to the
+    # classic per-round loop when it does not apply or finds too little
+    if (use_device and kwargs.get('fused_rounds', True)
+            and str(distributor).lower() == 'cartesian_bbox'
+            and allow_dwell == 0 and max_spacing_skip == 0
+            and link_weight_decay <= 0 and residue_mode == 'huber'
+            and not geodesic_mask):
+        match = _fused_fine_matcher(mesh0, mesh1, loader0, loader1,
+                                    spacings, **kwargs)
+        if match is not None:
+            return match
 
     def _match_round(centers, size_factors, spacing, subpixel):
         """Render both meshes at the block centers and xcorr; returns
@@ -638,7 +797,8 @@ def stitching_matcher(img0, img1, **kwargs):
                     'shrink_factor', 'min_boundary_distance',
                     'stiffness_lambda', 'conf_mode', 'distributor',
                     'geodesic_mask', 'allow_dwell', 'max_spacing_skip',
-                    'min_block_size_multiplier', 'link_weight_decay')})
+                    'min_block_size_multiplier', 'link_weight_decay',
+                    'fused_rounds')})
     if match is None:
         return None
     return common.Match(match.xy0 / fs, match.xy1 / fs, match.weight,

@@ -240,3 +240,45 @@ def test_distributor_excludes_soft_materials(rng, workdir):
     assert in_band(c_all) > 0
     assert in_band(c_thr) == 0
     assert c_thr.shape[0] > 10
+
+
+def test_fused_fine_matcher_parity(rng, workdir):
+    """The one-dispatch fused fine loop (ops/match_loop) engages for the
+    stitching case and agrees with the classic per-round path on a warped
+    pair and exactly on a pure translation."""
+    from feabas_tpu.matcher import iterative_xcorr_matcher_w_mesh
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu import config
+    from synthutil import texture, warped_pair
+
+    h = w = 320
+    img0 = texture(rng, h, w)
+    sh = (4, -3)
+    img1 = np.roll(np.roll(img0, -sh[1], axis=0), -sh[0], axis=1)
+
+    def run(i0, i1, fused):
+        m0 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60,
+                            uid=0, locked=True)
+        m1 = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=60,
+                            uid=1,
+                            soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
+        return iterative_xcorr_matcher_w_mesh(
+            m0, m1, StreamLoader(i0), StreamLoader(i1),
+            spacings=[100, 50, 25], sigma=2.5, conf_thresh=0.25,
+            min_boundary_distance=30, fused_rounds=fused)
+
+    m_f = run(img0, img1, True)
+    err = np.linalg.norm(m_f.xy0 - (m_f.xy1 + sh), axis=-1)
+    assert m_f.xy0.shape[0] >= 25
+    assert np.median(err) < 0.05, np.median(err)
+
+    img0w, img1w, disp_fn = warped_pair(rng, h, w, amp=3.0, period=120.0)
+    m_c = run(img0w, img1w, False)
+    m_f = run(img0w, img1w, True)
+    for m in (m_c, m_f):
+        e = np.linalg.norm(m.xy0 - (m.xy1 + disp_fn(m.xy1)), axis=-1)
+        assert np.median(e) < 0.8, np.median(e)
+    # the two paths must land on comparable match sets and strains
+    assert abs(m_f.xy0.shape[0] - m_c.xy0.shape[0]) <= 0.25 * m_c.xy0.shape[0]
+    assert m_f.strain == pytest.approx(m_c.strain, rel=0.3)
