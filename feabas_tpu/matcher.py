@@ -349,15 +349,30 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     off1 = np.asarray(loader1._offset, np.float64)
     spacings = np.asarray(sorted(np.atleast_1d(spacings).astype(np.float64),
                                  reverse=True))
+    distributor = str(kwargs.get('distributor', 'cartesian_bbox')).lower()
     rounds = []
     meta = []
     valid_rounds = []
     first = True
     for i, spacing in enumerate(spacings):
         last = i == len(spacings) - 1
-        centers = distributor_cartesian_bbox(
-            ovl, spacing, spacing * shrink_factor,
-            min_boundary_distance=min_boundary_distance)
+        if distributor in ('cartesian_region', 'intersect_triangulation'):
+            centers, size_factors = distribute_matching_blocks(
+                mesh0, mesh1, spacing, distributor=distributor,
+                min_boundary_distance=min_boundary_distance,
+                shrink_factor=shrink_factor,
+                render_weight_threshold=kwargs.get(
+                    'render_weight_threshold', 0),
+                stiffness_multiplier_threshold=kwargs.get(
+                    'stiffness_multiplier_threshold', 0))
+            if centers.shape[0] and not np.allclose(size_factors, 1.0):
+                # non-uniform block sizes (refine-material densification):
+                # the one-block-shape-per-round kernel doesn't apply
+                return None
+        else:
+            centers = distributor_cartesian_bbox(
+                ovl, spacing, spacing * shrink_factor,
+                min_boundary_distance=min_boundary_distance)
         if centers.shape[0] == 0 or (centers.shape[0] < min_num_blocks
                                      and not last):
             continue
@@ -514,7 +529,6 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     # device dispatch + one fetch (ops/match_loop); fall through to the
     # classic per-round loop when it does not apply or finds too little
     if (use_device and kwargs.get('fused_rounds', True)
-            and str(distributor).lower() == 'cartesian_bbox'
             and allow_dwell == 0 and max_spacing_skip == 0
             and link_weight_decay <= 0 and residue_mode == 'huber'
             and not geodesic_mask):
