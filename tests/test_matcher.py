@@ -282,3 +282,31 @@ def test_fused_fine_matcher_parity(rng, workdir):
     # the two paths must land on comparable match sets and strains
     assert abs(m_f.xy0.shape[0] - m_c.xy0.shape[0]) <= 0.25 * m_c.xy0.shape[0]
     assert m_f.strain == pytest.approx(m_c.strain, rel=0.3)
+
+
+def test_stage_prior_one_dispatch_path(rng, workdir):
+    """stage_prior skips the host coarse stage: the residual is measured
+    and applied inside the fused program; matches recover the truth."""
+    from feabas_tpu.matcher import stitching_matcher
+    from synthutil import texture
+
+    h, w = 384, 420
+    img0 = texture(rng, h, w)
+    sh = (9, -6)
+    img1 = np.roll(np.roll(img0, -sh[1], axis=0), -sh[0], axis=1)
+    # truth: xy0 = xy1 + sh; give a prior off by a few px (stage jitter)
+    m = stitching_matcher(img0, img1, stage_prior=(sh[0] + 2.0, sh[1] - 3.0),
+                          conf_thresh=0.25, coarse_downsample=0.5,
+                          spacings=[100, 50], min_boundary_distance=20)
+    assert m is not None and m.xy0.shape[0] >= 9
+    err = np.linalg.norm(m.xy0 - (m.xy1 + sh), axis=-1)
+    assert np.median(err) < 0.1, np.median(err)
+
+    # a hopeless prior (content off-screen) must fall back to the classic
+    # host-coarse path and still succeed
+    m2 = stitching_matcher(img0, img1, stage_prior=(500.0, 500.0),
+                           conf_thresh=0.25, coarse_downsample=0.5,
+                           spacings=[100, 50], min_boundary_distance=20)
+    assert m2 is not None and m2.xy0.shape[0] >= 9
+    err2 = np.linalg.norm(m2.xy0 - (m2.xy1 + sh), axis=-1)
+    assert np.median(err2) < 0.1, np.median(err2)
