@@ -403,6 +403,18 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
 
         rlen = residue_len if residue_len > 0 else max(spacing * 0.1, 2.0)
         fs = good_fft_size(2 * bs - 1, pow2=True)
+        # shifted-warp window bound from the ACTUAL prep-state affines
+        # (includes any rotation/scale between the gears) plus margin for
+        # the intra-match elastic deformation; unbounded -> classic path
+        from feabas_tpu.ops.warp import shift_bound_K, _K_BUCKETS
+        A1p, _b1p = mesh1.triangle_affine_tform(
+            gear0=const.MESH_GEAR_MOVING, gear1=const.MESH_GEAR_INITIAL)
+        kA = shift_bound_K(np.concatenate([A0, A1p[tid1]]), bs, bs)
+        if kA is None:
+            return None
+        K = next((k for k in _K_BUCKETS if k >= kA + 2), None)
+        if K is None:
+            return None
         rounds.append({
             'origins': jnp.asarray(_pad(origins), jnp.float32),
             'A0': jnp.asarray(_pad(A0), jnp.float32),
@@ -416,7 +428,7 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
             'rlen': jnp.asarray(float(rlen)),
         })
         meta.append((bs, fs, fs, bool(last), bool(first),
-                     1e-8 if last else 1e-6))
+                     1e-8 if last else 1e-6, int(K)))
         valid_rounds.append((n, nb, centers, anchor_idx))
         first = False
     if not rounds or not meta[-1][3]:

@@ -27,7 +27,7 @@ import numpy as np
 from feabas_tpu import constant as const
 from feabas_tpu.ops import fem
 from feabas_tpu.ops.filters import masked_dog_filter
-from feabas_tpu.ops.warp import affine_warp_blocks
+from feabas_tpu.ops.warp import affine_warp_blocks_shifted
 from feabas_tpu.ops.xcorr import _peak_and_subpixel
 
 
@@ -219,14 +219,15 @@ def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
     d_last = None
     conf_last = None
     w_last = None
-    for r, (rd, (bs, fy, fx, subpixel, translate_first, tol)) in enumerate(
-            zip(rounds, meta)):
+    for r, (rd, (bs, fy, fx, subpixel, translate_first, tol,
+                 K)) in enumerate(zip(rounds, meta)):
         origins = rd['origins']
         A1, b1 = _mesh1_block_affines(pos1.astype(jnp.float32),
                                       verts0_1.astype(jnp.float32),
                                       rd['tri_idx'])
-        blocks0 = affine_warp_blocks(f0, origins, rd['A0'], rd['b0'], bs, bs)
-        blocks1 = affine_warp_blocks(f1, origins, A1, b1, bs, bs)
+        blocks0 = affine_warp_blocks_shifted(f0, origins, rd['A0'],
+                                             rd['b0'], bs, bs, K)
+        blocks1 = affine_warp_blocks_shifted(f1, origins, A1, b1, bs, bs, K)
         g0 = masked_dog_filter(blocks0, sigma)
         g1 = masked_dog_filter(blocks1, sigma)
         # chunk the FFTs at <=128 blocks: TPU's rfft2 takes a DIFFERENT

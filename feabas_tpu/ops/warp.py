@@ -62,6 +62,99 @@ def affine_warp_blocks(img, origins, A, b, block_h, block_w, fillval=0.0):
                          A.astype(jnp.float32), b.astype(jnp.float32))
 
 
+@functools.partial(jax.jit, static_argnames=('h', 'w', 'K'))
+def affine_warp_blocks_shifted(img, origins, A, b, h, w, K, fillval=0.0):
+    """Gather-free batched affine block warp (TPU fast path).
+
+    XLA lowers ``bilinear_sample``'s advanced indexing to a per-element
+    gather — ~100M random reads/s on TPU, which made the warp the
+    matcher's true hot op (195 ms per 512x96px batch, measured). Here
+    each block slices ONE (h+2K+2, w+2K+2) source window at its integer
+    base offset; the within-window source coordinate deviates from the
+    output pixel by frac + (x,y)@(A-I), bounded by K, so bilinear
+    sampling becomes a (2K+2)^2 static-shift weighted sum — pure VPU
+    elementwise math (4.6 ms for the same batch, 42x).
+
+    K must bound ceil(max |(x,y)@(A-I)| + 1) over the block; pixels whose
+    deviation exceeds K fall to ``fillval`` (zero weight on every shift),
+    the same graceful failure as sampling outside the image.
+    """
+    H, W = img.shape
+    imgf = img.astype(jnp.float32)
+    # pad by a whole block so partially-overlapping border blocks never
+    # hit dynamic_slice's start clamping (which would misalign the
+    # window); fully-outside blocks clamp but every pixel is masked
+    P = K + 2 + max(h, w)
+    imgp = jnp.pad(imgf, P, constant_values=fillval)
+    gx, gy = jnp.meshgrid(jnp.arange(w, dtype=jnp.float32),
+                          jnp.arange(h, dtype=jnp.float32))
+
+    def one(origin, An, bn):
+        base = jnp.stack([origin[0] * An[0, 0] + origin[1] * An[1, 0] + bn[0],
+                          origin[0] * An[0, 1] + origin[1] * An[1, 1] + bn[1]])
+        base_i = jnp.floor(base).astype(jnp.int32) - K
+        base_i = jnp.clip(base_i, -P, jnp.asarray([W, H]) + P
+                          - jnp.asarray([w, h]) - 2 * K - 2)
+        win = jax.lax.dynamic_slice(
+            imgp, (base_i[1] + P, base_i[0] + P),
+            (h + 2 * K + 2, w + 2 * K + 2))
+        sx = base[0] + gx * An[0, 0] + gy * An[1, 0]
+        sy = base[1] + gx * An[0, 1] + gy * An[1, 1]
+        rx = sx - base_i[0].astype(jnp.float32)
+        ry = sy - base_i[1].astype(jnp.float32)
+        ixf = jnp.floor(rx)
+        iyf = jnp.floor(ry)
+        fxv = rx - ixf
+        fyv = ry - iyf
+        # shift offsets relative to the output pixel (window row y+dy
+        # holds source row base_i1 + y + dy)
+        ix = ixf.astype(jnp.int32) - gx.astype(jnp.int32)
+        iy = iyf.astype(jnp.int32) - gy.astype(jnp.int32)
+        out = jnp.zeros((h, w), jnp.float32)
+        for dy in range(2 * K + 2):
+            wy = (jnp.where(iy == dy, 1.0 - fyv, 0.0)
+                  + jnp.where(iy == dy - 1, fyv, 0.0))
+            row = jnp.zeros((h, w), jnp.float32)
+            for dx in range(2 * K + 2):
+                wx = (jnp.where(ix == dx, 1.0 - fxv, 0.0)
+                      + jnp.where(ix == dx - 1, fxv, 0.0))
+                row = row + wx * jax.lax.dynamic_slice(win, (dy, dx), (h, w))
+            out = out + wy * row
+        valid = (sx >= 0) & (sy >= 0) & (sx <= W - 1) & (sy <= H - 1)
+        return jnp.where(valid, out, fillval)
+
+    return jax.vmap(one)(origins.astype(jnp.float32), A.astype(jnp.float32),
+                         b.astype(jnp.float32))
+
+
+_K_BUCKETS = (2, 3, 4, 6, 8)
+
+
+def shift_bound_K(A, h, w):
+    """Smallest K bucket bounding the within-window deviation
+    |(x,y)@(A-I)| + 1 over an (h, w) block, or None when no bucket fits
+    (extreme deformation -> use the gather path)."""
+    dev = np.abs(np.asarray(A) - np.eye(2))
+    worst = float((dev[..., 0, :].max(axis=-1) * w
+                   + dev[..., 1, :].max(axis=-1) * h).max()) if dev.size else 0.0
+    need = int(np.ceil(worst + 1.0))
+    for k in _K_BUCKETS:
+        if need <= k:
+            return k
+    return None
+
+
+def warp_blocks_auto(img, origins, A, b, h, w, fillval=0.0, K=None):
+    """Batched affine block warp: shifted-window fast path when the
+    deformation fits a K bucket, gather fallback otherwise."""
+    if K is None:
+        K = shift_bound_K(A, h, w)
+    if K is None:
+        return affine_warp_blocks(img, origins, A, b, h, w, fillval=fillval)
+    return affine_warp_blocks_shifted(img, origins, A, b, h, w, int(K),
+                                      fillval=fillval)
+
+
 def mesh_blocks_device(mesh, image, centers, block_size, gear=None,
                        fillval=0.0, src_offset=(0.0, 0.0)):
     """Render equal-size blocks centered at world points through a mesh's
@@ -99,7 +192,7 @@ def mesh_blocks_device(mesh, image, centers, block_size, gear=None,
         A = np.concatenate([A, np.repeat(A[:1], pad, axis=0)])
         b = np.concatenate([b, np.repeat(b[:1], pad, axis=0)])
         origins = np.concatenate([origins, np.repeat(origins[:1], pad, axis=0)])
-    stack = affine_warp_blocks(jnp.asarray(image), jnp.asarray(origins),
-                               jnp.asarray(A), jnp.asarray(b), h, w,
-                               fillval=float(fillval))
+    stack = warp_blocks_auto(jnp.asarray(image), jnp.asarray(origins),
+                             jnp.asarray(A), jnp.asarray(b), h, w,
+                             fillval=float(fillval))
     return stack[:n], kept

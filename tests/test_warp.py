@@ -86,3 +86,45 @@ def test_matcher_device_vs_host_equivalence(rng, workdir):
         results[device] = np.median(err)
     assert results[True] < 1.0, results
     assert abs(results[True] - results[False]) < 0.5, results
+
+
+def test_shifted_warp_matches_gather(rng):
+    """Gather-free shifted-window warp agrees with the bilinear-gather
+    reference for small-strain affines, including image borders."""
+    import jax.numpy as jnp
+    from feabas_tpu.ops.warp import (affine_warp_blocks,
+                                     affine_warp_blocks_shifted,
+                                     warp_blocks_auto, shift_bound_K)
+    H, W = 300, 260
+    img = jnp.asarray(rng.normal(0, 40, (H, W)).astype(np.float32) + 128)
+    B, h = 32, 48
+    A = (np.tile(np.eye(2, dtype=np.float32), (B, 1, 1))
+         + rng.normal(0, 5e-3, (B, 2, 2)).astype(np.float32))
+    b = rng.uniform(-4, 4, (B, 2)).astype(np.float32)
+    # include blocks hanging off every border
+    origins = np.round(np.stack([rng.uniform(-20, W - 30, B),
+                                 rng.uniform(-20, H - 30, B)], -1)
+                       ).astype(np.float32)
+    ref = np.asarray(affine_warp_blocks(img, jnp.asarray(origins),
+                                        jnp.asarray(A), jnp.asarray(b),
+                                        h, h))
+    K = shift_bound_K(A, h, h)
+    got = np.asarray(affine_warp_blocks_shifted(
+        img, jnp.asarray(origins), jnp.asarray(A), jnp.asarray(b), h, h, K))
+    np.testing.assert_allclose(got, ref, atol=0.1)
+    auto = np.asarray(warp_blocks_auto(img, jnp.asarray(origins),
+                                       jnp.asarray(A), jnp.asarray(b), h, h))
+    np.testing.assert_allclose(auto, ref, atol=0.1)
+
+
+def test_shifted_warp_K_bound_fallback(rng):
+    """Deformations beyond every K bucket route to the gather path."""
+    from feabas_tpu.ops.warp import shift_bound_K
+    A = np.tile(np.eye(2, dtype=np.float32), (4, 1, 1))
+    assert shift_bound_K(A, 64, 64) == 2
+    A_rot = A.copy()
+    th = 0.5  # ~29 deg: deviation >> 8 px over a 64 px block
+    A_rot[:, 0, 0] = A_rot[:, 1, 1] = np.cos(th)
+    A_rot[:, 0, 1] = np.sin(th)
+    A_rot[:, 1, 0] = -np.sin(th)
+    assert shift_bound_K(A_rot, 64, 64) is None
