@@ -314,14 +314,11 @@ def _render_blocks(renderer, centers, block_size):
     return np.stack(out), np.asarray(kept, np.int64)
 
 
-def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
-    """The whole fine-match schedule as ONE device dispatch + fetch
-    (ops/match_loop.fused_rounds); covers the dominant stitching case —
-    mesh0 locked, mesh1 linear ENG, cartesian lattice, fixed schedule.
-    Returns a Match, or None when the case doesn't apply or too few
-    blocks matched (caller falls back to the classic per-round loop)."""
-    import jax.numpy as jnp
-    from feabas_tpu.ops import match_loop
+def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
+    """Host-side planning for the fused fine-match schedule: block
+    lattices, triangle assignments, affines, element data. Returns a
+    prep dict of HOST arrays (stackable across pairs) or None when the
+    fused case doesn't apply."""
     from feabas_tpu.ops.xcorr import good_fft_size
     sigma = kwargs.get('sigma', 2.5)
     conf_thresh = kwargs.get('conf_thresh', 0.3)
@@ -416,16 +413,15 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         if K is None:
             return None
         rounds.append({
-            'origins': jnp.asarray(_pad(origins), jnp.float32),
-            'A0': jnp.asarray(_pad(A0), jnp.float32),
-            'b0': jnp.asarray(_pad(b0), jnp.float32),
-            'tri_idx': jnp.asarray(_pad(anchor_idx), jnp.int32),
-            'centers': jnp.asarray(_pad(centers)),
-            'anchor_idx': jnp.asarray(_pad(anchor_idx), jnp.int32),
-            'anchor_idx0': jnp.asarray(_pad(mesh0.triangles[tid0]),
-                                       jnp.int32),
-            'valid': jnp.asarray(valid),
-            'rlen': jnp.asarray(float(rlen)),
+            'origins': _pad(origins).astype(np.float32),
+            'A0': _pad(A0).astype(np.float32),
+            'b0': _pad(b0).astype(np.float32),
+            'tri_idx': _pad(anchor_idx).astype(np.int32),
+            'centers': _pad(centers),
+            'anchor_idx': _pad(anchor_idx).astype(np.int32),
+            'anchor_idx0': _pad(mesh0.triangles[tid0]).astype(np.int32),
+            'valid': valid,
+            'rlen': np.float64(rlen),
         })
         meta.append((bs, fs, fs, bool(last), bool(first),
                      1e-8 if last else 1e-6, int(K)))
@@ -433,14 +429,13 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         first = False
     if not rounds or not meta[-1][3]:
         return None
-    src0 = loader0.preprocess(loader0._img)
-    src1 = loader1.preprocess(loader1._img)
+    src0 = np.asarray(loader0.preprocess(loader0._img))
+    src1 = np.asarray(loader1.preprocess(loader1._img))
     mult = np.concatenate([g['multiplier'] for g in groups])
     poisson = np.concatenate([g['poisson'] for g in groups])
     pos1 = mesh1.vertices_w_offset(const.MESH_GEAR_MOVING)
     verts0_1 = mesh1.vertices_w_offset(const.MESH_GEAR_INITIAL) - off1
     shape1 = mesh1.vertices_w_offset(const.MESH_GEAR_FIXED)
-    V = pos1.shape[0]
     mult0 = np.concatenate([g['multiplier'] for g in groups0])
     poisson0 = np.concatenate([g['poisson'] for g in groups0])
     # optional in-program coarse seed (stage-aligned fast path)
@@ -448,44 +443,69 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     coarse = None
     coarse_meta = None
     if cfg is not None:
-        from feabas_tpu.ops.xcorr import good_fft_size
         pool = int(cfg.get('pool', 4))
         h0p, w0p = src0.shape[0] // pool, src0.shape[1] // pool
         h1p, w1p = src1.shape[0] // pool, src1.shape[1] // pool
         cfy = good_fft_size(h0p + h1p - 1, pow2=True)
         cfx = good_fft_size(w0p + w1p - 1, pow2=True)
         coarse = {
-            'v0': jnp.asarray([int(np.ceil(cfg['valid0'][0] / pool)),
-                               int(np.ceil(cfg['valid0'][1] / pool))],
-                              jnp.int32),
-            'v1': jnp.asarray([int(np.ceil(cfg['valid1'][0] / pool)),
-                               int(np.ceil(cfg['valid1'][1] / pool))],
-                              jnp.int32),
-            'base': jnp.asarray(np.asarray(cfg['base'], np.float64)),
+            'v0': np.asarray([int(np.ceil(cfg['valid0'][0] / pool)),
+                              int(np.ceil(cfg['valid0'][1] / pool))],
+                             np.int32),
+            'v1': np.asarray([int(np.ceil(cfg['valid1'][0] / pool)),
+                              int(np.ceil(cfg['valid1'][1] / pool))],
+                             np.int32),
+            'base': np.asarray(cfg['base'], np.float64),
         }
         coarse_meta = (pool, cfy, cfx, float(sigma) / pool)
-    packed = match_loop.fused_rounds(
-        jnp.asarray(src0), jnp.asarray(src1), jnp.asarray(pos1),
-        jnp.asarray(verts0_1), jnp.asarray(shape1),
-        jnp.asarray(mesh1.triangles, jnp.int32), jnp.asarray(mult),
-        jnp.asarray(poisson), tuple(rounds), tuple(meta),
-        jnp.asarray(mesh0.vertices_w_offset(const.MESH_GEAR_FIXED)),
-        jnp.asarray(mesh0.triangles, jnp.int32), jnp.asarray(mult0),
-        jnp.asarray(poisson0),
-        jnp.asarray(mesh0.vertices_w_offset(const.MESH_GEAR_MOVING)),
-        lam_ratio=abs(float(stiffness_lambda)), sigma=float(sigma),
-        conf_thresh=float(conf_thresh), coarse=coarse,
-        coarse_meta=coarse_meta)
-    arr = np.asarray(packed)  # the ONE fetch
+    return {
+        'mesh0': mesh0, 'mesh1': mesh1,
+        'src0': src0, 'src1': src1,
+        'pos1': pos1, 'verts0_1': verts0_1, 'shape1': shape1,
+        'tris1': np.asarray(mesh1.triangles, np.int32),
+        'mult': mult, 'poisson': poisson,
+        'shape0': mesh0.vertices_w_offset(const.MESH_GEAR_FIXED),
+        'tris0': np.asarray(mesh0.triangles, np.int32),
+        'mult0': mult0, 'poisson0': poisson0,
+        'pos0': mesh0.vertices_w_offset(const.MESH_GEAR_MOVING),
+        'rounds': rounds, 'meta': tuple(meta),
+        'coarse': coarse, 'coarse_meta': coarse_meta, 'cfg': cfg,
+        'valid_rounds': valid_rounds,
+        'lam_ratio': abs(float(stiffness_lambda)),
+        'sigma': float(sigma), 'conf_thresh': float(conf_thresh),
+        'min_num_blocks': min_num_blocks,
+        'compute_strain': compute_strain,
+    }
+
+
+def _fused_signature(prep):
+    """Static+shape signature for batching compatibility."""
+    shapes = tuple((k, prep[k].shape) for k in
+                   ('src0', 'src1', 'pos1', 'tris1', 'mult', 'shape0',
+                    'tris0', 'mult0'))
+    rshapes = tuple(tuple(sorted((k, np.asarray(v).shape)
+                                 for k, v in rd.items()))
+                    for rd in prep['rounds'])
+    return (prep['meta'], prep['coarse_meta'], prep['lam_ratio'],
+            prep['sigma'], prep['conf_thresh'], shapes, rshapes)
+
+
+def _fused_finalize(prep, arr):
+    """Unpack one pair's packed kernel output, commit mesh1, build the
+    Match (same conventions as the classic path's links)."""
+    mesh0, mesh1 = prep['mesh0'], prep['mesh1']
+    cfg = prep['cfg']
+    conf_thresh = prep['conf_thresh']
+    min_num_blocks = prep['min_num_blocks']
+    V = prep['pos1'].shape[0]
     if cfg is not None:
         conf_c = float(arr[-2, 0])
         if conf_c < float(cfg.get('conf_thresh', conf_thresh)):
             return None  # meshes untouched; caller falls back to classic
     arr = arr[:-2]
-    n_last, nb_last, centers_last, anchor_idx_last = valid_rounds[-1]
+    n_last, nb_last, centers_last, anchor_idx_last = prep['valid_rounds'][-1]
     pos1_new = arr[:V]
     d = arr[V:V + nb_last][:n_last]
-    conf = arr[V + nb_last:V + 2 * nb_last][:n_last, 0]
     w = arr[V + nb_last:V + 2 * nb_last][:n_last, 1]
     bary12 = arr[V + 2 * nb_last:V + 3 * nb_last][:n_last]
     bary_last = np.concatenate(
@@ -493,8 +513,6 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     keep = w > 0
     if keep.sum() < max(min_num_blocks, 1):
         return None
-    # commit mesh1 and derive INITIAL-gear coordinates (same convention as
-    # the classic path's link.xy0/xy1(INITIAL))
     c = pos1_new.mean(axis=0, keepdims=True)
     mesh1.set_vertices(pos1_new - c, const.MESH_GEAR_MOVING, offset=c)
     xy1_init = np.einsum(
@@ -505,13 +523,77 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
                              extrapolate=True)
     bary0f = mesh0.cart2bary(xy0_world, tid0f, gear=const.MESH_GEAR_MOVING)
     xy0_init = mesh0.bary2cart(tid0f, bary0f, gear=const.MESH_GEAR_INITIAL)
-    if compute_strain:
+    if prep['compute_strain']:
         strain = float(np.mean(mesh1.svds_to_deform(
             gear1=const.MESH_GEAR_MOVING)))
         strain = max(strain, 1e-4)
     else:
         strain = config.DEFAULT_AVG_DEFORM
     return common.Match(xy0_init[keep], xy1_init[keep], w[keep], strain)
+
+
+_FUSED_ARRAY_KEYS = ('src0', 'src1', 'pos1', 'verts0_1', 'shape1', 'tris1',
+                     'mult', 'poisson', 'shape0', 'tris0', 'mult0',
+                     'poisson0', 'pos0')
+
+
+def _fused_execute_batch(preps):
+    """Run same-signature preps as ONE vmapped device dispatch; returns
+    the per-pair packed arrays (host)."""
+    import jax.numpy as jnp
+    from feabas_tpu.ops import match_loop
+    p0 = preps[0]
+    args = [jnp.asarray(np.stack([np.asarray(p[k]) for p in preps]))
+            for k in _FUSED_ARRAY_KEYS]
+    rounds = tuple(
+        {k: jnp.asarray(np.stack([np.asarray(p['rounds'][r][k])
+                                  for p in preps]))
+         for k in p0['rounds'][r]}
+        for r in range(len(p0['rounds'])))
+    coarse = {k: jnp.asarray(np.stack([np.asarray(p['coarse'][k])
+                                       for p in preps]))
+              for k in p0['coarse']} if p0['coarse'] is not None else None
+    (src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
+     shape0, tris0, mult0, poisson0, pos0) = args
+    packed = match_loop.fused_rounds_batched(
+        src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
+        rounds, p0['meta'], shape0, tris0, mult0, poisson0, pos0,
+        lam_ratio=p0['lam_ratio'], sigma=p0['sigma'],
+        conf_thresh=p0['conf_thresh'], coarse=coarse,
+        coarse_meta=p0['coarse_meta'])
+    return np.asarray(packed)  # ONE fetch for the whole batch
+
+
+def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
+    """The whole fine-match schedule as ONE device dispatch + fetch
+    (ops/match_loop.fused_rounds); covers the dominant stitching case —
+    mesh0 locked, mesh1 linear ENG, cartesian lattice, fixed schedule.
+    Returns a Match, or None when the case doesn't apply or too few
+    blocks matched (caller falls back to the classic per-round loop)."""
+    import jax.numpy as jnp
+    from feabas_tpu.ops import match_loop
+    prep = _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs)
+    if prep is None:
+        return None
+    rounds = tuple({k: jnp.asarray(v) for k, v in rd.items()}
+                   for rd in prep['rounds'])
+    coarse = None
+    if prep['coarse'] is not None:
+        coarse = {k: jnp.asarray(v) for k, v in prep['coarse'].items()}
+    packed = match_loop.fused_rounds(
+        jnp.asarray(prep['src0']), jnp.asarray(prep['src1']),
+        jnp.asarray(prep['pos1']), jnp.asarray(prep['verts0_1']),
+        jnp.asarray(prep['shape1']), jnp.asarray(prep['tris1']),
+        jnp.asarray(prep['mult']), jnp.asarray(prep['poisson']),
+        rounds, prep['meta'],
+        jnp.asarray(prep['shape0']), jnp.asarray(prep['tris0']),
+        jnp.asarray(prep['mult0']), jnp.asarray(prep['poisson0']),
+        jnp.asarray(prep['pos0']),
+        lam_ratio=prep['lam_ratio'], sigma=prep['sigma'],
+        conf_thresh=prep['conf_thresh'], coarse=coarse,
+        coarse_meta=prep['coarse_meta'])
+    arr = np.asarray(packed)  # the ONE fetch
+    return _fused_finalize(prep, arr)
 
 
 def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
@@ -571,10 +653,15 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
             and allow_dwell == 0 and max_spacing_skip == 0
             and link_weight_decay <= 0 and residue_mode == 'huber'
             and not geodesic_mask):
+        if kwargs.get('fused_prep_only', False):
+            return _fused_prep(mesh0, mesh1, loader0, loader1, spacings,
+                               **kwargs)
         match = _fused_fine_matcher(mesh0, mesh1, loader0, loader1,
                                     spacings, **kwargs)
         if match is not None:
             return match
+    if kwargs.get('fused_prep_only', False):
+        return None
     if kwargs.get('in_program_coarse', None) is not None:
         # the placement prior was never refined (the in-program coarse
         # either didn't run or failed): the classic loop would match from
@@ -852,6 +939,8 @@ def stitching_matcher(img0, img1, **kwargs):
         ovl1 = (ovl[0] - t[0], ovl[1] - t[1], ovl[2] - t[0], ovl[3] - t[1])
         f1b, off1, v1 = _band(f1, ovl1)
         extra = {}
+        if kwargs.get('fused_prep_only', False):
+            extra['fused_prep_only'] = True
         if in_program_coarse_pool:
             # delta = base - d_coarse (see ops/match_loop): overlaying the
             # two band arrays at their (padded) array centers, measured
@@ -909,9 +998,14 @@ def stitching_matcher(img0, img1, **kwargs):
         if valid0 and min(ovl0[2] - ovl0[0], ovl0[3] - ovl0[1]) >= 256:
             pool = max(int(round(1.0 / coarse_downsample)), 1)
             match = _fine(t0, in_program_coarse_pool=pool)
+            if isinstance(match, dict):   # fused_prep_only mode
+                match['fs'] = fs
+                return match
             if match is not None:
                 return common.Match(match.xy0 / fs, match.xy1 / fs,
                                     match.weight, match.strain)
+        if kwargs.get('fused_prep_only', False):
+            return None
 
     c0 = _scaled(img0, coarse_downsample)
     c1 = _scaled(img1, coarse_downsample)
@@ -930,6 +1024,62 @@ def stitching_matcher(img0, img1, **kwargs):
         return None
     return common.Match(match.xy0 / fs, match.xy1 / fs, match.weight,
                         match.strain)
+
+
+def match_pairs_batched(jobs, max_batch=8):
+    """Match many tile pairs with batched one-dispatch device programs.
+
+    Args:
+        jobs: list of (img0, img1, kwargs) tuples — the same arguments
+            ``stitching_matcher`` takes; pairs with a ``stage_prior``
+            and compatible shapes batch together (one vmapped dispatch
+            + one fetch per shape group, the Stitcher dispatch flow).
+    Returns:
+        list of Match|None aligned with ``jobs``. Pairs that cannot
+        batch (no prior, odd shapes, failed coarse) fall back to the
+        serial ``stitching_matcher`` path automatically.
+    """
+    results = [None] * len(jobs)
+    preps = []
+    fallback = []
+    for idx, (img0, img1, kw) in enumerate(jobs):
+        prep = None
+        if kw.get('stage_prior') is not None or kw.get('stage_aligned'):
+            try:
+                prep = stitching_matcher(img0, img1, fused_prep_only=True,
+                                         **kw)
+            except Exception:
+                prep = None
+        if isinstance(prep, dict):
+            preps.append((idx, prep))
+        else:
+            fallback.append(idx)
+    groups = {}
+    for idx, prep in preps:
+        groups.setdefault(_fused_signature(prep), []).append((idx, prep))
+    for sig, members in groups.items():
+        for s in range(0, len(members), max_batch):
+            chunk = members[s:s + max_batch]
+            try:
+                arrs = _fused_execute_batch([p for _, p in chunk])
+            except Exception:
+                fallback.extend(idx for idx, _ in chunk)
+                continue
+            for (idx, prep), arr in zip(chunk, arrs):
+                m = _fused_finalize(prep, arr)
+                if m is None:
+                    fallback.append(idx)
+                    continue
+                fs = prep.get('fs', 1.0)
+                results[idx] = common.Match(m.xy0 / fs, m.xy1 / fs,
+                                            m.weight, m.strain)
+    for idx in fallback:
+        img0, img1, kw = jobs[idx]
+        try:
+            results[idx] = stitching_matcher(img0, img1, **kw)
+        except Exception:
+            results[idx] = None
+    return results
 
 
 def section_matcher(mesh0, mesh1, loader0, loader1, **kwargs):

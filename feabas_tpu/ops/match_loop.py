@@ -129,15 +129,11 @@ def _avg_pool(img, k):
     return img[:H, :W].reshape(H // k, k, W // k, k).mean(axis=(1, 3))
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
-                     'huber_passes', 'maxiter', 'coarse_meta'))
-def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
-                 poisson, rounds, meta, shape0, tris0, multiplier0,
-                 poisson0, pos0, lam_ratio=0.35, sigma=2.5,
-                 conf_thresh=0.3, huber_passes=2, maxiter=600,
-                 coarse=None, coarse_meta=None):
+def _fused_rounds_core(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
+                       poisson, rounds, meta, shape0, tris0, multiplier0,
+                       poisson0, pos0, lam_ratio=0.35, sigma=2.5,
+                       conf_thresh=0.3, huber_passes=2, maxiter=600,
+                       coarse=None, coarse_meta=None, fft_chunk=128):
     """Run the full fine-match schedule on device.
 
     Args:
@@ -234,9 +230,11 @@ def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
         # (lower-precision) decomposition at larger pow2 batch sizes,
         # shifting the quadratic subpixel fit by a systematic ~1/6 px
         # (measured; the classic path chunks at config.fft_batch and is
-        # unaffected — keep bit-parity with it)
+        # unaffected — keep bit-parity with it). Under the batched
+        # (vmapped) entry the TOTAL batch is pairs x chunk, so the caller
+        # shrinks fft_chunk to keep the product <=128.
         n = blocks0.shape[0]
-        chunk = min(128, n)
+        chunk = min(int(fft_chunk), n)
         dxs, dys, confs = [], [], []
         for s in range(0, n, chunk):
             F0 = jnp.fft.rfft2(g0[s:s + chunk], s=(fy, fx))
@@ -294,3 +292,41 @@ def fused_rounds(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
     return jnp.concatenate([
         pos1, d_last, jnp.stack([conf_last, w_last], axis=-1),
         bary_last[:, :2], coarse_stats], axis=0)
+
+
+fused_rounds = functools.partial(
+    jax.jit,
+    static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
+                     'huber_passes', 'maxiter', 'coarse_meta',
+                     'fft_chunk'))(
+    _fused_rounds_core)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
+                     'huber_passes', 'maxiter', 'coarse_meta'))
+def fused_rounds_batched(src0, src1, pos1, verts0_1, shape1, tris1,
+                         multiplier, poisson, rounds, meta, shape0, tris0,
+                         multiplier0, poisson0, pos0, lam_ratio=0.35,
+                         sigma=2.5, conf_thresh=0.3, huber_passes=2,
+                         maxiter=600, coarse=None, coarse_meta=None):
+    """vmap of the fused schedule over a leading PAIR axis: a whole batch
+    of same-shape tile pairs (one section's overlaps bucket to a handful
+    of shapes) costs ONE dispatch and one fetch. All array arguments
+    carry the pair axis; statics are shared."""
+    n_pairs = src0.shape[0]
+    fft_chunk = max(8, 128 // max(int(n_pairs), 1))
+
+    def one(s0, s1, p1, v01, sh1, t1, ml, po, rds, sh0, t0_, ml0, po0, p0,
+            crs):
+        return _fused_rounds_core(
+            s0, s1, p1, v01, sh1, t1, ml, po, rds, meta, sh0, t0_, ml0,
+            po0, p0, lam_ratio=lam_ratio, sigma=sigma,
+            conf_thresh=conf_thresh, huber_passes=huber_passes,
+            maxiter=maxiter, coarse=crs, coarse_meta=coarse_meta,
+            fft_chunk=fft_chunk)
+
+    return jax.vmap(one)(src0, src1, pos1, verts0_1, shape1, tris1,
+                         multiplier, poisson, rounds, shape0, tris0,
+                         multiplier0, poisson0, pos0, coarse)

@@ -513,8 +513,11 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
     Returns list of ((i, j), Match|None, photometric|None, error|None) with
     matches in tile-local pixel coordinates; photometric = per-side overlap
     (mean, std) when requested. Exceptions are contained per overlap."""
+    from feabas_tpu.matcher import match_pairs_batched
     loader = get_loader_from_json(loader_spec)
     out = []
+    jobs = []
+    ctx = []
     for i, j in overlaps:
         try:
             bbox_i = loader.bboxes[i]
@@ -541,7 +544,18 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
             if maskout is not None:
                 mc['mask0'] = img_i != maskout
                 mc['mask1'] = img_j != maskout
-            match = stitching_matcher(img_i, img_j, **mc)
+            mc.pop('compute_photometric', None)
+            jobs.append((img_i, img_j, mc))
+            ctx.append(((i, j), bbox_i, bbox_j, ovl, crop_i, crop_j))
+        except Exception as e:  # contain per-overlap failures
+            out.append(((i, j), None, None, f'{type(e).__name__}: {e}'))
+    # same-shape pairs run as ONE vmapped device dispatch per group;
+    # the rest (and failures) fall back to the serial matcher inside
+    matches = match_pairs_batched(jobs)
+    for match, (key, bbox_i, bbox_j, ovl, crop_i, crop_j) in zip(matches,
+                                                                 ctx):
+        i, j = key
+        try:
             photometric = None
             if matcher_config.get('compute_photometric', False):
                 ov_i, _ = intersect_bbox(ovl, crop_i)
@@ -556,9 +570,9 @@ def subprocess_match_list_of_overlaps(loader_spec, overlaps, margin,
                 off_j = np.asarray(crop_j[:2]) - bbox_j[:2]
                 match = Match(match.xy0 + off_i, match.xy1 + off_j,
                               match.weight, match.strain)
-            out.append(((i, j), match, photometric, None))
-        except Exception as e:  # contain per-overlap failures
-            out.append(((i, j), None, None, f'{type(e).__name__}: {e}'))
+            out.append((key, match, photometric, None))
+        except Exception as e:
+            out.append((key, None, None, f'{type(e).__name__}: {e}'))
     return out
 
 

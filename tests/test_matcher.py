@@ -310,3 +310,41 @@ def test_stage_prior_one_dispatch_path(rng, workdir):
     assert m2 is not None and m2.xy0.shape[0] >= 9
     err2 = np.linalg.norm(m2.xy0 - (m2.xy1 + sh), axis=-1)
     assert np.median(err2) < 0.1, np.median(err2)
+
+
+def test_match_pairs_batched_parity(rng, workdir):
+    """Batched one-dispatch matching returns results identical to the
+    serial path; odd pairs fall back automatically."""
+    from feabas_tpu.matcher import stitching_matcher, match_pairs_batched
+    from synthutil import texture
+
+    h, w = 384, 420
+    jobs = []
+    truths = []
+    for k in range(4):
+        img0 = texture(np.random.default_rng(k), h, w)
+        sh = (5 + k, -3 - k)
+        img1 = np.roll(np.roll(img0, -sh[1], axis=0), -sh[0], axis=1)
+        kw = dict(stage_prior=(sh[0] + 2.0, sh[1] - 1.5), conf_thresh=0.25,
+                  coarse_downsample=0.5, spacings=[100, 50],
+                  min_boundary_distance=20)
+        jobs.append((img0, img1, kw))
+        truths.append(sh)
+    # one job without a prior exercises the fallback leg
+    img0 = texture(np.random.default_rng(9), h, w)
+    sh = (4, 6)
+    img1 = np.roll(np.roll(img0, -sh[1], axis=0), -sh[0], axis=1)
+    jobs.append((img0, img1, dict(conf_thresh=0.25, coarse_downsample=0.5,
+                                  spacings=[100, 50],
+                                  min_boundary_distance=20)))
+    truths.append(sh)
+
+    res_b = match_pairs_batched(jobs, max_batch=3)
+    for (i0, i1, kw), mb, sh in zip(jobs, res_b, truths):
+        ms = stitching_matcher(i0, i1, **kw)
+        assert mb is not None and ms is not None
+        assert mb.xy0.shape == ms.xy0.shape
+        np.testing.assert_allclose(np.sort(mb.xy0, axis=0),
+                                   np.sort(ms.xy0, axis=0), atol=1e-5)
+        err = np.median(np.linalg.norm(mb.xy0 - (mb.xy1 + sh), axis=-1))
+        assert err < 0.1, err
