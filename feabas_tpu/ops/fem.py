@@ -371,7 +371,7 @@ def crosslink_diag(nv, idx0, bary0, idx1, bary1, weight, dtype=jnp.float32):
 # ------------------------- PCG solver ------------------------- #
 
 def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000,
-             chances=None):
+             chances=None, precond=None):
     """Jacobi-preconditioned conjugate gradients with best-so-far tracking.
 
     matvec operates on (NV,2) arrays; ``diag`` is the operator diagonal for
@@ -394,6 +394,9 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000,
         minv = jnp.ones_like(b)
     else:
         minv = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0), 1.0)
+    if precond is None:
+        def precond(r):
+            return minv * r
 
     bnorm = jnp.linalg.norm(b)
     limit = jnp.maximum(tol * bnorm, atol)
@@ -403,7 +406,7 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000,
         return jnp.vdot(a, c)
 
     r0 = b - matvec(x0)
-    z0 = minv * r0
+    z0 = precond(r0)
     p0 = z0
     rz0 = dot(r0, z0)
     rn0 = jnp.linalg.norm(r0)
@@ -420,7 +423,7 @@ def cg_solve(matvec, b, diag=None, x0=None, tol=1e-7, atol=0.0, maxiter=1000,
         alpha = jnp.where(pAp > 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * Ap
-        z = minv * r
+        z = precond(r)
         rz_new = dot(r, z)
         beta = jnp.where(rz > 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
         p = z + beta * p

@@ -232,8 +232,34 @@ def montage_solve(verts0, pos, tris, multiplier, poisson, links, free,
 
     diag = dK * lam_s + dC * lam_c
     diag = jnp.where(free > 0, diag, 1.0)
+    # two-level preconditioner: per-tile uniform translations are exact
+    # stiffness null modes, so the montage's slow modes live in the
+    # (M,M) link-graph Laplacian — solved exactly when M is small enough
+    # to invert (same idea as the window solve's z-chain coarse space)
+    precond = None
+    if M <= 1024:
+        freed = free[:, 0, 0]
+        w2 = (weight ** 2) * lam_c
+        Ac = jnp.zeros((M, M), dt)
+        Ac = Ac.at[m0, m0].add(w2).at[m1, m1].add(w2)
+        Ac = Ac.at[m0, m1].add(-w2).at[m1, m0].add(-w2)
+        mask2 = freed[:, None] * freed[None, :]
+        Ac = jnp.where(mask2 > 0, Ac, 0.0)
+        reg = jnp.maximum(jnp.diagonal(Ac).max(), 1.0)
+        Ac = Ac + jnp.diag(jnp.where(freed > 0, 1e-6 * reg, reg))
+        Acinv = jnp.linalg.inv(Ac)
+        minv = jnp.where(diag > 1e-12,
+                         1.0 / jnp.where(diag > 1e-12, diag, 1.0), 1.0)
+
+        def precond(r):
+            rc = r.sum(axis=1)                          # (M, 2)
+            cc = jnp.einsum('st,tc->sc', Acinv, rc,
+                            precision=jax.lax.Precision.HIGHEST)
+            cc = cc * freed[:, None]
+            return r * minv + cc[:, None, :] * free
+
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
-                                 maxiter=maxiter)
+                                 maxiter=maxiter, precond=precond)
     cost0 = jnp.linalg.norm((p1 - p0) * weight[:, None])
     stats = jnp.stack([jnp.stack([jnp.linalg.norm(b), res]),
                        jnp.stack([cost0, n_it.astype(dt)])])

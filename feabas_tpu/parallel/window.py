@@ -149,7 +149,34 @@ def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
     diag = diag.at[:-1].add(dC0).at[1:].add(dC1)
     diag = jnp.where(free > 0, diag, 1.0)
 
-    dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, maxiter=maxiter)
+    # two-level preconditioner: the stiffness annihilates uniform
+    # per-section translations exactly, so the chain's slow long-
+    # wavelength modes live in an (S,S) tridiagonal coarse space built
+    # from the crosslink weights alone — solve it exactly (dense inverse,
+    # S is tiny) and add the correction to the Jacobi preconditioner
+    # (the reference reaches for pyAMG here: feabas/optimizer.py:1969)
+    S = pos.shape[0]
+    minv = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0),
+                     1.0)
+    freed = free[:, 0, 0]
+    Wp = (weight ** 2).sum(axis=1)                      # (S-1,)
+    cdiag = jnp.zeros(S, verts0.dtype).at[:-1].add(Wp).at[1:].add(Wp)
+    Acm = (jnp.diag(cdiag) + jnp.diag(-Wp, 1) + jnp.diag(-Wp, -1))
+    mask2 = freed[:, None] * freed[None, :]
+    Acm = jnp.where(mask2 > 0, Acm, 0.0)
+    reg = jnp.maximum(cdiag.max(), 1.0)
+    Acm = Acm + jnp.diag(jnp.where(freed > 0, 1e-6 * reg, reg))
+    Acinv = jnp.linalg.inv(Acm)
+
+    def precond(r):
+        rc = r.sum(axis=1)                              # (S, 2)
+        cc = jnp.einsum('st,tc->sc', Acinv, rc,
+                        precision=jax.lax.Precision.HIGHEST)
+        cc = cc * freed[:, None]
+        return r * minv + cc[:, None, :] * free
+
+    dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol,
+                                 maxiter=maxiter, precond=precond)
     return pos + dx * free, n_it, res
 
 

@@ -80,3 +80,46 @@ def test_stack_solve_sharded_8dev(workdir):
     got = np.asarray(pos) - system['verts0']
     for z in range(len(got)):
         assert np.abs(got[z] - (-drift[z])).max() < 0.15, z
+
+
+def test_two_level_preconditioner_converges_fast(rng):
+    """The z-chain coarse correction kills the long-wavelength modes: a
+    long drift-y chain converges in far fewer CG iterations than the
+    chain length would force on pure Jacobi."""
+    import jax.numpy as jnp
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.parallel.window import build_stack_system, stack_solve
+    S = 48
+    meshes = []
+    for z in range(S):
+        m = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=50,
+                           uid=z, name=f'z{z}')
+        m.set_translation((0, 0))
+        meshes.append(m)
+    meshes[0].locked = True
+    xs, ys = np.meshgrid(np.linspace(20, 180, 4), np.linspace(20, 180, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    links = []
+    for z in range(S - 1):
+        d = rng.normal(0, 1.0, 2)
+        tid0 = meshes[z].tri_finder(pts, gear='INITIAL', extrapolate=True)
+        tid1 = meshes[z + 1].tri_finder(pts + d, gear='INITIAL',
+                                        extrapolate=True)
+        links.append({
+            'idx0': meshes[z].triangles[tid0],
+            'bary0': meshes[z].cart2bary(pts, tid0, gear='INITIAL'),
+            'idx1': meshes[z + 1].triangles[tid1],
+            'bary1': meshes[z + 1].cart2bary(pts + d, tid1, gear='INITIAL'),
+            'weight': np.ones(len(pts), np.float32),
+        })
+    system = build_stack_system(meshes, links)
+    args = {k: (jnp.asarray(v) if not isinstance(v, tuple) else
+                tuple(jnp.asarray(a) for a in v)) for k, v in system.items()}
+    pos, n_it, res = stack_solve(
+        args['verts0'], args['pos'], args['tris'], args['multiplier'],
+        args['poisson'], args['links'], args['free'], lam_s=0.1,
+        tol=1e-7, maxiter=1000)
+    assert np.isfinite(np.asarray(pos)).all()
+    # pure Jacobi needs ~176 iterations on this chain (measured) — the
+    # coarse space propagates the long-wavelength drift exactly
+    assert int(n_it) < 110, int(n_it)
