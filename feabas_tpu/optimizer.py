@@ -39,11 +39,51 @@ def _solver_log():
     return _logging.getLogger('feabas_tpu.solver')
 
 
+def _flat_translation_precond(offsets_arr, agg, mesh_free, idx0, idx1,
+                              weight, lam_c, diag, free, dtype):
+    """Two-level preconditioner for the FLAT (mesh-concatenated) system:
+    per-mesh uniform translations are exact stiffness null modes, so the
+    slow CG modes live in the (M,M) crosslink Laplacian — invert it once
+    per solve and add the correction to Jacobi. Segment sums use cumsum
+    differences (vertices are mesh-ordered); the broadcast back is one
+    NV gather. Returns a cg_solve ``precond`` callable or None."""
+    M = mesh_free.shape[0]
+    if M < 2 or M > 1024:
+        return None
+    m0 = jnp.searchsorted(offsets_arr, idx0[:, 0], side='right') - 1
+    m1 = jnp.searchsorted(offsets_arr, idx1[:, 0], side='right') - 1
+    w2 = (weight ** 2) * lam_c
+    Ac = jnp.zeros((M, M), dtype)
+    Ac = Ac.at[m0, m0].add(w2).at[m1, m1].add(w2)
+    Ac = Ac.at[m0, m1].add(-w2).at[m1, m0].add(-w2)
+    mask2 = mesh_free[:, None] * mesh_free[None, :]
+    Ac = jnp.where(mask2 > 0, Ac, 0.0)
+    reg = jnp.maximum(jnp.diagonal(Ac).max(), 1.0)
+    Ac = Ac + jnp.diag(jnp.where(mesh_free > 0, 1e-6 * reg, reg))
+    Acinv = jnp.linalg.inv(Ac)
+    minv = jnp.where(diag > 1e-12,
+                     1.0 / jnp.where(diag > 1e-12, diag, 1.0), 1.0)
+    starts = offsets_arr[:-1]
+    stops = offsets_arr[1:]
+
+    def precond(r):
+        cs = jnp.concatenate([jnp.zeros((1, 2), r.dtype),
+                              jnp.cumsum(r, axis=0)])
+        rc = cs[stops] - cs[starts]
+        cc = jnp.einsum('st,tc->sc', Acinv, rc,
+                        precision=jax.lax.Precision.HIGHEST)
+        cc = cc * mesh_free[:, None]
+        return r * minv + cc[agg] * free
+
+    return precond
+
+
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def _linear_solve_eng(tris, B, area2, multiplier, poisson,
                       idx0, bary0, idx1, bary1, weight,
                       pos_start, pos_shape, free,
-                      lam_ratio, tol, atol, maxiter):
+                      lam_ratio, tol, atol, maxiter,
+                      offsets_arr=None, agg=None, mesh_free=None):
     """Fused elastic solve for the dominant case: linear-ENG elements only
     (any number of meshes/material groups, concatenated in global vertex
     numbering). Assembles element blocks, trace-balances the stiffness
@@ -80,8 +120,13 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     b = b * free
     diag = dK * lam_s + dC * lam_c
     diag = jnp.where(free > 0, diag, 1.0)
+    precond = None
+    if agg is not None:
+        precond = _flat_translation_precond(
+            offsets_arr, agg, mesh_free, idx0, idx1, weight, lam_c, diag,
+            free, pos_start.dtype)
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
-                                 maxiter=maxiter)
+                                 maxiter=maxiter, precond=precond)
     # pack (dx, bnorm, res, cost0) into ONE array so the caller pays a
     # single device->host round trip (dominant cost on tunneled links)
     cost0 = jnp.linalg.norm(r0 * weight[:, None])
@@ -825,12 +870,19 @@ class SLM:
             mult = jnp.concatenate([g['multiplier'] for g in groups])
             poisson = jnp.concatenate([g['poisson'] for g in groups])
             p_start = jnp.asarray(pos_start, dt)
+            offs = sys_d['offsets']
+            agg = np.repeat(np.arange(len(self.meshes)), np.diff(offs))
+            mesh_free = np.asarray(
+                [0.0 if m.locked else 1.0 for m in self.meshes], np.float64)
             packed = np.asarray(_linear_solve_eng(
                 tris, B, area2, mult, poisson,
                 idx0, bary0, idx1, bary1, weight,
                 p_start, jnp.asarray(pos_shape, dt),
                 sys_d['free'].astype(dt),
-                abs(lam_s / lam_c), tol, atol, int(maxiter)))
+                abs(lam_s / lam_c), tol, atol, int(maxiter),
+                offsets_arr=jnp.asarray(offs),
+                agg=jnp.asarray(agg, jnp.int32),
+                mesh_free=jnp.asarray(mesh_free, dt)))
             dx = packed[:-2]
             bnorm, res = float(packed[-2, 0]), float(packed[-2, 1])
             cost0 = float(packed[-1, 0])
@@ -894,9 +946,18 @@ class SLM:
         cost0 = float(jnp.linalg.norm(r0 * weight[:, None]))
         if groupings is None:
             diag = jnp.where(free > 0, diag, 1.0)
+            offs = sys_d['offsets']
+            agg = np.repeat(np.arange(len(self.meshes)), np.diff(offs))
+            mesh_free = np.asarray(
+                [0.0 if m.locked else 1.0 for m in self.meshes],
+                np.float64)
+            precond = _flat_translation_precond(
+                jnp.asarray(offs), jnp.asarray(agg, jnp.int32),
+                jnp.asarray(mesh_free, u_cur.dtype), idx0, idx1, weight,
+                lam_c, diag, free, u_cur.dtype)
             dx, n_it, res = fem.cg_solve(matvec_full, b, diag=diag, tol=tol,
                                          atol=atol, maxiter=int(maxiter),
-                                         chances=chances)
+                                         chances=chances, precond=precond)
             bnorm = float(jnp.linalg.norm(b))
             dx = np.asarray(dx * free)
             _solver_log().debug('linear solve: %d CG iters, |b|=%.3e, res=%.3e',
