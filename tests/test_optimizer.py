@@ -348,3 +348,39 @@ def test_divide_disconnected_submeshes_redistributes_links(workdir):
     right = fx[:, 0] > 160
     assert np.allclose(np.median(d[left], axis=0), [4.0, 0.0], atol=0.05)
     assert np.allclose(np.median(d[right], axis=0), [-3.0, 2.0], atol=0.05)
+
+
+def test_flat_two_level_preconditioner_chain(rng):
+    """A mixed-topology z-chain through SLM.optimize_linear (the flat
+    solver) converges with the coarse translation correction and reaches
+    the same solution quality as ever."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu import constant as const
+    S = 24
+    meshes = []
+    for z in range(S):
+        # alternate mesh sizes so the window is NOT bucketable and the
+        # FLAT fused path (with the new preconditioner) must run
+        ms = 50 if z % 2 else 40
+        m = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=ms,
+                           uid=z, name=f'z{z}')
+        m.set_translation((0, 0))
+        meshes.append(m)
+    meshes[0].locked = True
+    slm = SLM(meshes)
+    xs, ys = np.meshgrid(np.linspace(20, 180, 4), np.linspace(20, 180, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    drift = np.cumsum(rng.normal(0, 1.0, (S, 2)), axis=0)
+    for z in range(S - 1):
+        # links demand each section sit at its drifted position
+        slm.add_link_from_coordinates(
+            z, z + 1, pts + drift[z], pts + drift[z + 1] - (
+                drift[z + 1] - drift[z]),
+            gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+    c0, c1 = slm.optimize_linear(stiffness_lambda=-0.5,
+                                 crosslink_lambda=-1.0, tol=1e-8,
+                                 maxiter=3000)
+    assert slm._last_solve_fused and not slm._last_solve_sharded
+    assert slm.last_solve_converged
+    assert c1 < 1e-3 * max(c0, 1.0), (c0, c1)
