@@ -280,7 +280,6 @@ def banded_assemble(Ke, tris, nv, bandwidth):
             i = tris[:, a]
             j = tris[:, b_]
             blk = Ke[:, 2 * a:2 * a + 2, 2 * b_:2 * b_ + 2]
-            lo = jnp.minimum(i, j)
             d = j - i
             # keep upper blocks (d >= 0); for d < 0 store the transpose
             # at (j, -d) — skip since the (b_, a) pair covers it
@@ -288,7 +287,6 @@ def banded_assemble(Ke, tris, nv, bandwidth):
             Kd = Kd.at[jnp.where(keep, i, 0),
                        jnp.where(keep, d, 0)].add(
                 jnp.where(keep[:, None, None], blk, 0.0))
-            del lo
     return Kd
 
 

@@ -22,9 +22,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
-from feabas_tpu import constant as const
 from feabas_tpu.ops import fem
 from feabas_tpu.ops.filters import masked_dog_filter
 from feabas_tpu.ops.warp import affine_warp_blocks_shifted
