@@ -147,11 +147,12 @@ def _fused_rounds_core(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
             origins (B,2), A0 (B,2,2), b0 (B,2)  [mesh0 side, constant],
             tri_idx (B,3)  [mesh1 triangle vertex ids per block],
             centers (B,2)  [block centers, world frame],
-            anchor_idx (B,3), anchor_bary (B,3)  [mesh1 link anchors],
+            anchor_idx (B,3), anchor_idx0 (B,3)  [link anchor triangles;
+            barycentrics are computed at measurement time on device],
             valid (B,)  [0 for padding rows],
             rlen (scalar)  [Huber residue length].
         meta: tuple of per-round static (block_size, fft_y, fft_x,
-            subpixel, translate_first, tol).
+            subpixel, translate_first, tol, warp_window_K).
     Returns:
         one packed (V + 3*B_last + 2, 2) array — [pos1_final; d_last;
         (conf_last, w_last) column-stacked; measurement-time anchor bary
