@@ -186,7 +186,7 @@ class Stack:
                 m = self.get_match((a, b))
                 slm.add_link_from_coordinates(
                     float(self._z[a]), float(self._z[b]), m.xy0, m.xy1,
-                    weight=m.weight,
+                    weight=m.weight, strain=m.strain,
                     gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
         return slm
 
@@ -222,6 +222,29 @@ class Stack:
         elastic_params.pop('precondition', None)
         lam = elastic_params.pop('stiffness_lambda', 1.0)
         slm.optimize_affine_cascade(start_gear=const.MESH_GEAR_FIXED)
+        # strain-driven per-mesh soft factors: a section whose matches
+        # report heavy distortion gets a softer stiffness so IT absorbs
+        # the deformation instead of bending well-behaved neighbors
+        # (reference: aligner.py:713-724)
+        soft_power = float(elastic_params.pop('mesh_soft_power', 0) or 0)
+        if soft_power > 0:
+            mesh_strains = {}
+            for lnk in slm.links:
+                s = getattr(lnk, 'strain', np.nan)
+                if np.isfinite(s):
+                    for uid in lnk.uids:
+                        mesh_strains.setdefault(uid, []).append(s)
+            if mesh_strains:
+                mesh_strains = {u: max(float(np.median(v)), 1e-3)
+                                for u, v in mesh_strains.items()}
+                avg_deform = min(config.DEFAULT_AVG_DEFORM,
+                                 3 * float(np.mean(list(mesh_strains.values()))))
+                for m in slm.meshes:
+                    if not m.locked:
+                        m.soft_factor = min(
+                            2.0, (avg_deform
+                                  / mesh_strains.get(m.uid, avg_deform))
+                            ** soft_power)
         done = False
         if use_sharded and not n_split:
             done = self._sharded_window_solve(

@@ -652,6 +652,7 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     if (use_device and kwargs.get('fused_rounds', True)
             and allow_dwell == 0 and max_spacing_skip == 0
             and link_weight_decay <= 0 and residue_mode == 'huber'
+            and conf_mode == const.FFT_CONF_MIRROR and pad
             and not geodesic_mask):
         if kwargs.get('fused_prep_only', False):
             return _fused_prep(mesh0, mesh1, loader0, loader1, spacings,
@@ -975,7 +976,11 @@ def stitching_matcher(img0, img1, **kwargs):
                          int(round(img.shape[0] * fs))], np.float64)
 
     stage_prior = kwargs.get('stage_prior', None)
-    if kwargs.get('stage_aligned', False) or stage_prior is not None:
+    # masked pairs need the masked host coarse stage (masked DoG in
+    # global_translation_matcher) and per-block validity that the fused
+    # in-program coarse does not model -- route them to the classic path
+    if ((kwargs.get('stage_aligned', False) or stage_prior is not None)
+            and mask0 is None and mask1 is None):
         # the inputs are stage-prior-aligned crops (Stitcher dispatch):
         # skip the host coarse dispatch — the block lattice is planned at
         # the prior and the fused program measures/applies the residual

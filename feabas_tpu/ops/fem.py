@@ -234,6 +234,13 @@ def stiffness_matvec_gather(x, Ke, tris, inc, mask):
 # stack iteration, measured). With vertices ordered for small matrix
 # bandwidth (reverse Cuthill-McKee), K is a block-banded matrix and
 # K @ x becomes b static shifted slice-multiplies — pure VPU math.
+#
+# STAGED INFRASTRUCTURE — not wired into any production solver: measured
+# head-to-head (PERF_NOTES.md "FEM matvec representations") the banded
+# path ties the gather path within 15% on our meshes (bandwidth ~ degree
+# after RCM), so cg_solve callers keep the simpler gather matvec. The
+# utilities stay here, tested, for mesh families where bandwidth <<
+# degree would flip the balance.
 
 def rcm_order(tris, nv):
     """Bandwidth-minimizing vertex permutation (host, once per topology).

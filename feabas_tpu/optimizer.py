@@ -18,6 +18,7 @@ import functools
 import os
 
 import numpy as np
+import scipy.sparse as sparse
 
 import jax
 import jax.numpy as jnp
@@ -25,6 +26,32 @@ import jax.numpy as jnp
 from feabas_tpu import config
 from feabas_tpu import constant as const
 from feabas_tpu.ops import fem
+
+
+def _sparse_spd_solve(A, b, diag, rtol=1e-10, maxiter=2000):
+    """Solve the SPD sparse system A x = b (b may be (n, k)) with
+    Jacobi-preconditioned CG; small systems go through a dense solve.
+    Returns None on failure. Host-side helper for the translation solves,
+    replacing O(n^2)-memory dense normal systems (ref lsqr role:
+    optimizer.py:974-1047)."""
+    n = A.shape[0]
+    b = np.atleast_2d(np.asarray(b, np.float64))
+    if b.shape[0] != n:
+        b = b.T
+    if n <= 256:
+        try:
+            return np.linalg.lstsq(A.toarray(), b, rcond=None)[0]
+        except np.linalg.LinAlgError:
+            return None
+    from scipy.sparse.linalg import cg as sp_cg, lsqr as sp_lsqr
+    M = sparse.diags(1.0 / np.maximum(diag, 1e-12))
+    out = np.empty_like(b)
+    for k in range(b.shape[1]):
+        x, info = sp_cg(A, b[:, k], M=M, rtol=rtol, maxiter=maxiter)
+        if info != 0:
+            x = sp_lsqr(A, b[:, k], atol=rtol, btol=rtol)[0]
+        out[:, k] = x
+    return out
 
 
 def _solver_dtype():
@@ -145,8 +172,11 @@ class Link:
     """
 
     def __init__(self, mesh0, mesh1, tid0, bary0, tid1, bary1, weight=None,
-                 name=None):
+                 name=None, strain=np.nan):
         self.meshes = (mesh0, mesh1)
+        # scalar deformation proxy observed while matching (Match.strain);
+        # feeds strain-driven per-mesh soft factors (ref aligner.py:713)
+        self.strain = float(strain) if strain is not None else np.nan
         self._tid0 = np.asarray(tid0, dtype=np.int64)
         self._bary0 = np.asarray(bary0, dtype=np.float64)
         self._tid1 = np.asarray(tid1, dtype=np.int64)
@@ -438,7 +468,11 @@ class SLM:
         n = self.num_meshes
         uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
         lock = self.lock_flags
-        AtA = np.zeros((n, n))
+        # sparse normal system: the link graph Laplacian. Dense (n,n)
+        # storage is O(n^2) — 800 MB at the MultiSEM 10k-tile scale —
+        # while the Laplacian has ~#overlaps nonzeros (ref lsqr path:
+        # optimizer.py:974-1047)
+        ii, jj, vv = [], [], []
         Atb = np.zeros((n, 2))
         for l in self.active_links():
             i0 = uid2idx[l.uids[0]]
@@ -449,12 +483,13 @@ class SLM:
                 continue
             # residual r = (P1 + t1) - (P0 + t0); minimize sum w^2 |r|^2
             d = (l.dxy(gear=start_gear) * w2[:, None]).sum(axis=0)
-            AtA[i0, i0] += sw
-            AtA[i1, i1] += sw
-            AtA[i0, i1] -= sw
-            AtA[i1, i0] -= sw
+            ii.extend((i0, i1, i0, i1))
+            jj.extend((i0, i1, i1, i0))
+            vv.extend((sw, sw, -sw, -sw))
             Atb[i0] += d
             Atb[i1] -= d
+        AtA = sparse.coo_matrix(
+            (np.asarray(vv, np.float64), (ii, jj)), shape=(n, n)).tocsr()
         labels = self.mesh_connectivity()
         t = np.zeros((n, 2))
         for lbl in np.unique(labels):
@@ -463,17 +498,17 @@ class SLM:
             free = sel & (~lock)
             if not free.any():
                 continue
-            A = AtA[np.ix_(free, free)]
-            b = Atb[free]
-            if fixed.any():
-                # locked meshes act as zero-translation anchors already
-                # (their t stays 0), their coupling is in A's diagonal
-                pass
-            else:
-                A = A + np.eye(A.shape[0]) * max(A.diagonal().max(), 1.0) * 1e-8
-            try:
-                sol = np.linalg.lstsq(A, b, rcond=None)[0]
-            except np.linalg.LinAlgError:
+            fidx = np.flatnonzero(free)
+            A = AtA[fidx][:, fidx].tocsr()
+            b = Atb[fidx]
+            diag = A.diagonal()
+            if not fixed.any():
+                # pure-translation null space: ridge + recenter below
+                ridge = max(diag.max(initial=0.0), 1.0) * 1e-8
+                A = A + sparse.identity(A.shape[0], format='csr') * ridge
+                diag = diag + ridge
+            sol = _sparse_spd_solve(A, b, diag)
+            if sol is None:
                 continue
             if not fixed.any():
                 sol = sol - sol.mean(axis=0, keepdims=True)
@@ -852,14 +887,16 @@ class SLM:
                 out = sharded_montage_linear_solve(
                     self, abs(lam_s / lam_c), shape_gear=shape_gear,
                     start_gear=start_gear, target_gear=target_gear,
-                    tol=tol, atol=atol, maxiter=int(maxiter))
+                    tol=tol, atol=atol, maxiter=int(maxiter),
+                    commit_non_converged=not check_converge)
                 if out is not None:
                     cost0, cost1, ok = out
                     self._last_solve_fused = True
                     self._last_solve_sharded = True
-                    if check_converge and not ok:
+                    if not ok:
                         self.last_solve_converged = False
-                        return cost0, cost0
+                        if check_converge:
+                            return cost0, cost0
                     return cost0, cost1
             self._last_solve_fused = True
             idx0, bary0, idx1, bary1, weight = sys_d['links']

@@ -90,6 +90,22 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
         weight = np.concatenate([weight, np.zeros(pad, np.float32)])
     verts0 = np.stack([m.vertices_w_offset(shape_gear) for m in meshes])
     pos = np.stack([m.vertices_w_offset(start_gear) for m in meshes])
+    # DISPLACEMENT FORM for f32 device math: absolute world coordinates at
+    # MultiSEM extents (~1e6 px) quantize at ~0.03-0.06 px in f32, near the
+    # 0.1 px parity target. The solve only ever needs (a) per-tile LOCAL
+    # rest coordinates (tile-sized, for the shape matrices — translation
+    # invariant), (b) the start displacement u = pos - verts0 (small), and
+    # (c) the per-link-point REST residual (stage error, a few px) — all
+    # computed here in f64 and safe to carry in f32. World positions are
+    # reassembled on the host in f64 at commit time.
+    centers = verts0.mean(axis=1)                       # (M, 2) f64
+    verts0_local = verts0 - centers[:, None, :]
+    u = pos - verts0
+    b0d = bary0.astype(np.float64)
+    b1d = bary1.astype(np.float64)
+    p0r = (verts0[m0[:, None], idx0] * b0d[..., None]).sum(axis=1)
+    p1r = (verts0[m1[:, None], idx1] * b1d[..., None]).sum(axis=1)
+    r_rest = (p1r - p0r).astype(np.float32)             # (L, 2)
     mult, poisson = [], []
     for m in meshes:
         groups = m.element_arrays(gear=shape_gear)
@@ -98,8 +114,10 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
     locked = np.asarray([m.locked for m in meshes], np.float32)
     return {
         'tris': np.asarray(T0, np.int32),
-        'verts0': verts0.astype(np.float32),
-        'pos': pos.astype(np.float32),
+        'verts0': verts0_local.astype(np.float32),
+        'u': u.astype(np.float32),
+        'r_rest': r_rest,
+        'verts0_host': verts0,
         'multiplier': np.stack(mult).astype(np.float32),
         'poisson': np.stack(poisson).astype(np.float32),
         'links': (m0, idx0, bary0, m1, idx1, bary1, weight),
@@ -108,26 +126,16 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
     }
 
 
-def center_montage_system(system):
-    """Shift coordinates so f32 device math keeps sub-0.001 px resolution
-    at large absolute offsets (u = pos - verts0 and link residuals are
-    translation-invariant). Returns the center used."""
-    c = system['pos'].reshape(-1, 2).mean(axis=0)
-    system['pos'] = (system['pos'] - c).astype(np.float32)
-    system['verts0'] = (system['verts0'] - c).astype(np.float32)
-    return c
-
-
 def pad_montage_system(system, n_devices):
     """Pad the tile axis to a multiple of ``n_devices`` with inert locked
     copies of tile 0 (no links touch them; free=0 keeps them fixed)."""
-    M = system['pos'].shape[0]
+    M = system['u'].shape[0]
     Mp = -(-M // n_devices) * n_devices
     if Mp == M:
         return system
     pad = Mp - M
     out = dict(system)
-    for k in ('verts0', 'pos', 'multiplier', 'poisson'):
+    for k in ('verts0', 'u', 'multiplier', 'poisson'):
         a = system[k]
         out[k] = np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
     out['free'] = np.concatenate(
@@ -142,9 +150,10 @@ def shard_montage_system(system, device_mesh):
     msh = NamedSharding(device_mesh, P('m'))
     rep = NamedSharding(device_mesh, P())
     out = dict(system)
-    for k in ('verts0', 'pos', 'multiplier', 'poisson', 'free'):
+    for k in ('verts0', 'u', 'multiplier', 'poisson', 'free'):
         out[k] = jax.device_put(system[k], msh)
     out['tris'] = jax.device_put(system['tris'], rep)
+    out['r_rest'] = jax.device_put(system['r_rest'], rep)
     out['links'] = tuple(jax.device_put(a, rep) for a in system['links'])
     return out
 
@@ -175,23 +184,28 @@ def _montage_matvec(x, Ke, tris, links, free, lam_s, lam_c):
 
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
-def montage_solve(verts0, pos, tris, multiplier, poisson, links, free,
+def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                   lam_ratio=1.0, tol=1e-7, atol=0.0, maxiter=2000):
-    """One montage relaxation; returns (new_pos (M,V,2), stats (2,2)).
+    """One montage relaxation in displacement form; returns
+    (new_u (M,V,2), stats (2,2)).
 
+    ``verts0`` holds per-tile LOCAL rest coordinates (shape matrices are
+    translation invariant), ``u`` the start displacement, and ``r_rest``
+    the per-link-point rest residual — all small magnitudes, so f32 keeps
+    sub-0.001 px resolution regardless of the section's world extent.
     Minimizes lam_s/2 u'Ku + 1/2 |W C p|^2 over free tiles with
     trace-ratio lambda balance (matches SLM._balance_lambdas semantics);
     stats = [[bnorm, res], [cost0, n_it]]. All tile-indexed inputs may be
     sharded along the leading axis.
     """
-    dt = pos.dtype
-    M, V = pos.shape[0], pos.shape[1]
+    dt = u.dtype
+    M, V = u.shape[0], u.shape[1]
 
     def per_tile(v0):
         return fem.shape_matrices(v0[tris])
     B, area2 = jax.vmap(per_tile)(verts0)
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
-    u = pos - verts0
+    r_rest = r_rest.astype(dt)
 
     m0, idx0, bary0, m1, idx1, bary1, weight = links
     bary0 = bary0.astype(dt)
@@ -218,12 +232,13 @@ def montage_solve(verts0, pos, tris, multiplier, poisson, links, free,
     def matvec(x):
         return _montage_matvec(x, Ke, tris, links, free, lam_s, lam_c)
 
-    # rhs = -(lam_s K u + C^T W r(pos))
+    # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(u, Ke) \
         * lam_s
-    p0 = (pos[m0[:, None], idx0] * bary0[..., None]).sum(axis=1)
-    p1 = (pos[m1[:, None], idx1] * bary1[..., None]).sum(axis=1)
-    r0 = (p1 - p0) * (weight ** 2)[:, None]
+    U0 = (u[m0[:, None], idx0] * bary0[..., None]).sum(axis=1)
+    U1 = (u[m1[:, None], idx1] * bary1[..., None]).sum(axis=1)
+    r_abs = r_rest + U1 - U0
+    r0 = r_abs * (weight ** 2)[:, None]
     b = b.at[m1[:, None], idx1].add(-bary1[:, :, None] * r0[:, None, :]
                                     * lam_c)
     b = b.at[m0[:, None], idx0].add(bary0[:, :, None] * r0[:, None, :]
@@ -260,21 +275,24 @@ def montage_solve(verts0, pos, tris, multiplier, poisson, links, free,
 
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter, precond=precond)
-    cost0 = jnp.linalg.norm((p1 - p0) * weight[:, None])
+    cost0 = jnp.linalg.norm(r_abs * weight[:, None])
     stats = jnp.stack([jnp.stack([jnp.linalg.norm(b), res]),
                        jnp.stack([cost0, n_it.astype(dt)])])
-    return pos + dx * free, stats
+    return u + dx * free, stats
 
 
 def sharded_montage_linear_solve(slm, lam_ratio, shape_gear=None,
                                  start_gear=None, target_gear=None,
                                  tol=1e-7, atol=0.0, maxiter=2000,
-                                 device_mesh=None):
+                                 device_mesh=None,
+                                 commit_non_converged=False):
     """Drop-in sharded replacement for one fused-ENG linear solve.
 
     Buckets the SLM, shards it over all local devices, solves, and — on
-    convergence — commits positions into ``target_gear`` for the free
-    meshes. Returns (cost0, cost1, converged) or None when not bucketable.
+    convergence (or always, with ``commit_non_converged``, matching the
+    single-device fused path under check_converge=False) — commits
+    positions into ``target_gear`` for the free meshes. Returns
+    (cost0, cost1, converged) or None when not bucketable.
     """
     from feabas_tpu import constant as const
     target_gear = const.MESH_GEAR_MOVING if target_gear is None else target_gear
@@ -282,24 +300,24 @@ def sharded_montage_linear_solve(slm, lam_ratio, shape_gear=None,
                                   start_gear=start_gear)
     if system is None:
         return None
-    center = center_montage_system(system)
     jmesh = device_mesh if device_mesh is not None else montage_device_mesh()
     n_dev = jmesh.devices.size
     M = system['num_meshes']
     padded = pad_montage_system(system, n_dev)
     sharded = shard_montage_system(padded, jmesh)
-    new_pos, stats = montage_solve(
-        sharded['verts0'], sharded['pos'], sharded['tris'],
+    new_u, stats = montage_solve(
+        sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
-        sharded['free'], lam_ratio=float(lam_ratio), tol=float(tol),
-        atol=float(atol), maxiter=int(maxiter))
+        sharded['r_rest'], sharded['free'], lam_ratio=float(lam_ratio),
+        tol=float(tol), atol=float(atol), maxiter=int(maxiter))
     stats = np.asarray(stats)
     bnorm, res = float(stats[0, 0]), float(stats[0, 1])
     cost0 = float(stats[1, 0])
     ok = res < bnorm or res <= max(tol * bnorm, atol)
-    if not ok:
+    if not ok and not commit_non_converged:
         return cost0, cost0, False
-    pos = np.asarray(new_pos)[:M] + center
+    # reassemble world positions on the host in f64
+    pos = system['verts0_host'] + np.asarray(new_u, np.float64)[:M]
     for k, m in enumerate(slm.meshes):
         if m.locked:
             continue
@@ -310,4 +328,4 @@ def sharded_montage_linear_solve(slm, lam_ratio, shape_gear=None,
     w_all = np.concatenate([l.weight() for l in slm.active_links()]) \
         if slm.active_links() else np.zeros(0)
     cost1 = float(np.linalg.norm(r1 * w_all)) if r1.size else 0.0
-    return cost0, cost1, True
+    return cost0, cost1, ok

@@ -8,6 +8,7 @@ idempotent and resumable).
 """
 
 import numpy as np
+import scipy.sparse as sparse
 
 from feabas_tpu import common, config
 from feabas_tpu import constant as const
@@ -15,7 +16,7 @@ from feabas_tpu.concurrent import submit_to_workers
 from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
 from feabas_tpu.matcher import stitching_matcher
 from feabas_tpu.mesh import Mesh
-from feabas_tpu.optimizer import SLM
+from feabas_tpu.optimizer import SLM, _sparse_spd_solve
 from feabas_tpu.renderer import MeshRenderer
 from feabas_tpu.storage import H5File, join_paths
 from feabas_tpu.common import (Match, bbox_centers, intersect_bbox,
@@ -150,7 +151,10 @@ class Stitcher:
         coordinates are not modified in place)."""
         n = self.num_tiles
         stage_o = self.init_bboxes[:, :2]
-        AtA = np.zeros((n, n))
+        # sparse Laplacian normal system — a MultiSEM section has 10k+
+        # tiles, where a dense (n, n) matrix is ~1 GB and O(n^3) to solve
+        # (ref sparse lsqr: optimizer.py:974-1047)
+        ii, jj, vv = [], [], []
         Atb = np.zeros((n, 2))
         for (i, j), m in self.matches.items():
             w2 = np.asarray(m.weight) ** 2
@@ -161,17 +165,19 @@ class Stitcher:
             # c_j - c_i = (xy0 - xy1) - (stage_j - stage_i), per match mean
             t = (((m.xy0 - m.xy1) * w2[:, None]).sum(axis=0) / sw
                  - (stage_o[j] - stage_o[i]))
-            AtA[i, i] += sw
-            AtA[j, j] += sw
-            AtA[i, j] -= sw
-            AtA[j, i] -= sw
+            ii.extend((i, j, i, j))
+            jj.extend((i, j, j, i))
+            vv.extend((sw, sw, -sw, -sw))
             Atb[i] -= sw * t
             Atb[j] += sw * t
+        AtA = sparse.coo_matrix(
+            (np.asarray(vv, np.float64), (ii, jj)), shape=(n, n)).tocsr()
+        diag = AtA.diagonal()
         # small-norm prior keeps unmatched tiles at their stage positions
-        AtA += np.eye(n) * max(AtA.diagonal().max(), 1.0) * 1e-6
-        try:
-            c = np.linalg.lstsq(AtA, Atb, rcond=None)[0]
-        except np.linalg.LinAlgError:
+        ridge = max(diag.max(initial=0.0), 1.0) * 1e-6
+        AtA = AtA + sparse.identity(n, format='csr') * ridge
+        c = _sparse_spd_solve(AtA, Atb, diag + ridge)
+        if c is None:
             return self.init_bboxes
         c -= c.mean(axis=0, keepdims=True)
         refined = self.init_bboxes.copy()
@@ -269,6 +275,40 @@ class Stitcher:
                 if valid:
                     ovw.append(min(ovl[2] - ovl[0], ovl[3] - ovl[1]))
             border_width = float(np.median(ovw)) if ovw else np.inf
+        # per-tile soft factors from observed match strain: tiles whose
+        # overlaps report heavy distortion get softer stiffness so they
+        # absorb the deformation locally instead of propagating it
+        # (reference: stitcher.py:713-737). With groupings, interfaces
+        # BETWEEN groups probe whole-group distortion.
+        n_tiles = len(self.init_bboxes)
+        tile_soft = np.ones(n_tiles, np.float64)
+        per_tile = [[] for _ in range(n_tiles)]
+        iface = {}          # group id -> strains at inter-group overlaps
+        groupings = getattr(self, 'groupings', None)
+        for (i, j), m in self.matches.items():
+            s = float(m.strain)
+            if not np.isfinite(s):
+                continue
+            per_tile[i].append(s)
+            per_tile[j].append(s)
+            if groupings is not None and groupings[i] != groupings[j]:
+                iface.setdefault(groupings[i], []).append(s)
+                iface.setdefault(groupings[j], []).append(s)
+        if any(per_tile) and kwargs.get('strain_soft_factors', True):
+            solo = np.zeros(n_tiles)
+            for k, vals in enumerate(per_tile):
+                if vals:
+                    solo[k] = np.median(vals)
+            group = np.zeros(n_tiles)
+            if groupings is not None:
+                for g, vals in iface.items():
+                    group[np.asarray(groupings) == g] = np.median(vals)
+            avg_strain = np.maximum(solo, group)
+            tile_px = max(float(np.median(
+                [max(b[2] - b[0], b[3] - b[1]) for b in self.init_bboxes])), 1.0)
+            tile_soft = 1.0 / (avg_strain + 1.0 / tile_px)
+            tile_soft = tile_soft / tile_soft.mean()
+            tile_soft = np.clip(tile_soft, None, 2.5)
         self.meshes = []
         # shared-mesh dedup: one template per tile size so identically
         # sized tiles carry IDENTICAL topology (reference param-key mesh
@@ -287,6 +327,7 @@ class Stitcher:
                     mesh_size=mesh_size, resolution=self.resolution,
                     uid=-1, name='template')
             m = templates[key].copy(deep=True, uid=i, name=f'tile{i}')
+            m.soft_factor = float(tile_soft[i])
             if soft_top < 1.0 and soft_top_width > 0:
                 # the first rows of each tile are charge-unstable: soften
                 # their stiffness so they absorb distortion

@@ -275,3 +275,45 @@ def test_window_falls_back_for_mixed_topology(stack_dirs, workdir):
     slm = stack.optimize_section_list(names, residue_len=3)
     assert getattr(stack, 'last_window_sharded', False) is False
     _check_alignment_from_slm(slm, names, drift)
+
+
+def test_strain_soft_factors_absorb_deformation(rng):
+    """mesh_soft_power > 0: sections whose matches report heavy strain get
+    softer stiffness and absorb the deformation instead of bending their
+    well-behaved neighbors (reference: aligner.py:713-724)."""
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.common import Match
+    from feabas_tpu import constant as const
+
+    names = ['a', 'b', 'c']
+    xs, ys = np.meshgrid(np.linspace(10, 110, 5), np.linspace(10, 110, 5))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    shear = np.stack([0.08 * (pts[:, 1] - 60), np.zeros(len(pts))], -1)
+
+    def _run(soft_power):
+        meshes = {n: Mesh.from_bbox((0, 0, 120, 120), cartesian=True,
+                                    mesh_size=30, name=n, resolution=4)
+                  for n in names}
+        matches = {('a', 'b'): Match(pts, pts, np.ones(len(pts)), 0.001),
+                   ('b', 'c'): Match(pts, pts + shear,
+                                     np.ones(len(pts)), 0.2)}
+        stack = Stack(meshes=meshes, matches=matches, resolution=4)
+        slm = stack.optimize_section_list(
+            names, elastic_params={'mesh_soft_power': soft_power,
+                                   'tol': 1e-10})
+        sf = {m.name: m.soft_factor for m in slm.meshes}
+
+        def nonrigid(m):
+            d = (m.vertices_w_offset(const.MESH_GEAR_MOVING)
+                 - m.vertices_w_offset(const.MESH_GEAR_INITIAL))
+            return float(np.ptp(d, axis=0).max())
+        return sf, {m.name: nonrigid(m) for m in slm.meshes}
+
+    sf0, nr0 = _run(0.0)
+    assert all(v == 1.0 for v in sf0.values())
+    sf1, nr1 = _run(1.0)
+    # 'c' saw only the strained link, 'b' one of each, 'a' only clean ones
+    assert sf1['c'] < sf1['b'] < sf1['a'] <= 2.0
+    # the clean section bends less once the strained ones are softened
+    assert nr1['a'] < nr0['a']

@@ -70,7 +70,10 @@ def test_bucketing_and_shapes():
     assert system is not None
     M, V = system['num_meshes'], system['num_vertices']
     assert M == 6
-    assert system['pos'].shape == (M, V, 2)
+    assert system['u'].shape == (M, V, 2)
+    assert system['verts0'].shape == (M, V, 2)
+    # displacement form: device arrays carry small magnitudes only
+    assert abs(system['verts0']).max() < 1e4
     m0, idx0, bary0, m1, idx1, bary1, weight = system['links']
     assert m0.shape == m1.shape == weight.shape
     assert (weight[: slm.num_meshes] >= 0).all()
@@ -82,7 +85,7 @@ def test_padding_is_inert():
     slm, _ = _grid_slm(rows=2, cols=3)
     system = montage.slm_montage_to_tiles(slm)
     padded = montage.pad_montage_system(dict(system), 4)
-    assert padded['pos'].shape[0] == 8
+    assert padded['u'].shape[0] == 8
     assert (padded['free'][6:] == 0).all()
 
 

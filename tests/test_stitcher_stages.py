@@ -231,3 +231,59 @@ def test_overlap_sweep_multisem_scale(workdir):
     diagonal = 2 * (rows - 1) * (cols - 1)   # 300x300 corner overlaps
     assert len(ovl) == cardinal + diagonal
     assert dt < 5.0, dt
+
+
+def test_strain_soft_factors_tiles(rng, workdir):
+    """initialize_meshes softens tiles whose overlaps report high match
+    strain (reference: stitcher.py:713-737)."""
+    from feabas_tpu.common import Match
+    st, world, tiles, true_bboxes, stage_bboxes = _stitcher_with_matches(rng)
+    # tile 3's overlaps report heavy distortion
+    for (i, j), m in list(st.matches.items()):
+        s = 0.15 if 3 in (i, j) else 0.002
+        st.matches[(i, j)] = Match(m.xy0, m.xy1, m.weight, s)
+    st.initialize_meshes(mesh_sizes=[60])
+    sf = np.asarray([m.soft_factor for m in st.meshes])
+    assert sf[3] < sf[0]
+    assert sf[3] < 1.0 < sf.max() <= 2.5
+    assert np.isclose(np.clip(sf, None, 2.5).mean(), sf.mean())
+    # opting out restores uniform stiffness
+    st.matches = {k: Match(v.xy0, v.xy1, v.weight, np.nan)
+                  for k, v in st.matches.items()}
+    st.initialize_meshes(mesh_sizes=[60])
+    assert all(m.soft_factor == 1.0 for m in st.meshes)
+
+
+def test_refine_stage_positions_10k_tiles_sparse():
+    """MultiSEM-scale translation refinement: 10k tiles must solve in
+    seconds with sparse memory (ref sparse lsqr: optimizer.py:974-1047)."""
+    import time
+    from feabas_tpu.stitcher import Stitcher
+    from feabas_tpu.common import Match
+    rng = np.random.default_rng(11)
+    rows = cols = 100
+    n = rows * cols
+    w, h, ov = 400, 400, 40
+    true_o = np.stack(np.meshgrid(np.arange(cols) * (w - ov),
+                                  np.arange(rows) * (h - ov)), -1).reshape(-1, 2).astype(float)
+    jit = rng.normal(0, 3.0, (n, 2))
+    stage_o = true_o + jit
+    bboxes = np.concatenate([stage_o, stage_o + (w, h)], axis=1)
+    st = Stitcher([f't{i}.png' for i in range(n)], bboxes)
+    pts = np.stack([np.linspace(5, 35, 3), np.linspace(5, 35, 3)], -1)
+    for r in range(rows):
+        for c in range(cols):
+            i = r * cols + c
+            for j in ([i + 1] if c + 1 < cols else []) + ([i + cols] if r + 1 < rows else []):
+                # exact world matches from the true layout
+                wp = (true_o[i] + true_o[j]) / 2 + pts
+                st.matches[(i, j)] = Match(wp - true_o[i], wp - true_o[j],
+                                           np.ones(len(pts)), 0.01)
+    t0 = time.time()
+    refined = st.refine_stage_positions()
+    dt = time.time() - t0
+    assert dt < 30.0, f'10k-tile refine took {dt:.1f}s'
+    # refined origins recover the true layout up to a global shift
+    err = (refined[:, :2] - true_o)
+    err -= err.mean(axis=0, keepdims=True)
+    assert np.abs(err).max() < 0.05, np.abs(err).max()
