@@ -677,6 +677,30 @@ class TensorStoreWriter:
         raise TimeoutError(f'transactional write failed after '
                            f'{retries + 1} attempts: {err!r}')
 
+    def write_slab(self, bbox, z0, stack, ts_retry=None):
+        """Write a full-depth slab block in ONE tensorstore write.
+
+        ``stack`` is (dz, H, W) — the same xy chunk across consecutive
+        sections z0..z0+dz. Writing whole-depth slabs means each
+        (chunk-depth-deep) storage chunk is touched exactly once instead
+        of read-modify-written per section (reference plan_one_slab:
+        renderer.py:1009-1103)."""
+        x0, y0 = self.offset
+        a = int(bbox[0] - x0)
+        b = int(bbox[1] - y0)
+        c = a + stack.shape[2]
+        d = b + stack.shape[1]
+        z1 = int(z0) + stack.shape[0]
+        blk = np.ascontiguousarray(np.transpose(stack, (2, 1, 0)))
+
+        def write():
+            ds = self.dataset
+            if ds.rank == 4:
+                return ds[a:c, b:d, int(z0):z1, 0].write(blk)
+            return ds[a:c, b:d, int(z0):z1].write(blk)
+
+        _ts_retrying(write, self.reconnect, retries=ts_retry)
+
     def read_chunk(self, bbox, z):
         x0, y0 = self.offset
         a, b = int(bbox[0] - x0), int(bbox[1] - y0)

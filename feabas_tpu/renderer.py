@@ -43,71 +43,104 @@ def rasterize_mesh(mesh, bbox, gear=const.MESH_GEAR_MOVING, tri_weights=None):
     tb = mesh.triangle_bboxes(gear)
     sel = np.nonzero((tb[:, 0] < x1) & (tb[:, 2] > x0) &
                      (tb[:, 1] < y1) & (tb[:, 3] > y0))[0]
-    use_w = tri_weights is not None
-    if use_w:
-        wmap = np.full((H, W), -np.inf, dtype=np.float32)
-    eps = 1e-9
-    for t in sel:
-        p = vw[T[t]]
-        tx0 = max(int(np.floor(p[:, 0].min())) - x0, 0)
-        tx1 = min(int(np.ceil(p[:, 0].max())) - x0 + 1, W)
-        ty0 = max(int(np.floor(p[:, 1].min())) - y0, 0)
-        ty1 = min(int(np.ceil(p[:, 1].max())) - y0 + 1, H)
-        if tx0 >= tx1 or ty0 >= ty1:
-            continue
-        xs = np.arange(tx0, tx1) + x0
-        ys = np.arange(ty0, ty1) + y0
-        gx, gy = np.meshgrid(xs, ys)
-        v0 = p[1] - p[0]
-        v1 = p[2] - p[0]
-        den = v0[0] * v1[1] - v0[1] * v1[0]
-        if abs(den) < 1e-12:
-            continue
-        dx = gx - p[0, 0]
-        dy = gy - p[0, 1]
-        l1 = (dx * v1[1] - dy * v1[0]) / den
-        l2 = (v0[0] * dy - v0[1] * dx) / den
-        inside = (l1 >= -eps) & (l2 >= -eps) & (l1 + l2 <= 1 + eps)
-        if use_w:
-            better = inside & (tri_weights[t] > wmap[ty0:ty1, tx0:tx1])
-            wmap[ty0:ty1, tx0:tx1][better] = tri_weights[t]
-            tid[ty0:ty1, tx0:tx1][better] = t
-        else:
-            tid[ty0:ty1, tx0:tx1][inside] = t
+    _rasterize_tris_numpy(vw, T, sel, tid, x0, y0, tri_weights=tri_weights)
     return tid
 
 
+def _rasterize_tris_numpy(vw, T, sel, tid, x0, y0, tri_weights=None):
+    """Vectorized numpy triangle rasterization (native-lib fallback).
+
+    Paints triangle ids ``sel`` into the preallocated (H, W) ``tid`` map.
+    Triangles batch by pow2-quantized pixel-bbox size; each batch runs the
+    barycentric inside-test over an (n, bh, bw) grid at once, and overlap
+    conflicts resolve globally by ``tri_weights`` (two passes over the
+    covered pixels via np.maximum.at). Replaces the per-triangle Python
+    loop, which was minutes-per-tile on large meshes.
+    """
+    H, W = tid.shape
+    if len(sel) == 0:
+        return
+    sel = np.asarray(sel, np.int64)
+    P = vw[T[sel]]                                   # (n, 3, 2)
+    tx0 = np.maximum(np.floor(P[:, :, 0].min(1)).astype(np.int64) - x0, 0)
+    tx1 = np.minimum(np.ceil(P[:, :, 0].max(1)).astype(np.int64) - x0 + 1, W)
+    ty0 = np.maximum(np.floor(P[:, :, 1].min(1)).astype(np.int64) - y0, 0)
+    ty1 = np.minimum(np.ceil(P[:, :, 1].max(1)).astype(np.int64) - y0 + 1, H)
+    bw = tx1 - tx0
+    bh = ty1 - ty0
+    v0 = P[:, 1] - P[:, 0]
+    v1 = P[:, 2] - P[:, 0]
+    den = v0[:, 0] * v1[:, 1] - v0[:, 1] * v1[:, 0]
+    ok = (bw > 0) & (bh > 0) & (np.abs(den) > 1e-12)
+    idxs = np.nonzero(ok)[0]
+    if idxs.size == 0:
+        return
+    eps = 1e-9
+    use_w = tri_weights is not None
+    # bucket by padded pow2 bbox so each batch shares one grid shape
+    qw = 1 << np.clip(np.ceil(np.log2(np.maximum(bw[idxs], 1))), 0, 62).astype(int)
+    qh = 1 << np.clip(np.ceil(np.log2(np.maximum(bh[idxs], 1))), 0, 62).astype(int)
+    keys = qh * (2 ** 32) + qw
+    order = np.argsort(keys, kind='stable')
+    idxs = idxs[order]
+    keys = keys[order]
+    painted = []                                     # (flat_px, tri_val, w)
+    starts = np.r_[0, np.nonzero(np.diff(keys))[0] + 1, idxs.size]
+    for s, e in zip(starts[:-1], starts[1:]):
+        grp = idxs[s:e]
+        BH = int(bh[grp].max())
+        BW = int(bw[grp].max())
+        # cap batch memory at ~8M cells
+        step = max(int(8e6 // max(BH * BW, 1)), 1)
+        for c0 in range(0, grp.size, step):
+            g = grp[c0:c0 + step]
+            oy = np.arange(BH)
+            ox = np.arange(BW)
+            # world coords of each cell relative to triangle vertex 0
+            dx = (tx0[g, None, None] + ox[None, None, :] + x0
+                  - P[g, 0, 0, None, None])
+            dy = (ty0[g, None, None] + oy[None, :, None] + y0
+                  - P[g, 0, 1, None, None])
+            l1 = (dx * v1[g, 1, None, None] - dy * v1[g, 0, None, None]) \
+                / den[g, None, None]
+            l2 = (v0[g, 0, None, None] * dy - v0[g, 1, None, None] * dx) \
+                / den[g, None, None]
+            inside = ((l1 >= -eps) & (l2 >= -eps) & (l1 + l2 <= 1 + eps)
+                      & (ox[None, None, :] < bw[g, None, None])
+                      & (oy[None, :, None] < bh[g, None, None]))
+            k, yy, xx = np.nonzero(inside)
+            if k.size == 0:
+                continue
+            fl = (ty0[g[k]] + yy) * W + (tx0[g[k]] + xx)
+            tv = sel[g[k]].astype(np.int32)
+            painted.append((fl, tv,
+                            tri_weights[tv] if use_w else None))
+    if not painted:
+        return
+    tid_flat = tid.ravel()
+    if use_w:
+        wmap = np.full(H * W, -np.inf, np.float32)
+        for fl, tv, wv in painted:
+            np.maximum.at(wmap, fl, wv)
+        for fl, tv, wv in painted:
+            win = wv >= wmap[fl]
+            tid_flat[fl[win]] = tv[win]
+    else:
+        for fl, tv, _ in painted:
+            tid_flat[fl] = tv
+
+
 def _paint_coverage(mesh, tri_ids, bbox, gear):
-    """Boolean coverage map of a (small) triangle subset over bbox."""
+    """Boolean coverage map of a triangle subset over bbox (vectorized)."""
     x0, y0 = int(np.floor(bbox[0])), int(np.floor(bbox[1]))
     x1, y1 = int(np.ceil(bbox[2])), int(np.ceil(bbox[3]))
     H, W = y1 - y0, x1 - x0
-    cov = np.zeros((H, W), bool)
     if H <= 0 or W <= 0 or len(tri_ids) == 0:
-        return cov
-    vw = mesh.vertices_w_offset(gear)
-    T = mesh.triangles
-    eps = 1e-9
-    for t in tri_ids:
-        p = vw[T[t]]
-        tx0 = max(int(np.floor(p[:, 0].min())) - x0, 0)
-        tx1 = min(int(np.ceil(p[:, 0].max())) - x0 + 1, W)
-        ty0 = max(int(np.floor(p[:, 1].min())) - y0, 0)
-        ty1 = min(int(np.ceil(p[:, 1].max())) - y0 + 1, H)
-        if tx0 >= tx1 or ty0 >= ty1:
-            continue
-        gx, gy = np.meshgrid(np.arange(tx0, tx1) + x0, np.arange(ty0, ty1) + y0)
-        v0 = p[1] - p[0]
-        v1 = p[2] - p[0]
-        den = v0[0] * v1[1] - v0[1] * v1[0]
-        if abs(den) < 1e-12:
-            continue
-        dx = gx - p[0, 0]
-        dy = gy - p[0, 1]
-        l1 = (dx * v1[1] - dy * v1[0]) / den
-        l2 = (v0[0] * dy - v0[1] * dx) / den
-        cov[ty0:ty1, tx0:tx1] |= (l1 >= -eps) & (l2 >= -eps) & (l1 + l2 <= 1 + eps)
-    return cov
+        return np.zeros((max(H, 0), max(W, 0)), bool)
+    tid = np.full((H, W), -1, np.int32)
+    _rasterize_tris_numpy(mesh.vertices_w_offset(gear), mesh.triangles,
+                          np.asarray(tri_ids), tid, x0, y0)
+    return tid >= 0
 
 
 class MeshRenderer:
@@ -158,12 +191,21 @@ class MeshRenderer:
         # multiple sheets — content there is ambiguous, so mask it out
         # instead of rendering whichever sheet wins arbitration
         self._geodesic_mask = bool(kwargs.get('geodesic_mask', False))
-        self._collision_pairs = None
+        self._fold_sheets = None
         if self._geodesic_mask:
-            self._collision_pairs = mesh.overlapping_triangles(
-                gear=self._target_gear)
-            if self._collision_pairs.shape[0] == 0:
+            pairs = mesh.overlapping_triangles(gear=self._target_gear)
+            if pairs.shape[0] == 0:
                 self._geodesic_mask = False
+            else:
+                # sheet coloring is a whole-mesh property: compute ONCE
+                # here, not per rendered block (each crop_field paints
+                # only the cached per-sheet triangle lists over its bbox)
+                colors = mesh.nonoverlap_triangle_groups(
+                    gear=self._target_gear, pairs=pairs)
+                involved = np.unique(pairs)
+                self._fold_sheets = [
+                    involved[colors[involved] == c]
+                    for c in np.unique(colors[involved])]
         # per-triangle affine target->source, precomputed once
         A, b = mesh.triangle_affine_tform(gear0=self._target_gear,
                                           gear1=self._source_gear)
@@ -193,15 +235,10 @@ class MeshRenderer:
         tid = rasterize_mesh(self._mesh, bbox, gear=self._target_gear,
                              tri_weights=self._tri_render_weight)
         mask = tid >= 0
-        if self._geodesic_mask and self._collision_pairs is not None:
-            # exclude pixels covered by both sheets of any colliding pair
-            colors = self._mesh.nonoverlap_triangle_groups(
-                gear=self._target_gear, pairs=self._collision_pairs)
-            involved = np.unique(self._collision_pairs)
-            ccolors = np.unique(colors[involved])
+        if self._geodesic_mask and self._fold_sheets is not None:
+            # exclude pixels covered by more than one fold sheet
             count = np.zeros(mask.shape, np.int16)
-            for c in ccolors:
-                tris_c = involved[colors[involved] == c]
+            for tris_c in self._fold_sheets:
                 count += _paint_coverage(self._mesh, tris_c, bbox,
                                          self._target_gear)
             mask &= count < 2
@@ -311,6 +348,8 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
     pattern = kwargs.pop('pattern', '_tr{ROW_IND}-tc{COL_IND}.png')
     one_based = kwargs.pop('one_based', True)
     canvas_bbox = kwargs.pop('canvas_bbox', None)
+    num_workers = int(kwargs.pop('num_workers', 1) or 1)
+    tiles_per_job = int(kwargs.pop('tiles_per_job', 16))
     scale = float(kwargs.pop('scale', 1.0))
     if scale != 1.0:
         # render at a different output resolution: shrink the output
@@ -336,14 +375,65 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
     rr, cc = np.meshgrid(np.arange(rows), np.arange(cols))
     rc = np.stack([rr.ravel(), cc.ravel()], -1)
     order = z_order(rc)
-    out = {}
     offset = 1 if one_based else 0
+    jobs = []
     for r, c in rc[order]:
         bbox = (x0 + c * wd, y0 + r * ht, x0 + (c + 1) * wd, y0 + (r + 1) * ht)
+        fname = prefix + pattern.format(ROW_IND=r + offset, COL_IND=c + offset)
+        jobs.append((fname, bbox))
+    # per-section worker fan-out (reference fans out per tile batch:
+    # renderer.py:891); workers submesh to their batch union
+    loader_spec = None
+    if num_workers > 1 and len(jobs) > 1:
+        try:
+            loader_spec = image_loader.to_dict()
+        except Exception:
+            loader_spec = None
+    out = {}
+    if loader_spec is not None:
+        from feabas_tpu.concurrent import submit_to_workers
+        batches = [jobs[i:i + tiles_per_job]
+                   for i in range(0, len(jobs), tiles_per_job)]
+        args = [(mesh.get_init_dict(), loader_spec, batch, kwargs)
+                for batch in batches]
+        for rendered in submit_to_workers(subprocess_render_mesh_tiles,
+                                          args, num_workers=num_workers):
+            out.update(rendered)
+        return out
+    for fname, bbox in jobs:
         blk = renderer.crop(bbox, return_empty=True, **kwargs)
         if blk is None:
             continue
-        fname = prefix + pattern.format(ROW_IND=r + offset, COL_IND=c + offset)
+        common.imwrite(fname, blk)
+        out[fname] = bbox
+    return out
+
+
+def subprocess_render_mesh_tiles(mesh_init, loader_spec, jobs, kwargs):
+    """Worker: render a batch of output tiles for one section mesh
+    (reference subprocess_render_mesh_tiles: renderer.py:822). Submeshes
+    to the batch's bbox union; returns {filename: bbox} of non-empty
+    tiles."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import get_loader_from_json
+    mesh_init = dict(mesh_init)
+    mesh = Mesh(mesh_init.pop('vertices'), mesh_init.pop('triangles'),
+                **mesh_init)
+    boxes = np.asarray([b for _, b in jobs], np.float64).reshape(-1, 4)
+    union = (boxes[:, 0].min(), boxes[:, 1].min(),
+             boxes[:, 2].max(), boxes[:, 3].max())
+    tb = mesh.triangle_bboxes(const.MESH_GEAR_MOVING)
+    sel = ((tb[:, 0] < union[2]) & (tb[:, 2] > union[0]) &
+           (tb[:, 1] < union[3]) & (tb[:, 3] > union[1]))
+    if sel.any() and not sel.all():
+        mesh = mesh.submesh(sel)
+    loader = get_loader_from_json(loader_spec)
+    renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
+    out = {}
+    for fname, bbox in jobs:
+        blk = renderer.crop(bbox, return_empty=True, **kwargs)
+        if blk is None:
+            continue
         common.imwrite(fname, blk)
         out[fname] = bbox
     return out
@@ -382,19 +472,30 @@ class VolumeRenderer:
     def render_volume(self, **kwargs):
         """Render all sections chunk by chunk (reference: renderer.py:1107).
 
-        With ``num_workers`` > 1 each z-section's pending Morton-ordered
-        chunks split into batches rendered by process workers
-        (submesh-per-job: each worker loads only the mesh region covering
-        its batch, reference: renderer.py:1096-1103,1138); the driver
-        updates the per-z flag JSON as batches complete, so an interrupted
-        run resumes without rewriting finished chunks. Returns the number
-        of chunks written."""
+        When the output volume's chunks are more than one section deep,
+        sections group into z-SLABS of the chunk depth and each storage
+        chunk is written exactly ONCE per slab (``write_slab``) instead of
+        read-modify-written per section (reference plan_one_slab:
+        renderer.py:1009-1103).
+
+        With ``num_workers`` > 1 the pending Morton-ordered chunks split
+        into batches rendered by process workers (submesh-per-job: each
+        worker loads only the mesh region covering its batch, reference:
+        renderer.py:1096-1103,1138); the driver updates the flag JSON as
+        batches complete, so an interrupted run resumes without rewriting
+        finished chunks. Returns the number of chunk-writes issued."""
         import json as _json
         import time as _time
         from feabas_tpu.mesh import Mesh
         from feabas_tpu.config import CHECKPOINT_TIME_INTERVAL
         num_workers = int(kwargs.pop('num_workers', 1) or 1)
         chunks_per_job = int(kwargs.pop('chunks_per_job', 16))
+        depth = int(self.writer.chunk_shape[2]) \
+            if len(self.writer.chunk_shape) > 2 else 1
+        slab_mode = bool(kwargs.pop('slab_mode', depth > 1))
+        if slab_mode and depth > 1:
+            return self._render_volume_slabs(depth, num_workers,
+                                             chunks_per_job)
         n_written = 0
         for z, name, mesh_src in self.tform_list:
             mesh = mesh_src if not isinstance(mesh_src, str) else Mesh.from_h5(mesh_src)
@@ -453,6 +554,152 @@ class VolumeRenderer:
             if self.logger:
                 self.logger.info(f'z={z} {name}: volume chunks done')
         return n_written
+
+    def _render_volume_slabs(self, depth, num_workers, chunks_per_job):
+        """Slab-grouped volume rendering: one write per storage chunk.
+
+        Sections whose z falls in [z0, z0+depth) render together; each xy
+        chunk's blocks stack into a (dz, H, W) slab written in one
+        tensorstore write. Per-slab flag JSONs record completed xy chunks
+        for resume (reference plan_one_slab: renderer.py:1009-1103)."""
+        import json as _json
+        import time as _time
+        from feabas_tpu.mesh import Mesh
+        from feabas_tpu.config import CHECKPOINT_TIME_INTERVAL
+        slabs = {}
+        for z, name, mesh_src in self.tform_list:
+            z0 = (int(z) // depth) * depth
+            slabs.setdefault(z0, []).append((int(z), name, mesh_src))
+        n_written = 0
+        for z0 in sorted(slabs):
+            entries = sorted(slabs[z0])
+            meshes = [m if not isinstance(m, str) else Mesh.from_h5(m)
+                      for _, _, m in entries]
+            flags_path = storage.join_paths(
+                self.flag_dir, f'slab{z0:05d}_flags.json') \
+                if self.flag_dir else None
+            done = set()
+            if flags_path and storage.file_exists(flags_path):
+                with storage.File(flags_path, 'r') as f:
+                    done = set(tuple(c) for c in _json.load(f).get('done', []))
+            bounds = np.asarray(
+                [m.bbox(gear=const.MESH_GEAR_MOVING) for m in meshes])
+            union = (bounds[:, 0].min(), bounds[:, 1].min(),
+                     bounds[:, 2].max(), bounds[:, 3].max())
+            chunks = [b for b in self.writer.plan_chunks(union)
+                      if (int(b[0]), int(b[1])) not in done]
+            last_flush = _time.time()
+
+            def flush(force=False):
+                nonlocal last_flush
+                if flags_path and (force or _time.time() - last_flush
+                                   > CHECKPOINT_TIME_INTERVAL):
+                    with storage.File(flags_path, 'w') as f:
+                        _json.dump({'done': sorted(done)}, f)
+                    last_flush = _time.time()
+
+            # per-entry loader spec for worker fan-out
+            entry_specs = None
+            if num_workers > 1 and len(chunks) > 1:
+                entry_specs = []
+                for (z, name, _), mesh in zip(entries, meshes):
+                    if isinstance(self.loaders[name], str):
+                        entry_specs.append((z, mesh.get_init_dict(),
+                                            self.loaders[name]))
+                    else:
+                        try:
+                            entry_specs.append(
+                                (z, mesh.get_init_dict(),
+                                 self._get_loader(name).to_dict()))
+                        except Exception:
+                            entry_specs = None
+                            break
+            if entry_specs is not None:
+                from feabas_tpu.concurrent import submit_to_workers
+                batches = [chunks[i:i + chunks_per_job]
+                           for i in range(0, len(chunks), chunks_per_job)]
+                args = [(entry_specs, self.writer, batch, z0, depth,
+                         self._interp) for batch in batches]
+                for keys, wrote in submit_to_workers(
+                        subprocess_render_volume_slab, args,
+                        num_workers=num_workers):
+                    done.update(tuple(k) for k in keys)
+                    n_written += wrote
+                    flush()
+            else:
+                renderers = []
+                for (z, name, _), mesh in zip(entries, meshes):
+                    renderers.append((z, MeshRenderer.from_mesh(
+                        mesh, image_loader=self._get_loader(name))))
+                for bbox in chunks:
+                    wrote = _render_one_slab_chunk(
+                        renderers, self.writer, bbox, z0, depth)
+                    n_written += wrote
+                    done.add((int(bbox[0]), int(bbox[1])))
+                    flush()
+            flush(force=True)
+            if self.logger:
+                self.logger.info(
+                    f'slab z0={z0} ({len(entries)} sections): chunks done')
+        return n_written
+
+
+def _render_one_slab_chunk(renderers, writer, bbox, z0, depth):
+    """Render one xy chunk across a slab's sections and write it once.
+    ``renderers``: [(z, MeshRenderer)]. Returns 1 if written, else 0."""
+    layers = {}
+    dtype = None
+    for z, r in renderers:
+        blk = r.crop(bbox, return_empty=True)
+        if blk is not None:
+            layers[z - z0] = blk
+            dtype = blk.dtype
+    if not layers:
+        return 0
+    H, W = next(iter(layers.values())).shape[:2]
+    dz = min(depth, writer.size[2] - z0)
+    stack = np.zeros((dz, H, W), dtype)
+    for k, blk in layers.items():
+        if 0 <= k < dz:
+            stack[k] = blk
+    writer.write_slab(bbox, z0, stack)
+    return 1
+
+
+def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
+                                  depth, interp='LINEAR'):
+    """Worker: render a batch of slab chunks (all sections of one slab)
+    (reference subprocess_render_partial_ts_slab: renderer.py:1385).
+
+    ``entry_specs``: [(z, mesh_init_dict, loader_spec)]. Meshes submesh to
+    the batch union so huge sections don't fully load per job. Returns
+    (done_keys, num_written)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
+    boxes = np.asarray(chunk_bboxes, np.float64).reshape(-1, 4)
+    union = (boxes[:, 0].min(), boxes[:, 1].min(),
+             boxes[:, 2].max(), boxes[:, 3].max())
+    renderers = []
+    for z, mesh_init, loader_spec in entry_specs:
+        mesh_init = dict(mesh_init)
+        mesh = Mesh(mesh_init.pop('vertices'), mesh_init.pop('triangles'),
+                    **mesh_init)
+        tb = mesh.triangle_bboxes(const.MESH_GEAR_MOVING)
+        sel = ((tb[:, 0] < union[2]) & (tb[:, 2] > union[0]) &
+               (tb[:, 1] < union[3]) & (tb[:, 3] > union[1]))
+        if sel.any() and not sel.all():
+            mesh = mesh.submesh(sel)
+        if isinstance(loader_spec, str):
+            loader = StaticImageLoader.from_coordinate_file(loader_spec)
+        else:
+            loader = get_loader_from_json(loader_spec)
+        renderers.append((int(z), MeshRenderer.from_mesh(
+            mesh, image_loader=loader)))
+    keys, wrote = [], 0
+    for bbox in chunk_bboxes:
+        wrote += _render_one_slab_chunk(renderers, writer, bbox, z0, depth)
+        keys.append((int(bbox[0]), int(bbox[1])))
+    return keys, wrote
 
 
 def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,

@@ -280,6 +280,7 @@ def render_main(args, conf, logger):
             tile_size=tuple(rconf.get('tile_size', (4096, 4096))),
             pattern=rconf.get('pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
             one_based=rconf.get('one_based', True),
+            num_workers=int(rconf.get('num_workers', 1) or 1),
             canvas_bbox=canvas)
         with storage.File(join_paths(out_dir, 'metadata.txt'), 'w') as f:
             f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')

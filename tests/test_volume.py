@@ -116,8 +116,10 @@ def test_volume_render_parallel_workers_resume(tile_volume, tmp_path):
                                       chunk_shape=[64, 64, 2])
     flag_dir = tmp_path / 'flags'
     flag_dir.mkdir()
-    # simulate an interrupted run: mark z=0 chunk (0, 0) as already done
-    (flag_dir / 'z00000_flags.json').write_text(json.dumps({'done': [[0, 0]]}))
+    # simulate an interrupted run: mark slab z0=0 chunk (0, 0) as done
+    # (slab mode: chunk depth 2 -> z 0..1 grouped, one flag file per slab)
+    (flag_dir / 'slab00000_flags.json').write_text(
+        json.dumps({'done': [[0, 0]]}))
     vr = VolumeRenderer(tform_list, loaders, writer, flag_dir=str(flag_dir))
     n = vr.render_volume(num_workers=2, chunks_per_job=2)
     assert n > 0
@@ -176,3 +178,36 @@ def test_montage_parallel_render_matches_serial(workdir, tmp_path, rng):
         a = cv2.imread(str(out_s / fname), 0)
         b = cv2.imread(str(out_p / fname), 0)
         assert a is not None and b is not None and np.array_equal(a, b), fname
+
+
+def test_volume_slab_single_write_per_chunk(tile_volume, tmp_path,
+                                            monkeypatch):
+    """Done-criterion (round-2 VERDICT #7): on a chunk-depth-deep volume
+    every storage chunk is written exactly once — not read-modify-written
+    per section (reference plan_one_slab: renderer.py:1009-1103)."""
+    from feabas_tpu.dal import TensorStoreWriter
+    from feabas_tpu.renderer import VolumeRenderer
+    tform_list, loaders, (w, h), drift = tile_volume
+    out = str(tmp_path / 'ngvol_slab')
+    writer = TensorStoreWriter.create(out, (0, 0, w + 20, h + 20), 4,
+                                      driver='neuroglancer_precomputed',
+                                      chunk_shape=[64, 64, 4])
+    calls = {'slab': 0, 'single': 0}
+    orig = TensorStoreWriter.write_slab
+    monkeypatch.setattr(TensorStoreWriter, 'write_slab',
+                        lambda self, *a, **k: (calls.__setitem__(
+                            'slab', calls['slab'] + 1), orig(self, *a, **k))[1])
+    monkeypatch.setattr(TensorStoreWriter, 'write_single_chunk',
+                        lambda self, *a, **k: (_ for _ in ()).throw(
+                            AssertionError('per-z write in slab mode')))
+    vr = VolumeRenderer(tform_list, loaders, writer)
+    n = vr.render_volume()
+    n_chunks = len(writer.plan_chunks())
+    # all 4 sections fall in one slab; every covered chunk written once
+    assert calls['slab'] == n == n_chunks == 9
+    # content is intact across the slab
+    ref = writer.read_chunk((40, 40, 120, 120), 0).astype(float)
+    for z in range(1, 4):
+        blk = writer.read_chunk((40, 40, 120, 120), z).astype(float)
+        cc = np.corrcoef(ref.ravel(), blk.ravel())[0, 1]
+        assert cc > 0.98, (z, cc)
