@@ -568,7 +568,98 @@ class Aligner:
                 ('chunk_tform', 'meta_mesh', 'meta_match', 'meta_tform')}
         for d in dirs.values():
             storage.makedirs(d)
+        dirs['root'] = base
         return dirs
+
+    def _update_chunk_map(self, sections, chunk_size, map_path, dirs):
+        """Load/repair/extend the persistent chunk map
+        (reference update_chunk_map: aligner.py:975-1157).
+
+        Existing chunks keep their membership and names so their
+        file-based resume stays valid when the dataset grows. New
+        sections that APPEND (come after every mapped section) pack into
+        fresh chunks; sections INSERTED between mapped ones join their
+        predecessor's chunk (which then re-runs pass 1 with the old
+        members locked). Chunks whose membership changed (or whose
+        members disappeared) have their stale meta artifacts deleted.
+        Returns (chunks, chunk_names, committed_flags): ``committed``
+        marks chunks fully processed (passes 4+5) in a prior run with
+        unchanged membership — those skip the predeform rewrite.
+        """
+        import json
+        prev = []
+        if storage.file_exists(map_path):
+            with storage.File(map_path, 'r') as f:
+                prev = json.load(f).get('chunks', [])
+        secset = set(sections)
+        order = {s: i for i, s in enumerate(sections)}
+        chunks, names, flags = [], [], []
+        invalidated = []
+        mapped = set()
+        max_idx = -1
+        for ent in prev:
+            mem = [s for s in ent['sections'] if s in secset]
+            if not mem:
+                invalidated.append(ent['name'])
+                continue
+            chunks.append(list(mem))
+            names.append(ent['name'])
+            flags.append(bool(ent.get('committed'))
+                         and mem == ent['sections'])
+            if mem != ent['sections']:
+                invalidated.append(ent['name'])
+            mapped.update(mem)
+            try:
+                max_idx = max(max_idx, int(ent['name'][5:]))
+            except (ValueError, IndexError):
+                pass
+        last_mapped = max((order[s] for s in mapped), default=-1)
+        new_secs = [s for s in sections if s not in mapped]
+        inserted = [s for s in new_secs if order[s] <= last_mapped]
+        appended = [s for s in new_secs if order[s] > last_mapped]
+        for s in inserted:
+            # join the chunk holding the nearest mapped predecessor
+            best_k, best_o = 0, -1
+            for k, chunk in enumerate(chunks):
+                for t in chunk:
+                    if best_o < order[t] < order[s]:
+                        best_k, best_o = k, order[t]
+            chunks[best_k].append(s)
+            chunks[best_k].sort(key=order.get)
+            flags[best_k] = False
+            if names[best_k] not in invalidated:
+                invalidated.append(names[best_k])
+        for i in range(0, len(appended), chunk_size):
+            max_idx += 1
+            chunks.append(appended[i:i + chunk_size])
+            names.append(f'chunk{max_idx:05d}')
+            flags.append(False)
+        # z-sort so meta-section names enumerate in stack order
+        z0 = [min(order[s] for s in c) for c in chunks]
+        srt = np.argsort(z0)
+        chunks = [chunks[i] for i in srt]
+        names = [names[i] for i in srt]
+        flags = [flags[i] for i in srt]
+        for cname in invalidated:
+            for path in (join_paths(dirs['meta_mesh'], cname + '.h5'),
+                         join_paths(dirs['meta_tform'], cname + '.h5')):
+                if storage.file_exists(path):
+                    storage.remove_file(path)
+            for f in storage.list_folder_content(
+                    join_paths(dirs['meta_match'], '*.h5')):
+                if cname in storage.base_name(f):
+                    storage.remove_file(f)
+        self._save_chunk_map(map_path, chunks, names, flags)
+        storage.clear_exists_cache()
+        return chunks, names, flags
+
+    @staticmethod
+    def _save_chunk_map(map_path, chunks, names, flags):
+        import json
+        with storage.File(map_path, 'w') as f:
+            json.dump({'chunks': [
+                {'name': n, 'sections': list(c), 'committed': bool(fl)}
+                for n, c, fl in zip(names, chunks, flags)]}, f, indent=1)
 
     @staticmethod
     def _merge_chunked_meshes(member_meshes, name, uid, resolution):
@@ -645,9 +736,14 @@ class Aligner:
         if chunk_size >= len(sections) or len(sections) <= 2:
             return self._run_window(slide, **kwargs)
         dirs = self._chunk_dirs(depth)
-        chunks = [sections[i:i + chunk_size]
-                  for i in range(0, len(sections), chunk_size)]
-        chunk_names = [f'chunk{k:05d}' for k in range(len(chunks))]
+        # PERSISTENT chunk map: chunk membership is decided once and saved
+        # beside the chunk tforms, so appending sections to a partially
+        # aligned stack keeps existing chunk boundaries (and their
+        # file-based resume) stable (reference update_chunk_map:
+        # aligner.py:975-1157)
+        map_path = join_paths(dirs['root'], 'chunk_map.json')
+        chunks, chunk_names, chunk_done = self._update_chunk_map(
+            sections, chunk_size, map_path, dirs)
         chunk_of = {s: k for k, chunk in enumerate(chunks) for s in chunk}
         committed = []
         # ---- pass 1: align within chunks (free-floating; resume by file) —
@@ -715,6 +811,10 @@ class Aligner:
         # ---- pass 4: predeform member sections through the solved meta
         # deformation (reference predeform_sections_by_chunk: :1391) ----
         for k, (chunk, cname) in enumerate(zip(chunks, chunk_names)):
+            if chunk_done[k] and all(storage.file_exists(
+                    join_paths(self.tform_dir, s + '.h5'), use_cache=True)
+                    for s in chunk):
+                continue   # committed in a prior run, membership unchanged
             meta_tf = join_paths(dirs['meta_tform'], cname + '.h5')
             if not storage.file_exists(meta_tf):
                 if self.logger:
@@ -746,6 +846,8 @@ class Aligner:
                             match_dir=self.match_dir,
                             resolution=self.resolution)
         for k in range(1, len(chunks)):
+            if chunk_done[k - 1] and chunk_done[k]:
+                continue   # junction smoothed in a prior run
             junction = (chunks[k - 1][-junction_width:]
                         + chunks[k][:junction_width])
             # pad_junctional: include one locked context section on each
@@ -766,6 +868,10 @@ class Aligner:
                 mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))
                 mesh.locked = True
             storage.clear_exists_cache()
+        # the whole cascade completed: mark every chunk committed so a
+        # re-run (incl. after appending sections) skips finished work
+        self._save_chunk_map(map_path, chunks, chunk_names,
+                             [True] * len(chunks))
         return committed
 
     def write_residue_file(self, out_csv):

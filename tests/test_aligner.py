@@ -317,3 +317,84 @@ def test_strain_soft_factors_absorb_deformation(rng):
     assert sf1['c'] < sf1['b'] < sf1['a'] <= 2.0
     # the clean section bends less once the strained ones are softened
     assert nr1['a'] < nr0['a']
+
+
+def _make_stack_on_disk(workdir, rng, S, start=0, sub='inc'):
+    """S sections with drifting neighbor matches under workdir/<sub>."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import save_matches_to_h5, match_name
+    from feabas_tpu.common import Match
+    mesh_dir = storage.join_paths(str(workdir), sub, 'mesh')
+    tform_dir = storage.join_paths(str(workdir), sub, 'tform')
+    match_dir = storage.join_paths(str(workdir), sub, 'matches')
+    for d in (mesh_dir, tform_dir, match_dir):
+        storage.makedirs(d)
+    drift = np.cumsum(rng.normal(0, 2.0, (start + S, 2)), axis=0)
+    names = [f'sec{z:04d}' for z in range(start + S)]
+    xs, ys = np.meshgrid(np.linspace(10, 110, 4), np.linspace(10, 110, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    for z in range(start, start + S):
+        m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=40,
+                           name=names[z], resolution=4)
+        m.save_to_h5(storage.join_paths(mesh_dir, names[z] + '.h5'))
+    for z in range(max(start - 1, 0), start + S - 1):
+        delta = drift[z + 1] - drift[z]
+        match = Match(pts, pts + delta, np.ones(len(pts)), 0.01)
+        save_matches_to_h5(storage.join_paths(
+            match_dir, match_name(names[z], names[z + 1])), match, 4)
+    return mesh_dir, tform_dir, match_dir, names
+
+
+def test_persistent_chunk_map_incremental_growth(workdir, rng):
+    """Round-2 VERDICT #6 done-criterion: align 48 sections depth-1,
+    append 16, re-run — original chunk interiors stay byte-identical and
+    only new + junction sections are rewritten."""
+    import json, os
+    from feabas_tpu.aligner import Aligner
+    from feabas_tpu import storage
+
+    slide = {'window_size': 6, 'buffer_size': 2, 'start_loc': 'L',
+             'residue_len': 3}
+    chunk = {'chunked_to_depth': 1, 'default_chunk_size': 8,
+             'junction_width': 1}
+    mesh_dir, tform_dir, match_dir, names48 = _make_stack_on_disk(
+        workdir, np.random.default_rng(5), 48)
+    al = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    al.run(chunk_settings=dict(chunk), slide_window=dict(slide))
+    map_path = storage.join_paths(os.path.dirname(tform_dir.rstrip('/')),
+                                  'chunked_tform', 'depth1',
+                                  'chunk_map.json')
+    with storage.File(map_path, 'r') as f:
+        cmap = json.load(f)['chunks']
+    assert len(cmap) == 6 and all(c['committed'] for c in cmap)
+
+    def snapshot():
+        out = {}
+        for n in sorted(storage.list_folder_content(
+                storage.join_paths(tform_dir, '*.h5'))):
+            with open(n, 'rb') as f:
+                out[storage.base_name(n)] = f.read()
+        return out
+
+    snap0 = snapshot()
+    assert len(snap0) == 48
+
+    # append 16 sections (same generator stream so drift stays continuous)
+    _make_stack_on_disk(workdir, np.random.default_rng(5), 16, start=48)
+    storage.clear_exists_cache()
+    al2 = Aligner(mesh_dir, tform_dir, match_dir, resolution=4)
+    al2.run(chunk_settings=dict(chunk), slide_window=dict(slide))
+    with storage.File(map_path, 'r') as f:
+        cmap2 = json.load(f)['chunks']
+    # original 6 chunks untouched, 2 new chunks appended
+    assert len(cmap2) == 8
+    assert [c['sections'] for c in cmap2[:6]] == [c['sections'] for c in cmap]
+    snap1 = snapshot()
+    assert len(snap1) == 64
+    changed = {n for n in snap0 if snap1[n] != snap0[n]}
+    # only the junction tail of the last old chunk may change; every
+    # interior old section is byte-identical
+    junction_ok = {'sec0047.h5'}  # junction_width 1 + pad context
+    allowed = junction_ok | {'sec0046.h5'}
+    assert changed <= allowed, changed
