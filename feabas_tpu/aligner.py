@@ -265,28 +265,25 @@ class Stack:
                               residue_len, tol=1e-7, maxiter=2000,
                               max_passes=3):
         """Solve one window as the z-sharded stacked system on all
-        available devices; returns False when the window is not
-        bucketable (caller falls back to the general solve)."""
+        available devices; returns False when the window cannot pack as a
+        z-chain (caller falls back to the general solve). Sections with
+        DIFFERENT topologies (the production PSLG case) pad to the
+        window's max (V, T) with inert elements — multi-device applies to
+        ragged stacks, not just uniform synthetic ones."""
         from feabas_tpu.parallel.window import (
             slm_window_to_stack, shard_stack_system, stack_solve,
-            _stack_lambda_balance, JMesh)
+            _stack_lambda_balance, stack_positions, JMesh)
         import jax
         system = slm_window_to_stack(slm)
         if system is None:
             return False
-        # center the coordinates so f32 device math keeps sub-0.001 px
-        # resolution even at large absolute offsets (u = pos - verts0 and
-        # link residuals are translation-invariant)
-        stack_center = system['pos'].reshape(-1, 2).mean(axis=0)
-        system['pos'] = (system['pos'] - stack_center).astype(np.float32)
-        system['verts0'] = (system['verts0'] - stack_center).astype(np.float32)
-        S = system['pos'].shape[0]
+        S = system['u'].shape[0]
         devices = jax.devices()
         # largest device count that divides S (sharding needs even shards)
         n_dev = max(d for d in range(1, len(devices) + 1) if S % d == 0)
         jmesh = JMesh(np.array(devices[:n_dev]), ('z',))
         base_weight = system['links'][4].copy()
-        pos = system['pos']
+        u = system['u']
         for _pass in range(max(int(max_passes), 1)):
             sharded = shard_stack_system(system, jmesh)
             lam_s = float(_stack_lambda_balance(
@@ -294,20 +291,22 @@ class Stack:
                 sharded['poisson'], sharded['links'],
                 float(lam_ratio))) * 1.0
             out, n_it, res = stack_solve(
-                sharded['verts0'], sharded['pos'], sharded['tris'],
+                sharded['verts0'], sharded['u'], sharded['tris'],
                 sharded['multiplier'], sharded['poisson'], sharded['links'],
-                sharded['free'], lam_s=lam_s, tol=tol, maxiter=maxiter)
-            pos = np.asarray(out)
-            system['pos'] = pos.astype(np.float32)
+                sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
+                maxiter=maxiter)
+            u = np.asarray(out, np.float64)
+            system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:
                 break
             # robust residue reweighting (huber/threshold) host-side
             idx0, bary0, idx1, bary1, weight = system['links']
-            p0 = np.einsum('klc,klcd->kld', bary0, pos[:-1][
+            U0 = np.einsum('klc,klcd->kld', bary0, u[:-1][
                 np.arange(S - 1)[:, None, None], idx0])
-            p1 = np.einsum('klc,klcd->kld', bary1, pos[1:][
+            U1 = np.einsum('klc,klcd->kld', bary1, u[1:][
                 np.arange(S - 1)[:, None, None], idx1])
-            r = np.linalg.norm(p1 - p0, axis=-1)
+            r = np.linalg.norm(
+                system['r_rest'].astype(np.float64) + U1 - U0, axis=-1)
             if residue_mode == 'threshold':
                 f = (r <= residue_len).astype(np.float32)
             else:  # huber
@@ -317,11 +316,12 @@ class Stack:
             if np.allclose(new_w, weight, atol=1e-6):
                 break
             system['links'] = (idx0, bary0, idx1, bary1, new_w)
-        # commit MOVING positions for free meshes (back in world frame)
+        # commit MOVING positions for free meshes (world frame, host f64)
+        pos_list = stack_positions(system, u)
         for k, m in enumerate(slm.meshes):
             if m.locked:
                 continue
-            mv = pos[k].astype(np.float64) + stack_center
+            mv = pos_list[k]
             c = mv.mean(axis=0, keepdims=True)
             m.set_vertices(mv - c, const.MESH_GEAR_MOVING, offset=c)
         # propagate the robust weights back onto the SLM links so residue

@@ -11,9 +11,18 @@ CG dot products become global ``psum``-style reductions automatically.
 This is the TPU replacement for the reference's buffer-overlap sliding
 window (``feabas/aligner.py:538-675``): instead of re-solving overlapping
 windows sequentially on one host, one window spans all chips with exact
-coupling. Sections are bucketed to one topology (same V, T) by padding —
-EM alignment meshes come from the same meshing config, so bucket counts
-stay small.
+coupling. Sections may have DIFFERENT topologies (the production case —
+per-section material masks mesh differently): every section pads to the
+window's pow2-bucketed max (V, T) with inert elements (zero-multiplier
+copies of element 0, masked padding vertices), so one jitted program
+serves ragged stacks.
+
+Numerics: the system is built in DISPLACEMENT FORM — per-section LOCAL
+rest coordinates (tile-sized), the start displacement u = pos - verts0
+(small), and the per-link-point REST residual (a few px). All carried
+magnitudes are small, so f32 device math keeps sub-0.001 px resolution
+regardless of the stack's world extent; world positions reassemble on the
+host in f64 at commit.
 """
 
 import functools
@@ -26,35 +35,73 @@ from jax.sharding import Mesh as JMesh, NamedSharding, PartitionSpec as P
 from feabas_tpu.ops import fem
 
 
-def build_stack_system(meshes, links_per_pair, dtype=jnp.float32):
-    """Pack S same-topology meshes + neighbor links into batched arrays.
+def _pow2(n, lo=8):
+    return max(lo, 1 << int(max(n, 1) - 1).bit_length())
+
+
+def build_stack_system(meshes, links_per_pair, pow2_bucket=True):
+    """Pack S meshes + neighbor links into padded batched arrays.
 
     Args:
-        meshes: list of S Mesh objects with IDENTICAL triangles (topology);
-            vertices may differ per section.
+        meshes: list of S Mesh objects; topologies MAY differ (ragged
+            stacks pad to the max (V, T), pow2-bucketed so the jitted
+            solve is reused across windows).
         links_per_pair: list of S-1 dicts with keys idx0, bary0, idx1,
-            bary1, weight — section-local vertex indices linking z to z+1,
-            padded to a common length L (weight 0 rows are inert).
-    Returns dict of batched numpy arrays ready for sharding.
+            bary1, weight — section-local vertex indices linking z to
+            z+1 (weight-0 rows are inert).
+    Returns a dict of batched numpy arrays ready for sharding, in
+    displacement form (see module docstring). Uses INITIAL as the shape
+    gear and MOVING as the start gear.
     """
+    from feabas_tpu import constant as const
+    return _build_system(meshes, links_per_pair,
+                         shape_gear=const.MESH_GEAR_INITIAL,
+                         start_gear=const.MESH_GEAR_MOVING,
+                         pow2_bucket=pow2_bucket)
+
+
+def _build_system(meshes, links_per_pair, shape_gear, start_gear,
+                  pow2_bucket=True):
     S = len(meshes)
-    T = meshes[0].triangles
-    verts0 = np.stack([m.vertices_w_offset(-1) for m in meshes])  # INITIAL
-    pos = np.stack([m.vertices_w_offset(1) for m in meshes])      # MOVING
-    mult = []
-    poisson = []
-    for m in meshes:
-        groups = m.element_arrays(gear=-1)
-        mm = np.concatenate([g['multiplier'] for g in groups])
-        pp = np.concatenate([g['poisson'] for g in groups])
-        mult.append(mm)
-        poisson.append(pp)
+    nvs = [m.num_vertices for m in meshes]
+    nts = [m.triangles.shape[0] for m in meshes]
+    V = _pow2(max(nvs)) if pow2_bucket else max(nvs)
+    T = _pow2(max(nts)) if pow2_bucket else max(nts)
+    tris = np.zeros((S, T, 3), np.int32)
+    verts0_local = np.zeros((S, V, 2), np.float64)
+    u = np.zeros((S, V, 2), np.float64)
+    mult = np.zeros((S, T), np.float64)
+    poisson = np.zeros((S, T), np.float64)
+    free = np.zeros((S, V, 1), np.float32)
+    verts0_host = []
+    for k, m in enumerate(meshes):
+        nv, nt = nvs[k], nts[k]
+        v0 = m.vertices_w_offset(shape_gear)
+        pos = m.vertices_w_offset(start_gear)
+        verts0_host.append(v0)
+        c = v0.mean(axis=0)
+        verts0_local[k, :nv] = v0 - c
+        # padding vertices sit at the section center (valid coords)
+        u[k, :nv] = pos - v0
+        tr = m.triangles
+        tris[k, :nt] = tr
+        # pad with inert copies of element 0: valid shape matrices,
+        # multiplier 0 -> Ke = 0 (degenerate padding would produce NaNs)
+        tris[k, nt:] = tr[0]
+        groups = m.element_arrays(gear=shape_gear)
+        mult[k, :nt] = np.concatenate([g['multiplier'] for g in groups])
+        poisson[k, :nt] = np.concatenate([g['poisson'] for g in groups])
+        if not m.locked:
+            free[k, :nv, 0] = 1.0
+    # links: pad per-pair to a common pow2 length
     L = max((l['weight'].shape[0] for l in links_per_pair), default=0)
+    L = _pow2(L) if pow2_bucket else max(L, 1)
     idx0 = np.zeros((max(S - 1, 1), L, 3), np.int32)
     bary0 = np.zeros((max(S - 1, 1), L, 3), np.float32)
     idx1 = np.zeros((max(S - 1, 1), L, 3), np.int32)
     bary1 = np.zeros((max(S - 1, 1), L, 3), np.float32)
     weight = np.zeros((max(S - 1, 1), L), np.float32)
+    r_rest = np.zeros((max(S - 1, 1), L, 2), np.float64)
     for k, l in enumerate(links_per_pair):
         n = l['weight'].shape[0]
         idx0[k, :n] = l['idx0']
@@ -62,28 +109,37 @@ def build_stack_system(meshes, links_per_pair, dtype=jnp.float32):
         idx1[k, :n] = l['idx1']
         bary1[k, :n] = l['bary1']
         weight[k, :n] = l['weight']
-    locked = np.asarray([m.locked for m in meshes], np.float32)
+        if n:
+            p0r = (verts0_host[k][np.asarray(l['idx0'])]
+                   * np.asarray(l['bary0'], np.float64)[..., None]).sum(1)
+            p1r = (verts0_host[k + 1][np.asarray(l['idx1'])]
+                   * np.asarray(l['bary1'], np.float64)[..., None]).sum(1)
+            r_rest[k, :n] = p1r - p0r
     return {
-        'tris': np.asarray(T, np.int32),
-        'verts0': verts0.astype(np.float32),
-        'pos': pos.astype(np.float32),
-        'multiplier': np.stack(mult).astype(np.float32),
-        'poisson': np.stack(poisson).astype(np.float32),
+        'tris': tris,
+        'verts0': verts0_local.astype(np.float32),
+        'u': u.astype(np.float32),
+        'r_rest': r_rest.astype(np.float32),
+        'multiplier': mult.astype(np.float32),
+        'poisson': poisson.astype(np.float32),
         'links': (idx0, bary0, idx1, bary1, weight),
-        'free': (1.0 - locked)[:, None, None].astype(np.float32),
+        'free': free,
+        'verts0_host': verts0_host,
+        'num_vertices': nvs,
     }
 
 
 def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
-    """A @ x for the stacked system; x: (S, V, 2). With an incidence table
-    the FEM transpose uses gathers instead of scatter-adds (TPU scatters
-    serialize on duplicates)."""
+    """A @ x for the stacked system; x: (S, V, 2); tris: (S, T, 3). With
+    an incidence table the FEM transpose uses gathers instead of
+    scatter-adds (TPU scatters serialize on duplicates)."""
     x = x * free
     if inc is not None:
-        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec_gather(
-            xi, Ki, tris, inc, imask))(x, Ke) * lam_s
+        y = jax.vmap(lambda xi, Ki, tr, ic, im: fem.stiffness_matvec_gather(
+            xi, Ki, tr, ic, im))(x, Ke, tris, inc, imask) * lam_s
     else:
-        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec(xi, Ki, tris))(x, Ke) * lam_s
+        y = jax.vmap(lambda xi, Ki, tr: fem.stiffness_matvec(xi, Ki, tr))(
+            x, Ke, tris) * lam_s
     idx0, bary0, idx1, bary1, weight = links
     # link k couples section k (side0) and k+1 (side1); slicing x across the
     # sharded z axis produces the halo exchange
@@ -106,46 +162,51 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
 
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
-def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
+def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                 lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None):
-    """One window relaxation: returns updated positions (S, V, 2).
+    """One window relaxation in displacement form.
 
-    Minimizes lam_s/2 u'Ku + 1/2 |W C p|^2 over free sections, CG under
-    while_loop; all arrays may be sharded along the leading z axis.
+    Returns (new_u (S, V, 2), n_it, res). Minimizes
+    lam_s/2 u'Ku + 1/2 |W C p|^2 over free dofs (``free`` is a per-VERTEX
+    mask (S, V, 1), so padded vertices of ragged stacks stay inert), CG
+    under while_loop; all arrays may be sharded along the leading z axis.
     """
-    # per-section element matrices (local work)
-    def per_section(v0):
-        B, area2 = fem.shape_matrices(v0[tris])
-        return B, area2
-    B, area2 = jax.vmap(per_section)(verts0)
+    # per-section element matrices (local work); tris are per-section
+    def per_section(v0, tr):
+        return fem.shape_matrices(v0[tr])
+    B, area2 = jax.vmap(per_section)(verts0, tris)
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
-    u = pos - verts0
+    dt = u.dtype
+    r_rest = r_rest.astype(dt)
 
     def matvec(x):
         return _stack_matvec(x, Ke, tris, links, free, lam_s, inc=inc,
                              imask=imask)
 
-    # rhs = -(lam_s K u + C^T W r(pos))
+    # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     idx0, bary0, idx1, bary1, weight = links
-    b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(u, Ke) * lam_s
-    p0 = jax.vmap(fem.link_eval)(pos[:-1], idx0, bary0)
-    p1 = jax.vmap(fem.link_eval)(pos[1:], idx1, bary1)
-    r0 = (p1 - p0) * (weight ** 2)[..., None]
+    b = -jax.vmap(lambda ui, Ki, tr: fem.stiffness_matvec(ui, Ki, tr))(
+        u, Ke, tris) * lam_s
+    U0 = jax.vmap(fem.link_eval)(u[:-1], idx0, bary0)
+    U1 = jax.vmap(fem.link_eval)(u[1:], idx1, bary1)
+    r0 = (r_rest + U1 - U0) * (weight ** 2)[..., None]
     b = b.at[:-1].add(jax.vmap(
         lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
-            bb[:, :, None] * rr[:, None, :]))(pos[:-1], idx0, bary0, r0))
+            bb[:, :, None] * rr[:, None, :]))(u[:-1], idx0, bary0, r0))
     b = b.at[1:].add(jax.vmap(
         lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
-            -bb[:, :, None] * rr[:, None, :]))(pos[1:], idx1, bary1, r0))
+            -bb[:, :, None] * rr[:, None, :]))(u[1:], idx1, bary1, r0))
     b = b * free
 
-    diag = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, verts0.shape[1]))(Ke) * lam_s
-    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((verts0.shape[1], 2), verts0.dtype)
+    V = u.shape[1]
+    diag = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(
+        Ke, tris) * lam_s
+    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), verts0.dtype)))(idx0, bary0, weight)
-    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((verts0.shape[1], 2), verts0.dtype)
+                                * jnp.ones((1, 1, 2), dt)))(idx0, bary0, weight)
+    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), verts0.dtype)))(idx1, bary1, weight)
+                                * jnp.ones((1, 1, 2), dt)))(idx1, bary1, weight)
     diag = diag.at[:-1].add(dC0).at[1:].add(dC1)
     diag = jnp.where(free > 0, diag, 1.0)
 
@@ -155,12 +216,12 @@ def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
     # from the crosslink weights alone — solve it exactly (dense inverse,
     # S is tiny) and add the correction to the Jacobi preconditioner
     # (the reference reaches for pyAMG here: feabas/optimizer.py:1969)
-    S = pos.shape[0]
+    S = u.shape[0]
     minv = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0),
                      1.0)
-    freed = free[:, 0, 0]
+    freed = free.max(axis=(1, 2))                       # (S,) section-free
     Wp = (weight ** 2).sum(axis=1)                      # (S-1,)
-    cdiag = jnp.zeros(S, verts0.dtype).at[:-1].add(Wp).at[1:].add(Wp)
+    cdiag = jnp.zeros(S, dt).at[:-1].add(Wp).at[1:].add(Wp)
     Acm = (jnp.diag(cdiag) + jnp.diag(-Wp, 1) + jnp.diag(-Wp, -1))
     mask2 = freed[:, None] * freed[None, :]
     Acm = jnp.where(mask2 > 0, Acm, 0.0)
@@ -177,7 +238,7 @@ def stack_solve(verts0, pos, tris, multiplier, poisson, links, free,
 
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol,
                                  maxiter=maxiter, precond=precond)
-    return pos + dx * free, n_it, res
+    return u + dx * free, n_it, res
 
 
 def _put_global(arr, sharding):
@@ -202,16 +263,17 @@ def shard_stack_system(system, device_mesh):
     z = NamedSharding(device_mesh, P('z'))
     rep = NamedSharding(device_mesh, P())
     out = dict(system)
-    for k in ('verts0', 'pos', 'multiplier', 'poisson', 'free'):
+    for k in ('verts0', 'u', 'tris', 'multiplier', 'poisson', 'free'):
         out[k] = _put_global(system[k], z)
-    out['tris'] = _put_global(system['tris'], rep)
     # links live on the left-neighbor shard; S-1 entries shard like z when
     # divisible, else replicate (tiny)
     links = system['links']
     if links[4].shape[0] % device_mesh.devices.size == 0:
         out['links'] = tuple(_put_global(a, z) for a in links)
+        out['r_rest'] = _put_global(system['r_rest'], z)
     else:
         out['links'] = tuple(_put_global(a, rep) for a in links)
+        out['r_rest'] = _put_global(system['r_rest'], rep)
     return out
 
 
@@ -241,24 +303,21 @@ def gather_stack_result(pos):
 
 
 def slm_window_to_stack(slm, shape_gear=None):
-    """Bucket an SLM window into the stacked z-chain form, or None.
+    """Pack an SLM window into the stacked z-chain form, or None.
 
-    Bucketable when every mesh shares one topology, every material is
-    linear ENG with no stiffness curve, and every link couples
-    z-neighbors — the standard case for serial-section alignment windows
-    meshed by one config. Returns (system dict, free_mesh_flags) built at
-    ``shape_gear`` (default FIXED, matching optimize_linear semantics).
+    Packable when every material is linear ENG with no stiffness curve
+    and every link couples z-neighbors — the standard case for serial-
+    section alignment. Topologies MAY differ per section (production
+    PSLG-meshed sections): the stack pads to the window's max (V, T)
+    with inert elements. Returns the system dict built at ``shape_gear``
+    (default FIXED, matching optimize_linear semantics).
     """
     from feabas_tpu import constant as const
     shape_gear = const.MESH_GEAR_FIXED if shape_gear is None else shape_gear
     meshes = slm.meshes
     if len(meshes) < 2 or not slm.is_linear:
         return None
-    T0 = meshes[0].triangles
     for m in meshes:
-        if (m.triangles.shape != T0.shape
-                or not np.array_equal(m.triangles, T0)):
-            return None
         for g in m.element_arrays(gear=shape_gear):
             if g['knots'] is not None:
                 return None
@@ -298,62 +357,31 @@ def slm_window_to_stack(slm, shape_gear=None):
         else:
             links_per_pair.append(
                 {kk: np.concatenate(vv) for kk, vv in ent.items()})
-    verts0 = np.stack([m.vertices_w_offset(shape_gear) for m in meshes])
-    pos = np.stack([m.vertices_w_offset(const.MESH_GEAR_MOVING)
-                    for m in meshes])
-    mult, poisson = [], []
-    for m in meshes:
-        groups = m.element_arrays(gear=shape_gear)
-        mult.append(np.concatenate([g['multiplier'] for g in groups]))
-        poisson.append(np.concatenate([g['poisson'] for g in groups]))
-    L = max((l['weight'].shape[0] for l in links_per_pair), default=0)
-    # pow2 bucket so the jitted solve recompiles per size class, not per
-    # window (zero-weight padding rows are inert)
-    L = max(8, 1 << (int(max(L, 1)) - 1).bit_length())
-    idx0 = np.zeros((S - 1, L, 3), np.int32)
-    bary0 = np.zeros((S - 1, L, 3), np.float32)
-    idx1 = np.zeros((S - 1, L, 3), np.int32)
-    bary1 = np.zeros((S - 1, L, 3), np.float32)
-    weight = np.zeros((S - 1, L), np.float32)
-    for k, l in enumerate(links_per_pair):
-        n = l['weight'].shape[0]
-        idx0[k, :n] = l['idx0']
-        bary0[k, :n] = l['bary0']
-        idx1[k, :n] = l['idx1']
-        bary1[k, :n] = l['bary1']
-        weight[k, :n] = l['weight']
-    locked = np.asarray([m.locked for m in meshes], np.float32)
-    system = {
-        'tris': np.asarray(T0, np.int32),
-        'verts0': verts0.astype(np.float32),
-        'pos': pos.astype(np.float32),
-        'multiplier': np.stack(mult).astype(np.float32),
-        'poisson': np.stack(poisson).astype(np.float32),
-        'links': (idx0, bary0, idx1, bary1, weight),
-        'free': (1.0 - locked)[:, None, None].astype(np.float32),
-    }
-    return system
+    from feabas_tpu import constant as const
+    return _build_system(meshes, links_per_pair, shape_gear=shape_gear,
+                         start_gear=const.MESH_GEAR_MOVING)
 
 
 @functools.partial(jax.jit)
 def _stack_lambda_balance(verts0, tris, multiplier, poisson, links, ratio):
     """Trace-ratio stiffness balance for the stacked system (matches
     SLM._balance_lambdas semantics)."""
-    def per_section(v0):
-        return fem.shape_matrices(v0[tris])
-    B, area2 = jax.vmap(per_section)(verts0)
+    def per_section(v0, tr):
+        return fem.shape_matrices(v0[tr])
+    B, area2 = jax.vmap(per_section)(verts0, tris)
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
-    dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, verts0.shape[1]))(Ke)
+    dt = verts0.dtype
+    V = verts0.shape[1]
+    dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
     idx0, bary0, idx1, bary1, weight = links
-    nv = verts0.shape[1]
     dC = jnp.zeros_like(dK)
-    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((nv, 2), verts0.dtype)
+    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), verts0.dtype)))(
+                                * jnp.ones((1, 1, 2), dt)))(
         idx0, bary0, weight)
-    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((nv, 2), verts0.dtype)
+    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), verts0.dtype)))(
+                                * jnp.ones((1, 1, 2), dt)))(
         idx1, bary1, weight)
     dC = dC.at[:-1].add(dC0).at[1:].add(dC1)
     tr_c = jnp.sum(dC)
@@ -368,13 +396,27 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
 
     Builds the stacked system on host, shards it over the global 'z'
     mesh, runs the jitted CG (collectives ride ICI within a host and DCN
-    across hosts), and returns the full solution on every process.
+    across hosts), and returns (positions, n_it, res) with the full
+    world-frame f64 solution on every process.
     """
     system = build_stack_system(meshes, links_per_pair)
     jmesh = global_stack_mesh()
     sharded = shard_stack_system(system, jmesh)
-    pos, n_it, res = stack_solve(
-        sharded['verts0'], sharded['pos'], sharded['tris'],
+    u_new, n_it, res = stack_solve(
+        sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
-        sharded['free'], lam_s=lam_s, tol=tol, maxiter=maxiter)
-    return gather_stack_result(pos), int(n_it), float(res)
+        sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
+        maxiter=maxiter)
+    u_all = gather_stack_result(u_new)
+    pos = stack_positions(system, u_all)
+    return pos, int(n_it), float(res)
+
+
+def stack_positions(system, u):
+    """World-frame f64 positions per section from a solved displacement
+    stack: list of (V_i, 2) arrays (unpadded)."""
+    out = []
+    for k, v0 in enumerate(system['verts0_host']):
+        nv = system['num_vertices'][k]
+        out.append(v0 + np.asarray(u[k, :nv], np.float64))
+    return out

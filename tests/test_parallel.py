@@ -42,22 +42,27 @@ def _make_stack(S=8, n=6, jitter=2.0, rng=None):
     return system, drift
 
 
-def test_stack_solve_single_device(workdir):
+def _solve_args(system):
     import jax.numpy as jnp
+    keys = ('verts0', 'u', 'tris', 'multiplier', 'poisson')
+    a = [jnp.asarray(system[k]) for k in keys]
+    a.append(tuple(jnp.asarray(x) for x in system['links']))
+    a.append(jnp.asarray(system['r_rest']))
+    a.append(jnp.asarray(system['free']))
+    return a
+
+
+def test_stack_solve_single_device(workdir):
     from feabas_tpu.parallel.window import stack_solve
     system, drift = _make_stack()
-    pos, n_it, res = stack_solve(
-        jnp.asarray(system['verts0']), jnp.asarray(system['pos']),
-        jnp.asarray(system['tris']), jnp.asarray(system['multiplier']),
-        jnp.asarray(system['poisson']),
-        tuple(jnp.asarray(a) for a in system['links']),
-        jnp.asarray(system['free']), lam_s=0.01, maxiter=800)
-    pos = np.asarray(pos)
+    u_new, n_it, res = stack_solve(*_solve_args(system), lam_s=0.01,
+                                   maxiter=800)
     # solved sections must counteract the drift: section z's vertices move
-    # by -drift[z] (relative to locked section 0)
-    got = pos - system['verts0']
-    for z in range(len(got)):
-        err = got[z] - (-drift[z])
+    # by -drift[z] (relative to locked section 0); padded vertices
+    # (free=0) stay at u=0 and are excluded
+    got = np.asarray(u_new)
+    for z, nv in enumerate(system['num_vertices']):
+        err = got[z, :nv] - (-drift[z])
         assert np.abs(err).max() < 0.15, (z, np.abs(err).max())
 
 
@@ -71,15 +76,15 @@ def test_stack_solve_sharded_8dev(workdir):
     jmesh = JMesh(devices, ('z',))
     system, drift = _make_stack(S=8)
     sharded = shard_stack_system(system, jmesh)
-    pos, n_it, res = stack_solve(
-        sharded['verts0'], sharded['pos'], sharded['tris'],
+    u_new, n_it, res = stack_solve(
+        sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
-        sharded['free'], lam_s=0.01, maxiter=800)
+        sharded['r_rest'], sharded['free'], lam_s=0.01, maxiter=800)
     # result stays sharded along z
-    assert len(pos.sharding.device_set) == 8
-    got = np.asarray(pos) - system['verts0']
-    for z in range(len(got)):
-        assert np.abs(got[z] - (-drift[z])).max() < 0.15, z
+    assert len(u_new.sharding.device_set) == 8
+    got = np.asarray(u_new)
+    for z, nv in enumerate(system['num_vertices']):
+        assert np.abs(got[z, :nv] - (-drift[z])).max() < 0.15, z
 
 
 def test_two_level_preconditioner_converges_fast(rng):
@@ -113,13 +118,74 @@ def test_two_level_preconditioner_converges_fast(rng):
             'weight': np.ones(len(pts), np.float32),
         })
     system = build_stack_system(meshes, links)
-    args = {k: (jnp.asarray(v) if not isinstance(v, tuple) else
-                tuple(jnp.asarray(a) for a in v)) for k, v in system.items()}
-    pos, n_it, res = stack_solve(
-        args['verts0'], args['pos'], args['tris'], args['multiplier'],
-        args['poisson'], args['links'], args['free'], lam_s=0.1,
-        tol=1e-7, maxiter=1000)
-    assert np.isfinite(np.asarray(pos)).all()
+    u_new, n_it, res = stack_solve(*_solve_args(system), lam_s=0.1,
+                                   tol=1e-7, maxiter=1000)
+    assert np.isfinite(np.asarray(u_new)).all()
     # pure Jacobi needs ~176 iterations on this chain (measured) — the
     # coarse space propagates the long-wavelength drift exactly
     assert int(n_it) < 110, int(n_it)
+
+
+def test_ragged_topology_sharded_window(workdir, rng):
+    """Round-2 VERDICT #3 done-criterion: sections with DISTINCT
+    topologies (production PSLG-style meshes) solve through the z-sharded
+    stacked system on 8 devices and match the single-device general solve
+    to 1e-3 px."""
+    import jax
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.common import Match
+    from feabas_tpu import constant as const
+
+    assert jax.device_count() == 8
+    S = 8
+    xs, ys = np.meshgrid(np.linspace(10, 110, 4), np.linspace(10, 110, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    drift = np.cumsum(rng.normal(0, 1.5, (S, 2)), axis=0)
+    drift -= drift[0]
+    sizes = [28, 35, 40, 31, 26, 44, 37, 30]   # every topology distinct
+
+    def _build():
+        meshes, names = {}, []
+        for z in range(S):
+            n = f's{z}'
+            names.append(n)
+            m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True,
+                               mesh_size=sizes[z], name=n, resolution=4)
+            meshes[n] = m
+        matches = {}
+        for z in range(S - 1):
+            delta = drift[z + 1] - drift[z]
+            matches[(names[z], names[z + 1])] = Match(
+                pts, pts + delta, np.ones(len(pts)), 0.01)
+        return Stack(meshes=meshes, matches=matches, resolution=4), names
+
+    stack_a, names = _build()
+    # distinct V per section -> this window can only shard via padding
+    Vs = {stack_a.get_mesh(n).num_vertices for n in names}
+    assert len(Vs) >= 3, Vs
+
+    slm_a = stack_a.optimize_section_list(
+        names, use_sharded_solve=True,
+        elastic_params={'tol': 1e-10, 'maxiter': 3000})
+    assert getattr(stack_a, 'last_window_sharded', False), \
+        'ragged window must route through the sharded stack solve'
+
+    stack_b, _ = _build()
+    slm_b = stack_b.optimize_section_list(
+        names, use_sharded_solve=False,
+        elastic_params={'tol': 1e-10, 'maxiter': 3000})
+
+    offs = []
+    for n in names:
+        va = stack_a.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
+        vb = stack_b.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
+        np.testing.assert_allclose(va, vb, atol=1e-3)
+        m0 = stack_a.get_mesh(n)
+        d = va - m0.vertices_w_offset(const.MESH_GEAR_INITIAL)
+        assert np.ptp(d, axis=0).max() < 0.2, 'should be near-rigid'
+        offs.append(d.mean(axis=0))
+    # both solves recover the injected drift (up to the free global shift)
+    offs = np.asarray(offs) - offs[0]
+    err = offs - (-(drift - drift[0]))
+    assert np.abs(err).max() < 0.5, np.abs(err).max()
