@@ -241,6 +241,9 @@ def render_by_subregions(map_x, map_y, mask, img_loader, fileid=None, **kwargs):
     fillval = kwargs.pop('fillval', getattr(img_loader, 'default_fillval', 0))
     dtype_out = kwargs.pop('dtype_out', getattr(img_loader, 'dtype', np.uint8))
     block_size = kwargs.pop('block_size', 4096)
+    # device option: bilinear gather in HBM instead of host cv2.remap —
+    # wins on PCIe-attached chips; through a slow tunnel host stays ahead
+    device_remap = bool(kwargs.pop('device_remap', False))
     kwargs.pop('return_empty', None)  # we manage emptiness per block
     if map_x.size == 0:
         return None
@@ -272,8 +275,15 @@ def render_by_subregions(map_x, map_y, mask, img_loader, fileid=None, **kwargs):
             continue
         mxs = np.where(mk, mx, xmin).astype(np.float32) - xmin
         mys = np.where(mk, my, ymin).astype(np.float32) - ymin
-        blk = remap(src, mxs, mys, interpolation=rintp,
-                    borderMode=cv2.BORDER_CONSTANT, borderValue=fillval)
+        if device_remap and num_channel is None and src.ndim == 2 \
+                and rintp == cv2.INTER_LINEAR:
+            from feabas_tpu.ops.warp import remap_device
+            blk = remap_device(src, mxs, mys, fillval=float(fillval))
+            if np.issubdtype(np.dtype(dtype_out), np.integer):
+                blk = np.rint(blk).astype(dtype_out)
+        else:
+            blk = remap(src, mxs, mys, interpolation=rintp,
+                        borderMode=cv2.BORDER_CONSTANT, borderValue=fillval)
         tgt = imgt[by0:by1, bx0:bx1]
         if num_channel:
             tgt[mk] = blk[mk]
@@ -296,6 +306,9 @@ def parse_coordinate_files(filename, **kwargs):
     tile_size = kwargs.get('tile_size', None)
     delimiter = kwargs.get('delimiter', '\t')
     resolution = kwargs.get('resolution', None)
+    tile_folder = None
+    tile_pattern = '_tr{ROW_IND}-tc{COL_IND}.png'
+    one_based = True
     with storage.File(filename, 'r') as f:
         lines = [ln for ln in (s.strip('\n') for s in f.readlines()) if ln.strip()]
     if not lines:
@@ -317,8 +330,52 @@ def parse_coordinate_files(filename, **kwargs):
             start += 1
             if len(t) >= 2:
                 resolution = float(t[1])
+        elif '{TILE_FOLDER}' in line:
+            # bare-folder ingestion: no coordinate rows — tile positions
+            # are parsed from the FILENAMES (reference
+            # MosaicLoader.from_filepath: dal.py:868-1006)
+            start += 1
+            if len(t) >= 2:
+                tile_folder = t[1]
+        elif '{PATTERN}' in line:
+            start += 1
+            if len(t) >= 2:
+                tile_pattern = t[1]
+        elif '{ONE_BASED}' in line:
+            start += 1
+            if len(t) >= 2:
+                one_based = t[1].strip().lower() in ('1', 'true', 'yes')
         else:
             break
+    if tile_folder is not None:
+        import os
+        from feabas_tpu.dal import parse_pattern_filename
+        pat = os.path.splitext(tile_pattern)[0]
+        pat = pat.replace('{', '({').replace('}', r'}\d+)')
+        paths = sorted(
+            p for p in storage.list_folder_content(
+                storage.join_paths(tile_folder, '*'))
+            if p.rsplit('.', 1)[-1].lower() in
+            ('png', 'jpg', 'jpeg', 'tif', 'tiff', 'bmp'))
+        if not paths:
+            raise RuntimeError(f'no image found in {tile_folder}')
+        img = imread(paths[0], flag=cv2.IMREAD_GRAYSCALE)
+        if tile_size is None:
+            # no {TILE_SIZE} step given: tiles assumed to abut exactly
+            tile_size = img.shape[:2]
+        shift = np.asarray([-tile_size[-1], -tile_size[0]] * 2, np.float64) \
+            if one_based else 0.0
+        imgpaths, bboxes = [], []
+        for p in paths:
+            bbox = np.asarray(parse_pattern_filename(
+                storage.base_name(p), pat, tile_size), np.float64) + shift
+            # tile_size is the POSITION STEP (smaller than the image when
+            # tiles overlap); the bbox extent is the actual image size
+            bbox[2] = bbox[0] + img.shape[1]
+            bbox[3] = bbox[1] + img.shape[0]
+            imgpaths.append(storage.base_name(p))
+            bboxes.append(tuple(bbox))
+        return imgpaths, bboxes, tile_folder, resolution
     imgpaths, bboxes = [], []
     for line in lines[start:]:
         t = line.strip().split(delimiter)

@@ -273,6 +273,59 @@ class StaticImageLoader(AbstractImageLoader):
             kwargs.setdefault('resolution', resolution)
         return cls(imgpaths, bboxes, root_dir=root_dir, **kwargs)
 
+    @classmethod
+    def from_filepath(cls, imgpaths,
+                      pattern=r'_tr({ROW_IND}\d+)-tc({COL_IND}\d+)',
+                      **kwargs):
+        """Build a loader from a bare tile folder — mosaic positions are
+        parsed from the FILENAMES, no coordinate file needed (reference
+        MosaicLoader.from_filepath: dal.py:868-1006).
+
+        Args:
+            imgpaths: list of paths, a glob, or a directory.
+            pattern: regex with ``{ROW_IND}/{COL_IND}/{X_MIN}/{Y_MIN}/
+                {X_MAX}/{Y_MAX}`` keyword markers inside capture groups.
+            tile_size: (h, w); read from the first image when omitted.
+            tile_offset: (col, row) shift in tile units (e.g. (-1, -1)
+                for one-based row/col indices).
+            pixel_offset: (x, y) shift in pixels.
+        """
+        tile_size = kwargs.pop('tile_size', None)
+        tile_offset = kwargs.pop('tile_offset', None)
+        pixel_offset = kwargs.pop('pixel_offset', None)
+        if isinstance(imgpaths, str):
+            import os
+            pat = imgpaths
+            if '*' not in pat and (os.path.isdir(pat)
+                                   or not storage.file_exists(pat)):
+                pat = storage.join_paths(pat, '*')
+            if '*' in pat:
+                imgpaths = sorted(
+                    p for p in storage.list_folder_content(pat)
+                    if p.rsplit('.', 1)[-1].lower() in
+                    ('png', 'jpg', 'jpeg', 'tif', 'tiff', 'bmp'))
+                if not imgpaths:
+                    raise RuntimeError(f'no image found: {pat}')
+            else:
+                imgpaths = [pat]
+        if tile_size is None:
+            img = common.imread(imgpaths[0], flag=cv2.IMREAD_UNCHANGED)
+            if img is None:
+                raise RuntimeError(f'failed to read {imgpaths[0]}')
+            tile_size = (img.shape[0], img.shape[1])
+        bboxes = []
+        for fname in imgpaths:
+            bbox = np.asarray(
+                parse_pattern_filename(storage.base_name(fname), pattern,
+                                       tile_size), np.float64)
+            if tile_offset is not None:
+                bbox += np.asarray([tile_offset[0] * tile_size[-1],
+                                    tile_offset[-1] * tile_size[0]] * 2)
+            if pixel_offset is not None:
+                bbox += np.asarray([pixel_offset[0], pixel_offset[1]] * 2)
+            bboxes.append(bbox)
+        return cls(imgpaths, bboxes, **kwargs)
+
     def abs_path(self, fileid):
         p = self.imgpaths[fileid]
         if self.root_dir:
@@ -324,6 +377,56 @@ class StaticImageLoader(AbstractImageLoader):
 
 
 MosaicLoader = StaticImageLoader  # mosaic composition is built into crop()
+
+
+def parse_pattern_filename(fname, pattern, tile_size):
+    """World bbox of a tile from its filename (reference
+    _filename_parser: dal.py:946-1006).
+
+    ``pattern`` is a regex whose capture groups contain keyword markers
+    ``{ROW_IND} {COL_IND} {X_MIN} {Y_MIN} {X_MAX} {Y_MAX}`` (markers are
+    stripped before matching; group order follows marker position). Row/
+    col indices scale by ``tile_size``; explicit min/max coordinates are
+    used directly, with the missing side inferred from tile_size.
+    """
+    import re
+    keywords = ('{ROW_IND}', '{COL_IND}', '{X_MIN}', '{Y_MIN}',
+                '{X_MAX}', '{Y_MAX}')
+    found = sorted((pattern.find(kw), kw) for kw in keywords
+                   if pattern.find(kw) >= 0)
+    used = [kw for _, kw in found]
+    clean = pattern
+    for kw in used:
+        clean = clean.replace(kw, '')
+    m = re.search(clean, fname)
+    if m is None:
+        raise RuntimeError(
+            f'filename {fname!r} does not match pattern {clean!r}')
+    vals = {kw: int(g) for kw, g in zip(used, m.groups())}
+    th, tw = int(tile_size[0]), int(tile_size[-1])
+    if '{X_MIN}' in vals:
+        xmin = vals['{X_MIN}']
+        xmax = vals.get('{X_MAX}', xmin + tw)
+    elif '{X_MAX}' in vals:
+        xmax = vals['{X_MAX}']
+        xmin = xmax - tw
+    elif '{COL_IND}' in vals:
+        xmin = vals['{COL_IND}'] * tw
+        xmax = xmin + tw
+    else:
+        raise RuntimeError(f'x position not defined in filename {fname}')
+    if '{Y_MIN}' in vals:
+        ymin = vals['{Y_MIN}']
+        ymax = vals.get('{Y_MAX}', ymin + th)
+    elif '{Y_MAX}' in vals:
+        ymax = vals['{Y_MAX}']
+        ymin = ymax - th
+    elif '{ROW_IND}' in vals:
+        ymin = vals['{ROW_IND}'] * th
+        ymax = ymin + th
+    else:
+        raise RuntimeError(f'y position not defined in filename {fname}')
+    return (xmin, ymin, xmax, ymax)
 
 
 class TileView:

@@ -20,6 +20,24 @@ def _mosaic_bbox(loader):
     return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
 
 
+def get_image_loader(src_dir, pattern='_tr{ROW_IND}-tc{COL_IND}.png',
+                     one_based=True, **kwargs):
+    """Loader for a mosaic directory: uses ``metadata.txt`` when present,
+    otherwise parses tile positions from the FILENAMES so foreign
+    datasets without coordinate files still load (reference
+    get_image_loader: mipmap.py:26-55)."""
+    import os
+    meta = join_paths(str(src_dir), 'metadata.txt')
+    if storage.file_exists(meta):
+        return StaticImageLoader.from_coordinate_file(meta, **kwargs)
+    pattern0 = os.path.splitext(pattern)[0]
+    pattern0 = pattern0.replace('{', '({').replace('}', r'}\d+)')
+    tile_offset = (-1, -1) if one_based else None
+    return StaticImageLoader.from_filepath(str(src_dir), pattern=pattern0,
+                                           tile_offset=tile_offset,
+                                           **kwargs)
+
+
 def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
                   **loader_config):
     """Downsample one mip level by 2x (reference: mipmap.py:71).
@@ -29,7 +47,12 @@ def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
     meta_out = join_paths(out_dir, 'metadata.txt')
     if storage.file_exists(meta_out, use_cache=True):
         return meta_out
-    loader = StaticImageLoader.from_coordinate_file(meta_in, **loader_config)
+    if str(meta_in).endswith('.txt'):
+        loader = StaticImageLoader.from_coordinate_file(meta_in,
+                                                        **loader_config)
+    else:
+        # a bare tile directory: positions from filenames
+        loader = get_image_loader(meta_in, **loader_config)
     x0, y0, x1, y1 = _mosaic_bbox(loader)
     # output frame = source/2
     ox0, oy0 = int(np.floor(x0 / 2)), int(np.floor(y0 / 2))

@@ -437,3 +437,87 @@ def test_render_whole_mesh_parallel_matches_serial(tile_set, tmp_path,
                                   sorted(out_p.items())):
         assert bs == bp
         assert np.array_equal(imread(fs), imread(fp)), (fs, fp)
+
+
+def test_parse_pattern_filename():
+    from feabas_tpu.dal import parse_pattern_filename
+    ts = (100, 150)
+    assert parse_pattern_filename(
+        's_tr2-tc3.png', r'_tr({ROW_IND}\d+)-tc({COL_IND}\d+)', ts) \
+        == (450, 200, 600, 300)
+    assert parse_pattern_filename(
+        'x0000128_y0000256.png', r'x({X_MIN}\d+)_y({Y_MIN}\d+)', ts) \
+        == (128, 256, 278, 356)
+    assert parse_pattern_filename(
+        'xmax300_ymax400.png', r'xmax({X_MAX}\d+)_ymax({Y_MAX}\d+)', ts) \
+        == (150, 300, 300, 400)
+    with pytest.raises(RuntimeError):
+        parse_pattern_filename('nope.png',
+                               r'_tr({ROW_IND}\d+)-tc({COL_IND}\d+)', ts)
+
+
+def test_loader_from_filepath_bare_folder(tmp_path, workdir, rng):
+    """Filename-pattern mosaic ingestion: a bare folder of *_tr{r}-tc{c}
+    tiles loads without any coordinate file (reference
+    MosaicLoader.from_filepath: dal.py:868-1006)."""
+    from synthutil import texture
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.common import imwrite
+    world = texture(rng, 200, 300)
+    tdir = tmp_path / 'bare'
+    for r in range(2):
+        for c in range(3):
+            imwrite(str(tdir / f'm_tr{r}-tc{c}.png'),
+                    world[r * 100:(r + 1) * 100, c * 100:(c + 1) * 100])
+    loader = StaticImageLoader.from_filepath(str(tdir))
+    assert loader.bboxes.shape == (6, 4)
+    got = loader.crop((50, 30, 250, 170))
+    assert np.array_equal(got, world[30:170, 50:250])
+
+
+def test_tile_folder_directive_stitches(tmp_path, workdir, rng):
+    """Round-2 VERDICT #9 done-criterion: a bare tile folder stitches
+    end-to-end (through the {TILE_FOLDER} coordinate directive)."""
+    from synthutil import tile_grid
+    from feabas_tpu.stitcher import Stitcher
+    from feabas_tpu.common import imwrite
+    world, tiles, true_bboxes, stage_bboxes = tile_grid(
+        rng, rows=2, cols=2, tile_h=300, tile_w=300, overlap=80, jitter=0.0)
+    tdir = tmp_path / 'tiles'
+    for k, t in enumerate(tiles):
+        r, c = divmod(k, 2)
+        imwrite(str(tdir / f'sec_tr{r + 1}-tc{c + 1}.png'), t)
+    coord = tmp_path / 'sec0.txt'
+    # step = tile minus overlap; extent read from the images themselves
+    coord.write_text('{TILE_FOLDER}\t' + str(tdir) + '\n'
+                     '{TILE_SIZE}\t220\t220\n'
+                     '{RESOLUTION}\t4\n')
+    st = Stitcher.from_coordinate_file(str(coord))
+    assert st.num_tiles == 4
+    np.testing.assert_allclose(st.init_bboxes[:, 2] - st.init_bboxes[:, 0],
+                               300)
+    n = st.dispatch_matchers(matcher_config={'conf_thresh': 0.2})
+    assert n >= 3
+    st.initialize_meshes(mesh_sizes=[100])
+    st.optimize_translation()
+    st.optimize_elastic()
+    # recovered layout matches the generator's true offsets
+    offs = np.asarray([m.vertices_w_offset('MOVING').mean(0)
+                       for m in st.meshes])
+    offs -= offs[0]
+    want = true_bboxes[:, :2] - true_bboxes[0, :2]
+    err = offs - want
+    err -= err.mean(0)
+    assert np.abs(err).max() < 1.0, err
+
+
+def test_mipmap_get_image_loader_bare(tmp_path, workdir, rng):
+    from synthutil import texture
+    from feabas_tpu.mipmap import get_image_loader
+    from feabas_tpu.common import imwrite
+    world = texture(rng, 128, 128)
+    tdir = tmp_path / 'mos'
+    imwrite(str(tdir / 's_tr1-tc1.png'), world[:64, :64])
+    imwrite(str(tdir / 's_tr1-tc2.png'), world[:64, 64:])
+    loader = get_image_loader(str(tdir))
+    assert np.array_equal(loader.crop((0, 0, 128, 64)), world[:64])

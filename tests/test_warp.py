@@ -128,3 +128,43 @@ def test_shifted_warp_K_bound_fallback(rng):
     A_rot[:, 0, 1] = np.sin(th)
     A_rot[:, 1, 0] = -np.sin(th)
     assert shift_bound_K(A_rot, 64, 64) is None
+
+
+def test_remap_device_matches_cv2(rng):
+    """The device bilinear remap (render path device option) agrees with
+    cv2.remap INTER_LINEAR within rounding."""
+    import cv2
+    from feabas_tpu.ops.warp import remap_device
+    src = rng.integers(0, 255, (150, 200)).astype(np.uint8)
+    gx, gy = np.meshgrid(np.arange(90, dtype=np.float32),
+                         np.arange(70, dtype=np.float32))
+    mxs = gx * 1.7 + 3.2 + 5 * np.sin(gy / 9)
+    mys = gy * 1.9 + 1.1 + 4 * np.cos(gx / 7)
+    want = cv2.remap(src, mxs.astype(np.float32), mys.astype(np.float32),
+                     cv2.INTER_LINEAR, borderMode=cv2.BORDER_CONSTANT,
+                     borderValue=0)
+    got = remap_device(src, mxs.astype(np.float32), mys.astype(np.float32))
+    valid = (mxs >= 0) & (mys >= 0) & (mxs <= 199) & (mys <= 149)
+    diff = np.abs(got - want.astype(np.float32))[valid]
+    assert diff.max() <= 1.0, diff.max()
+
+
+def test_render_by_subregions_device_option(rng, workdir):
+    """MeshRenderer.crop(device_remap=True) matches the host path."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from synthutil import texture
+    world = texture(rng, 260, 260)
+    loader = StreamLoader(world)
+    m = Mesh.from_bbox((0, 0, 260, 260), cartesian=True, mesh_size=60)
+    v = m.vertices(1)
+    m.set_vertices(v + np.stack([3 * np.sin(v[:, 1] / 40),
+                                 2 * np.cos(v[:, 0] / 30)], -1), 1,
+                   offset=m.offset(1))
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    host = r.crop((20, 20, 220, 220))
+    dev = r.crop((20, 20, 220, 220), device_remap=True)
+    assert host.shape == dev.shape
+    diff = np.abs(host.astype(int) - dev.astype(int))
+    assert (diff <= 1).mean() > 0.995, (diff.mean(), diff.max())
