@@ -197,12 +197,21 @@ class Stack:
         piece relaxes independently; results sync back to the section
         meshes (reference: aligner.py:343, optimizer.py:738).
 
-        When the window buckets into a z-chain of identical-topology
-        linear meshes (the common serial-section case), the solve routes
+        When the window packs as a z-chain of linear meshes (the common
+        serial-section case; topologies may differ), the solve routes
         through the z-SHARDED stacked system (``parallel/window.py``) and
         spans every available device; otherwise it falls back to the
-        general matrix-free SLM solve."""
+        general matrix-free SLM solve.
+
+        ``free_sections``: optional set of section names — lock flags are
+        set HERE on the freshly fetched meshes (not by mutating cached
+        mesh objects beforehand, which a cache eviction could silently
+        undo) and restored to locked afterwards."""
+        free_sections = kwargs.pop('free_sections', None)
         slm = self.initialize_SLM(sections)
+        if free_sections is not None:
+            for m in slm.meshes:
+                m.locked = m.name not in free_sections
         if np.all(slm.lock_flags):
             return slm
         n_split = slm.divide_disconnected_submeshes()
@@ -859,10 +868,8 @@ class Aligner:
             window = sections[lo:hi]
             if len(window) < 3:
                 continue
-            free = set(junction)
-            for s in window:
-                final_stack.get_mesh(s).locked = s not in free
-            final_stack.optimize_section_list(window, **dict(slide))
+            final_stack.optimize_section_list(
+                window, free_sections=set(junction), **dict(slide))
             for s in junction:
                 mesh = final_stack.get_mesh(s)
                 mesh.save_to_h5(join_paths(self.tform_dir, s + '.h5'))

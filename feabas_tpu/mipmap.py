@@ -39,11 +39,15 @@ def get_image_loader(src_dir, pattern='_tr{ROW_IND}-tc{COL_IND}.png',
 
 
 def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
-                  **loader_config):
+                  pre_blur=0.75, **loader_config):
     """Downsample one mip level by 2x (reference: mipmap.py:71).
 
     Reads the source mosaic via its metadata file, writes half-resolution
-    tiles + metadata into ``out_dir``. Returns the new metadata path."""
+    tiles + metadata into ``out_dir``. ``pre_blur`` applies a Gaussian
+    anti-alias filter before the 2x area average (the reference's render
+    path pre-blurs; pure INTER_AREA on a 2x chain leaves measurable
+    aliasing in the thumbnails that feed matching) — set 0 to disable.
+    Returns the new metadata path."""
     meta_out = join_paths(out_dir, 'metadata.txt')
     if storage.file_exists(meta_out, use_cache=True):
         return meta_out
@@ -68,6 +72,8 @@ def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
                               return_empty=True)
             if src is None:
                 continue
+            if pre_blur and pre_blur > 0:
+                src = cv2.GaussianBlur(src, (0, 0), float(pre_blur))
             img = cv2.resize(src, (bx1 - tx, by1 - ty),
                              interpolation=cv2.INTER_AREA)
             r = (ty - oy0) // th + 1

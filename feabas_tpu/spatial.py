@@ -140,6 +140,151 @@ def mask_to_contours(mask, simplify_tol=2.0):
     return rings
 
 
+def douglas_peucker(pts, tol):
+    """Simplify an open polyline, keeping endpoints (iterative DP)."""
+    pts = np.asarray(pts, np.float64)
+    n = pts.shape[0]
+    if n <= 2 or tol <= 0:
+        return pts
+    keep = np.zeros(n, bool)
+    keep[0] = keep[-1] = True
+    stack = [(0, n - 1)]
+    while stack:
+        i0, i1 = stack.pop()
+        if i1 <= i0 + 1:
+            continue
+        p0, p1 = pts[i0], pts[i1]
+        seg = p1 - p0
+        L = np.hypot(*seg)
+        mid = pts[i0 + 1:i1]
+        if L < 1e-12:
+            d = np.linalg.norm(mid - p0, axis=1)
+        else:
+            d = np.abs(seg[0] * (mid[:, 1] - p0[1])
+                       - seg[1] * (mid[:, 0] - p0[0])) / L
+        k = int(np.argmax(d))
+        if d[k] > tol:
+            j = i0 + 1 + k
+            keep[j] = True
+            stack.append((i0, j))
+            stack.append((j, i1))
+    return pts[keep]
+
+
+def label_boundary_arcs(label_mask, outside_label=-1):
+    """Decompose a label map's region boundaries into a SHARED arc graph.
+
+    Nodes sit at junction corners (where >= 3 labels meet or boundary
+    valence != 2); each arc is an open polyline between nodes (or a
+    closed loop) separating exactly TWO labels. Simplifying each arc once
+    keeps adjacent regions' boundaries identical — the topology-sharing
+    role of the reference's polygon simplification
+    (reference: feabas/spatial.py:900-1260).
+
+    Returns a list of dicts: {'pts': (K,2) float64 in pixel-CENTER
+    coordinates (cv2 contour convention), 'labels': (left, right),
+    'closed': bool}.
+    """
+    lm = np.asarray(label_mask)
+    H, W = lm.shape
+    pad = np.full((H + 2, W + 2), outside_label, np.int64)
+    pad[1:-1, 1:-1] = lm
+    CW = W + 3                                     # corner lattice stride
+    # horizontal edges at y=i+1 spanning x in [c, c+1]
+    dh = pad[1:, :] != pad[:-1, :]                 # (H+1, W+2)
+    hi, hc = np.nonzero(dh)
+    # vertical edges at x=j+1 spanning y in [r, r+1]
+    dv = pad[:, 1:] != pad[:, :-1]                 # (H+2, W+1)
+    vr, vj = np.nonzero(dv)
+    # edge table: (corner_a, corner_b, left_label, right_label) with the
+    # left/right convention relative to a->b traversal
+    ea = np.concatenate([(hi + 1) * CW + hc, vr * CW + (vj + 1)])
+    eb = np.concatenate([(hi + 1) * CW + hc + 1, (vr + 1) * CW + (vj + 1)])
+    # horizontal a->b goes +x: left = above = pad[i, c], right = below
+    # vertical a->b goes +y: left = right-side = pad[r, j+1]? traversal +y
+    # has +x on the LEFT when y grows downward... use the image convention
+    # (y down): traveling +x, "left" is smaller y (above).
+    el = np.concatenate([pad[hi, hc], pad[vr, vj + 1]])
+    er = np.concatenate([pad[hi + 1, hc], pad[vr, vj]])
+    nE = ea.shape[0]
+    if nE == 0:
+        return []
+    deg = np.bincount(np.concatenate([ea, eb]), minlength=(H + 3) * CW)
+    # corner -> incident edge lists
+    inc = {}
+    for k in range(nE):
+        inc.setdefault(ea[k], []).append(k)
+        inc.setdefault(eb[k], []).append(k)
+    visited = np.zeros(nE, bool)
+
+    def corner_xy(cid):
+        return np.array([cid % CW - 1.5, cid // CW - 1.5])
+
+    def walk(start_edge, start_corner):
+        """Follow the chain from start_corner through start_edge until a
+        junction (or loop closure). Returns (corner ids, labels)."""
+        k = start_edge
+        c = start_corner
+        visited[k] = True
+        nxt = eb[k] if ea[k] == c else ea[k]
+        # labels oriented in traversal direction
+        if ea[k] == c:
+            lab = (el[k], er[k])
+        else:
+            lab = (er[k], el[k])
+        chain = [c, nxt]
+        while deg[nxt] == 2 and nxt != start_corner:
+            cand = [e for e in inc[nxt] if not visited[e]]
+            if not cand:
+                break
+            k = cand[0]
+            visited[k] = True
+            c = nxt
+            nxt = eb[k] if ea[k] == c else ea[k]
+            chain.append(nxt)
+        return chain, lab
+
+    arcs = []
+    junctions = np.nonzero(deg[:np.concatenate([ea, eb]).max() + 1] > 0)[0]
+    junctions = junctions[deg[junctions] != 2]
+    for c in junctions:
+        for k in list(inc.get(int(c), [])):
+            if visited[k]:
+                continue
+            chain, lab = walk(k, int(c))
+            pts = np.stack([corner_xy(x) for x in chain])
+            arcs.append({'pts': pts, 'labels': lab, 'closed': False})
+    # leftover degree-2 loops
+    for k in range(nE):
+        if visited[k]:
+            continue
+        chain, lab = walk(k, int(ea[k]))
+        pts = np.stack([corner_xy(x) for x in chain])
+        arcs.append({'pts': pts, 'labels': lab, 'closed': True})
+    return arcs
+
+
+def simplify_arcs(arcs, tol):
+    """Douglas-Peucker each arc ONCE (endpoints pinned, so the junction
+    topology and the adjacency between regions survive simplification).
+    Closed loops split at their farthest point so they keep shape."""
+    out = []
+    for a in arcs:
+        pts = a['pts']
+        if a['closed'] and pts.shape[0] > 3:
+            d = np.linalg.norm(pts - pts[0], axis=1)
+            m = int(np.argmax(d))
+            if m > 0:
+                s0 = douglas_peucker(pts[:m + 1], tol)
+                s1 = douglas_peucker(pts[m:], tol)
+                pts = np.concatenate([s0[:-1], s1], axis=0)
+        else:
+            pts = douglas_peucker(pts, tol)
+        if pts.shape[0] >= 2:
+            out.append({**a, 'pts': pts})
+    return out
+
+
 def ring_area(ring):
     x, y = ring[:, 0], ring[:, 1]
     return 0.5 * abs(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
@@ -228,6 +373,55 @@ class Geometry:
         px_area = self.scale ** 2
         return {lut.get(int(lb), f'label{int(lb)}'): int(ct) * px_area
                 for lb, ct in zip(labels, counts)}
+
+    def boundary_arcs(self, simplify_tol=2.0):
+        """Topology-shared boundary arcs in WORLD coordinates: every
+        region boundary (outer ROI and internal material-material
+        borders) as polylines simplified once per shared arc, so adjacent
+        regions keep identical borders (reference's topology-sharing
+        simplification, feabas/spatial.py:900-1260)."""
+        arcs = label_boundary_arcs(self.label_mask,
+                                   outside_label=int(self.exclude_label))
+        arcs = simplify_arcs(arcs, simplify_tol)
+        out = []
+        for a in arcs:
+            out.append({**a, 'pts': a['pts'] * self.scale + self.offset})
+        return out
+
+    def region_PSLG(self, simplify_tol=2.0):
+        """Multi-material PSLG: vertices + segments of EVERY region
+        boundary (shared arcs), plus per-region seed points labeled by
+        material. Conforming triangulations over this PSLG have exact
+        per-material regions instead of centroid-quantized ones."""
+        arcs = self.boundary_arcs(simplify_tol=simplify_tol)
+        vertices, segments = [], []
+        base = 0
+        for a in arcs:
+            p = a['pts']
+            n = p.shape[0]
+            vertices.append(p)
+            idx = np.arange(n) + base
+            segments.append(np.stack([idx[:-1], idx[1:]], -1))
+            base += n
+        seeds = []
+        exclude = self.exclude_label
+        for lb in np.unique(self.label_mask):
+            if lb == exclude:
+                continue
+            num, comp = cv2.connectedComponents(
+                (self.label_mask == lb).astype(np.uint8))
+            for k in range(1, num):
+                rr, cc = np.nonzero(comp == k)
+                # a deterministic interior pixel of the component
+                j = rr.shape[0] // 2
+                seeds.append((np.array([cc[j], rr[j]], np.float64)
+                              * self.scale + self.offset, int(lb)))
+        if not vertices:
+            return {'vertices': np.zeros((0, 2)),
+                    'segments': np.zeros((0, 2), int), 'seeds': seeds}
+        return {'vertices': np.concatenate(vertices, axis=0),
+                'segments': np.concatenate(segments, axis=0),
+                'seeds': seeds}
 
     def PSLG(self, simplify_tol=2.0, area_thresh=0):
         """Planar straight-line graph of the ROI boundary (world coords).

@@ -59,9 +59,24 @@ def _min_angles_deg(pts, T):
     return np.min(np.stack(angs, -1), axis=-1)
 
 
+def _resample_path(path, spacing):
+    """Insert vertices on an OPEN polyline so no segment exceeds
+    ``spacing`` (keeps the original corners and endpoints)."""
+    out = []
+    for i in range(path.shape[0] - 1):
+        p0, p1 = path[i], path[i + 1]
+        seg = p1 - p0
+        d = np.hypot(*seg)
+        k = max(int(np.ceil(d / spacing)), 1)
+        for t in range(k):
+            out.append(p0 + seg * (t / k))
+    out.append(path[-1])
+    return np.asarray(out)
+
+
 def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
                      min_edge_ratio=0.25, extra_points=None,
-                     min_angle=0.0):
+                     min_angle=0.0, constraint_paths=None):
     """Mesh a region given a membership oracle + boundary rings.
 
     Args:
@@ -70,6 +85,9 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
         mesh_size: target edge length.
         extra_points: optional (K,2) refinement points (e.g. a denser
             lattice over refine materials) merged into the point set.
+        constraint_paths: optional OPEN polylines (e.g. internal
+            material-boundary arcs) whose edges are enforced by the CDT,
+            so triangles conform to internal region borders.
     Returns:
         (vertices (N,2) float64, triangles (M,3) int32)
     """
@@ -82,6 +100,14 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
         if k >= 2:
             idx = np.arange(k) + offset
             ring_segs.append(np.stack([idx, np.roll(idx, -1)], -1))
+        b_pts.append(rp)
+        offset += k
+    for path in (constraint_paths or []):
+        rp = _resample_path(np.asarray(path, np.float64), mesh_size)
+        k = rp.shape[0]
+        if k >= 2:
+            idx = np.arange(k) + offset
+            ring_segs.append(np.stack([idx[:-1], idx[1:]], -1))
         b_pts.append(rp)
         offset += k
     b_pts = (np.concatenate(b_pts, axis=0) if b_pts
@@ -155,10 +181,16 @@ def compact_vertices(vertices, triangles):
 
 
 def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
-                         min_angle=0.0):
+                         min_angle=0.0, shared_boundaries=True):
     """Mesh a :class:`feabas_tpu.spatial.Geometry` (all mesh-enabled
     materials as one region), assigning per-triangle material uids by
-    centroid label. Returns (vertices, triangles, material_uids)."""
+    centroid label. With ``shared_boundaries`` (and the native CDT
+    available) the INTERNAL material-material borders enter the
+    triangulation as topology-shared simplified arcs, so triangles
+    conform exactly to region boundaries instead of material assignment
+    quantizing to the mask resolution (reference polygon simplification
+    role: spatial.py:900-1260). Returns
+    (vertices, triangles, material_uids)."""
     roi = geom.roi_mask()
     rings = sp.mask_to_contours(roi, simplify_tol=simplify_tol)
     world_rings = []
@@ -167,6 +199,17 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
             continue
         world_rings.append(ring * geom.scale + geom.offset)
     exclude = geom.exclude_label
+    constraint_paths = None
+    if shared_boundaries:
+        from feabas_tpu import native
+        if native.cdt_available():
+            # internal borders only: arcs touching the outside/exclude
+            # region are already covered by the ROI rings
+            ex = int(exclude)
+            constraint_paths = [
+                a['pts'] for a in geom.boundary_arcs(
+                    simplify_tol=simplify_tol)
+                if ex not in a['labels'] and -1 not in a['labels']]
 
     def inside(pts):
         return geom.label_at(pts) != exclude
@@ -187,7 +230,8 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
     extra = np.concatenate(extra, axis=0) if extra else None
     verts, tris = triangulate_mask(inside, world_rings, mesh_size,
                                    bbox=geom.bbox(), extra_points=extra,
-                                   min_angle=min_angle)
+                                   min_angle=min_angle,
+                                   constraint_paths=constraint_paths)
     labels = geom.label_at(verts[tris].mean(axis=1))
     lut = {}
     for name, mat in geom.material_table:

@@ -150,3 +150,60 @@ def test_geodesic_mask_excludes_fold_zone(workdir):
     assert mask_g.sum() < mask_p.sum()
     # outside the fold (x < 35) both render
     assert mask_g[:, :35].mean() > 0.9
+
+
+def test_label_boundary_arcs_shared_topology():
+    """Boundary arcs are shared between adjacent regions and simplify
+    once (the reference's topology-sharing polygon simplification)."""
+    from feabas_tpu import spatial as sp
+    lm = np.zeros((40, 60), np.int64)
+    lm[:, 30:] = 2          # two regions split by a straight border
+    arcs = sp.label_boundary_arcs(lm, outside_label=-1)
+    # exactly one arc separates labels 0 and 2
+    internal = [a for a in arcs if set(a['labels']) == {0, 2}]
+    assert len(internal) == 1
+    simplified = sp.simplify_arcs(arcs, 1.0)
+    internal_s = [a for a in simplified if set(a['labels']) == {0, 2}][0]
+    # a straight border collapses to its two junction endpoints
+    assert internal_s['pts'].shape[0] == 2
+    assert np.allclose(internal_s['pts'][:, 0], 29.5)
+    # every arc endpoint is a junction shared with the outer boundary
+    outer = [a for a in simplified if -1 in a['labels']]
+    outer_pts = np.concatenate([a['pts'] for a in outer])
+    for p in internal_s['pts']:
+        assert np.min(np.linalg.norm(outer_pts - p, axis=1)) < 1e-9
+
+
+def test_region_pslg_seeds():
+    from feabas_tpu import spatial as sp
+    lm = np.full((40, 60), 255, np.uint8)      # 255 = exclude
+    lm[5:35, 5:28] = 1
+    lm[5:35, 32:55] = 2
+    g = sp.Geometry(lm)
+    pslg = g.region_PSLG(simplify_tol=1.0)
+    assert pslg['vertices'].shape[0] >= 8
+    labels = sorted(lb for _, lb in pslg['seeds'])
+    assert labels == [1, 2]
+    for pt, lb in pslg['seeds']:
+        assert g.label_at(pt[None])[0] == lb
+
+
+def test_triangulate_geometry_conforms_to_internal_boundary():
+    """With shared boundaries + native CDT, no triangle straddles an
+    internal material border."""
+    from feabas_tpu import spatial as sp, native
+    from feabas_tpu.triangulation import triangulate_geometry
+    if not native.cdt_available():
+        pytest.skip('native CDT unavailable')
+    from feabas_tpu.material import MaterialTable, Material
+    mt = MaterialTable()
+    mt.add('soft', Material(mask_label=7))
+    lm = np.zeros((64, 64), np.uint8)
+    lm[:, 32:] = 7          # border at world x = 31.5
+    g = sp.Geometry(lm, material_table=mt)
+    v, t, uids = triangulate_geometry(g, mesh_size=8.0,
+                                      shared_boundaries=True)
+    assert len(np.unique(uids)) == 2
+    x = v[t][:, :, 0]
+    straddle = (x.min(1) < 31.5 - 1e-6) & (x.max(1) > 31.5 + 1e-6)
+    assert straddle.sum() == 0, int(straddle.sum())
