@@ -314,11 +314,50 @@ class Stack:
                 np.arange(S - 1)[:, None, None], idx0])
             U1 = np.einsum('klc,klcd->kld', bary1, u[1:][
                 np.arange(S - 1)[:, None, None], idx1])
-            r = np.linalg.norm(
-                system['r_rest'].astype(np.float64) + U1 - U0, axis=-1)
+            dxy = system['r_rest'].astype(np.float64) + U1 - U0
+            if residue_mode == 'huber_smooth':
+                # damp by deviation from the locally coherent residue
+                # field so offset clusters survive (Link.dxy_smoothen
+                # semantics on the stacked arrays)
+                from scipy.spatial import cKDTree
+                for k in range(S - 1):
+                    wk = weight[k]
+                    ok = wk > 0
+                    if ok.sum() < 4:
+                        continue
+                    p = (system['verts0_host'][k][idx0[k][ok]]
+                         * bary0[k][ok][..., None].astype(np.float64)
+                         ).sum(1)
+                    tree = cKDTree(p)
+                    dnn, _ = tree.query(p, k=2)
+                    sig = 3.0 * max(float(np.median(dnn[:, 1])), 1e-6)
+                    pairs = tree.query_pairs(2.5 * sig,
+                                             output_type='ndarray')
+                    sm = np.zeros_like(dxy[k][ok])
+                    wv = np.zeros(ok.sum())
+                    if pairs.size:
+                        gw = np.exp(-np.sum(
+                            (p[pairs[:, 0]] - p[pairs[:, 1]]) ** 2,
+                            axis=-1) / sig ** 2)
+                        dk = dxy[k][ok]
+                        wk_ok = wk[ok]
+                        np.add.at(sm, pairs[:, 0],
+                                  gw[:, None] * dk[pairs[:, 1]]
+                                  * wk_ok[pairs[:, 1], None])
+                        np.add.at(sm, pairs[:, 1],
+                                  gw[:, None] * dk[pairs[:, 0]]
+                                  * wk_ok[pairs[:, 0], None])
+                        np.add.at(wv, pairs[:, 0],
+                                  gw * wk_ok[pairs[:, 1]])
+                        np.add.at(wv, pairs[:, 1],
+                                  gw * wk_ok[pairs[:, 0]])
+                    good = wv > 0
+                    sm[good] /= wv[good, None]
+                    dxy[k][np.nonzero(ok)[0]] -= sm
+            r = np.linalg.norm(dxy, axis=-1)
             if residue_mode == 'threshold':
                 f = (r <= residue_len).astype(np.float32)
-            else:  # huber
+            else:  # huber / huber_smooth
                 f = np.clip(residue_len / np.clip(r, 1e-9, None),
                             None, 1.0).astype(np.float32)
             new_w = base_weight * f

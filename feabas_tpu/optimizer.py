@@ -251,10 +251,84 @@ class Link:
     def residues(self, gear=const.MESH_GEAR_MOVING):
         return np.linalg.norm(self.dxy(gear=gear), axis=-1)
 
+    def spacing(self):
+        """Median nearest-neighbor spacing of the match lattice (INITIAL
+        coords); scales the residue-smoothing kernel."""
+        xy0 = self.xy0(gear=const.MESH_GEAR_INITIAL)
+        if xy0.shape[0] < 2:
+            return 1.0
+        from scipy.spatial import cKDTree
+        d, _ = cKDTree(xy0).query(xy0, k=2)
+        return float(np.median(d[:, 1])) or 1.0
+
+    def smooth_matrix(self, sigma=None):
+        """Gaussian neighborhood-weight sparse matrix over the match
+        lattice (reference smooth_matrix: optimizer.py:320-331); cached
+        per sigma."""
+        if sigma is None:
+            sigma = 3.0 * self.spacing()
+        cache = getattr(self, '_dis_smooth_matrix', None)
+        if cache is None:
+            cache = self._dis_smooth_matrix = {}
+        if sigma not in cache:
+            from scipy.spatial import cKDTree
+            xy0 = self.xy0(gear=const.MESH_GEAR_INITIAL)
+            n = xy0.shape[0]
+            pairs = cKDTree(xy0).query_pairs(2.5 * sigma,
+                                             output_type='ndarray')
+            if pairs.size == 0:
+                cache[sigma] = None
+            else:
+                w = np.exp(-np.sum((xy0[pairs[:, 0]] - xy0[pairs[:, 1]]) ** 2,
+                                   axis=-1) / sigma ** 2)
+                m = sparse.csr_matrix((w, (pairs[:, 0], pairs[:, 1])),
+                                      shape=(n, n))
+                cache[sigma] = m + m.T
+        return cache[sigma]
+
+    def dxy_smoothen(self, gear=const.MESH_GEAR_MOVING, sigma=None):
+        """Weight-averaged residual vectors over each match's spatial
+        neighborhood (reference dxy_smoothen: optimizer.py:334-350) —
+        the locally COHERENT part of the residue field."""
+        dxy = self.dxy(gear=gear)
+        mtx = self.smooth_matrix(sigma=sigma)
+        if mtx is None:
+            return np.zeros_like(dxy)
+        wt = self.weight()
+        wv = mtx.dot(wt)
+        out = np.full_like(dxy, np.nan)
+        ok = wv > 0
+        out[ok, 0] = mtx.dot(dxy[:, 0] * wt)[ok] / wv[ok]
+        out[ok, 1] = mtx.dot(dxy[:, 1] * wt)[ok] / wv[ok]
+        return out
+
+    def spatial_autocorrelation(self, gear=const.MESH_GEAR_MOVING,
+                                sigma=None):
+        """1 -> residues vary smoothly in space (a coherent offset field,
+        physical deformation); ~0 -> spatially uncorrelated (noise)
+        (reference spatial_autocorrelation: optimizer.py:352-365)."""
+        if self.smooth_matrix(sigma=sigma) is None:
+            return 0.0
+        dxy = self.dxy(gear=gear)
+        dxy_sm = self.dxy_smoothen(gear=gear, sigma=sigma)
+        wt = self.weight()
+        rr = np.sum((dxy - dxy_sm) ** 2, axis=-1) \
+            / np.maximum(np.sum(dxy ** 2, axis=-1)
+                         + np.sum(dxy_sm ** 2, axis=-1), 1e-12)
+        ok = np.isfinite(rr) & (wt > 0)
+        if not ok.any():
+            return 0.0
+        return float(1.0 - np.average(rr[ok], weights=wt[ok]))
+
     def adjust_weight_from_residue(self, gear=const.MESH_GEAR_MOVING,
                                    residue_len=0, residue_mode=None):
         """Robust reweighting: 'huber' damps by residue_len/|r|; 'threshold'
-        zeroes matches beyond residue_len (reference: optimizer.py:198-233).
+        zeroes matches beyond residue_len (reference: optimizer.py:198-233);
+        'huber_smooth' measures each match against the locally-smoothed
+        residue field instead of zero, so a spatially COHERENT offset
+        cluster (real deformation the solve has not absorbed yet) keeps
+        its weight while incoherent outliers are damped (reference
+        dxy_smoothen role: optimizer.py:334-350).
         Returns (changed, fraction_kept)."""
         if residue_mode is None or residue_len <= 0 or self.num_matches == 0:
             return False, 1.0
@@ -263,6 +337,12 @@ class Link:
             new_w = np.clip(residue_len / np.clip(r, 1e-9, None), None, 1.0)
         elif residue_mode == 'threshold':
             new_w = (r <= residue_len).astype(np.float64)
+        elif residue_mode == 'huber_smooth':
+            dev = self.dxy(gear=gear) - np.nan_to_num(
+                self.dxy_smoothen(gear=gear))
+            r_dev = np.linalg.norm(dev, axis=-1)
+            new_w = np.clip(residue_len / np.clip(r_dev, 1e-9, None),
+                            None, 1.0)
         else:
             raise ValueError(f'unknown residue mode {residue_mode}')
         changed = not np.allclose(new_w, self.residue_weight)

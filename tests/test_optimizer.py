@@ -384,3 +384,53 @@ def test_flat_two_level_preconditioner_chain(rng):
     assert slm._last_solve_fused and not slm._last_solve_sharded
     assert slm.last_solve_converged
     assert c1 < 1e-3 * max(c0, 1.0), (c0, c1)
+
+
+def test_link_residue_smoothing_and_autocorrelation(workdir):
+    """huber_smooth keeps spatially COHERENT offset clusters (real
+    deformation) while damping incoherent outliers; plain huber damps
+    both (reference dxy_smoothen/spatial_autocorrelation:
+    optimizer.py:320-366)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.optimizer import Link
+    from feabas_tpu import constant as const
+    rng = np.random.default_rng(0)
+    m0 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=50,
+                        uid=0)
+    m1 = Mesh.from_bbox((0, 0, 200, 200), cartesian=True, mesh_size=50,
+                        uid=1)
+    xs, ys = np.meshgrid(np.linspace(10, 190, 8), np.linspace(10, 190, 8))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    # coherent smooth offset field (~6 px) + one wild outlier
+    off = np.stack([6 * np.sin(pts[:, 1] / 60), 5 * np.cos(pts[:, 0] / 70)],
+                   -1)
+    off[17] += (40.0, -35.0)
+    link = Link.from_coordinates(m0, m1, pts, pts + off,
+                                 gear=(const.MESH_GEAR_INITIAL,) * 2)
+    for m in (m0, m1):
+        m.set_vertices(m.vertices(const.MESH_GEAR_INITIAL),
+                       const.MESH_GEAR_MOVING,
+                       offset=m.offset(const.MESH_GEAR_INITIAL))
+
+    # the residue field is smooth -> high spatial autocorrelation
+    assert link.spatial_autocorrelation() > 0.7
+    sm = link.dxy_smoothen()
+    assert np.isfinite(sm).all()
+
+    link.adjust_weight_from_residue(residue_len=3, residue_mode='huber_smooth')
+    w_smooth = link.residue_weight.copy()
+    link.reset_residue_weight()
+    link.adjust_weight_from_residue(residue_len=3, residue_mode='huber')
+    w_plain = link.residue_weight.copy()
+    inlier = np.ones(len(pts), bool)
+    inlier[17] = False
+    # coherent matches survive far better under the smoothed mode
+    assert w_smooth[inlier].mean() > w_plain[inlier].mean() + 0.2
+    # the incoherent outlier is damped hard in both
+    assert w_smooth[17] < 0.35 and w_plain[17] < 0.2
+
+    # incoherent (random) residues -> low autocorrelation
+    noise = rng.normal(0, 5.0, pts.shape)
+    link2 = Link.from_coordinates(m0, m1, pts, pts + noise,
+                                  gear=(const.MESH_GEAR_INITIAL,) * 2)
+    assert link2.spatial_autocorrelation() < 0.45
