@@ -572,20 +572,16 @@ def _bench_window_solve():
     args['links'] = tuple(jnp.asarray(a) for a in system['links'])
     args['r_rest'] = jnp.asarray(system['r_rest'])
     args['free'] = jnp.asarray(system['free'])
-    # gather-mode FEM transpose: TPU scatter-adds serialize on duplicate
-    # indices, the incidence gather doesn't (uniform topology: one table
-    # broadcast over the section axis)
-    S = system['u'].shape[0]
-    inc1, imask1 = fem.build_incidence(system['tris'][0],
-                                       system['verts0'].shape[1])
-    inc = jnp.asarray(np.broadcast_to(inc1, (S,) + inc1.shape))
-    imask = jnp.asarray(np.broadcast_to(imask1, (S,) + imask1.shape))
+    # plain scatter-add FEM transpose: the incidence-gather variant
+    # crashes the TPU worker when vmapped over per-section tables (kernel
+    # fault, reproduced twice), and all matvec representations tie within
+    # 15% anyway (PERF_NOTES "FEM matvec representations")
 
     def run():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
-                           lam_s=0.1, maxiter=500, inc=inc, imask=imask)
+                           lam_s=0.1, maxiter=500)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())

@@ -250,9 +250,13 @@ def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     # two-level preconditioner: per-tile uniform translations are exact
     # stiffness null modes, so the montage's slow modes live in the
     # (M,M) link-graph Laplacian — solved exactly when M is small enough
-    # to invert (same idea as the window solve's z-chain coarse space)
+    # to invert (same idea as the window solve's z-chain coarse space).
+    # The gate covers MultiSEM-scale sections (2k+ tiles): the coarse
+    # space carries the whole-mFoV translation modes that plain Jacobi
+    # converges slowest on. inv() at M=4096 is ~0.1 TFLOP — trivial on
+    # the MXU, seconds on CPU.
     precond = None
-    if M <= 1024:
+    if M <= 4096:
         freed = free[:, 0, 0]
         w2 = (weight ** 2) * lam_c
         Ac = jnp.zeros((M, M), dt)
