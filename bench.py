@@ -572,16 +572,19 @@ def _bench_window_solve():
     args['links'] = tuple(jnp.asarray(a) for a in system['links'])
     args['r_rest'] = jnp.asarray(system['r_rest'])
     args['free'] = jnp.asarray(system['free'])
-    # plain scatter-add FEM transpose: the incidence-gather variant
-    # crashes the TPU worker when vmapped over per-section tables (kernel
-    # fault, reproduced twice), and all matvec representations tie within
-    # 15% anyway (PERF_NOTES "FEM matvec representations")
+    # SHARED incidence table (uniform topology): gathers beat TPU
+    # scatter-adds; the per-section vmapped table variant kernel-faults
+    # the TPU worker, the shared-table closure does not
+    tris0 = system['tris'] if system['tris'].ndim == 2 else system['tris'][0]
+    inc1, imask1 = fem.build_incidence(tris0, system['verts0'].shape[1])
+    inc = jnp.asarray(inc1)
+    imask = jnp.asarray(imask1)
 
     def run():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
-                           lam_s=0.1, maxiter=500)
+                           lam_s=0.1, maxiter=500, inc=inc, imask=imask)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())

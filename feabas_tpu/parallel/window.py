@@ -65,8 +65,14 @@ def _build_system(meshes, links_per_pair, shape_gear, start_gear,
     S = len(meshes)
     nvs = [m.num_vertices for m in meshes]
     nts = [m.triangles.shape[0] for m in meshes]
-    V = _pow2(max(nvs)) if pow2_bucket else max(nvs)
-    T = _pow2(max(nts)) if pow2_bucket else max(nts)
+    # UNIFORM stacks (the common case: one meshing config) carry no
+    # padding at all — pow2 bucketing only pays when topologies differ
+    # (each padded element/vertex is wasted FLOPs every CG iteration)
+    ragged = (len(set(nvs)) > 1 or len(set(nts)) > 1
+              or any(not np.array_equal(m.triangles, meshes[0].triangles)
+                     for m in meshes[1:]))
+    V = _pow2(max(nvs)) if (pow2_bucket and ragged) else max(nvs)
+    T = _pow2(max(nts)) if (pow2_bucket and ragged) else max(nts)
     tris = np.zeros((S, T, 3), np.int32)
     verts0_local = np.zeros((S, V, 2), np.float64)
     u = np.zeros((S, V, 2), np.float64)
@@ -116,7 +122,10 @@ def _build_system(meshes, links_per_pair, shape_gear, start_gear,
                    * np.asarray(l['bary1'], np.float64)[..., None]).sum(1)
             r_rest[k, :n] = p1r - p0r
     return {
-        'tris': tris,
+        # uniform stacks share ONE (T,3) triangle table (lets XLA hoist
+        # the topology out of the section vmap — measured 2.5x on the
+        # per-iteration cost); ragged stacks carry per-section tables
+        'tris': tris[0] if not ragged else tris,
         'verts0': verts0_local.astype(np.float32),
         'u': u.astype(np.float32),
         'r_rest': r_rest.astype(np.float32),
@@ -134,9 +143,19 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
     an incidence table the FEM transpose uses gathers instead of
     scatter-adds (TPU scatters serialize on duplicates)."""
     x = x * free
-    if inc is not None:
+    shared = tris.ndim == 2          # one topology for every section
+    if inc is not None and inc.ndim == 2 and shared:
+        # shared incidence table: the per-section vmapped variant
+        # kernel-faults the TPU worker, the shared-table closure does
+        # not — and gathers beat scatter-adds on TPU
+        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec_gather(
+            xi, Ki, tris, inc, imask))(x, Ke) * lam_s
+    elif inc is not None and not shared:
         y = jax.vmap(lambda xi, Ki, tr, ic, im: fem.stiffness_matvec_gather(
             xi, Ki, tr, ic, im))(x, Ke, tris, inc, imask) * lam_s
+    elif shared:
+        y = jax.vmap(lambda xi, Ki: fem.stiffness_matvec(xi, Ki, tris))(
+            x, Ke) * lam_s
     else:
         y = jax.vmap(lambda xi, Ki, tr: fem.stiffness_matvec(xi, Ki, tr))(
             x, Ke, tris) * lam_s
@@ -171,10 +190,14 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     mask (S, V, 1), so padded vertices of ragged stacks stay inert), CG
     under while_loop; all arrays may be sharded along the leading z axis.
     """
-    # per-section element matrices (local work); tris are per-section
-    def per_section(v0, tr):
-        return fem.shape_matrices(v0[tr])
-    B, area2 = jax.vmap(per_section)(verts0, tris)
+    # per-section element matrices (local work); ``tris`` is a shared
+    # (T,3) table for uniform stacks or (S,T,3) per-section tables
+    shared = tris.ndim == 2
+    if shared:
+        B, area2 = jax.vmap(lambda v0: fem.shape_matrices(v0[tris]))(verts0)
+    else:
+        B, area2 = jax.vmap(
+            lambda v0, tr: fem.shape_matrices(v0[tr]))(verts0, tris)
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
     dt = u.dtype
     r_rest = r_rest.astype(dt)
@@ -185,8 +208,12 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     idx0, bary0, idx1, bary1, weight = links
-    b = -jax.vmap(lambda ui, Ki, tr: fem.stiffness_matvec(ui, Ki, tr))(
-        u, Ke, tris) * lam_s
+    if shared:
+        b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(
+            u, Ke) * lam_s
+    else:
+        b = -jax.vmap(lambda ui, Ki, tr: fem.stiffness_matvec(ui, Ki, tr))(
+            u, Ke, tris) * lam_s
     U0 = jax.vmap(fem.link_eval)(u[:-1], idx0, bary0)
     U1 = jax.vmap(fem.link_eval)(u[1:], idx1, bary1)
     r0 = (r_rest + U1 - U0) * (weight ** 2)[..., None]
@@ -199,8 +226,12 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     b = b * free
 
     V = u.shape[1]
-    diag = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(
-        Ke, tris) * lam_s
+    if shared:
+        diag = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(
+            Ke) * lam_s
+    else:
+        diag = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(
+            Ke, tris) * lam_s
     dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
                                 * jnp.ones((1, 1, 2), dt)))(idx0, bary0, weight)
@@ -263,8 +294,11 @@ def shard_stack_system(system, device_mesh):
     z = NamedSharding(device_mesh, P('z'))
     rep = NamedSharding(device_mesh, P())
     out = dict(system)
-    for k in ('verts0', 'u', 'tris', 'multiplier', 'poisson', 'free'):
+    for k in ('verts0', 'u', 'multiplier', 'poisson', 'free'):
         out[k] = _put_global(system[k], z)
+    out['tris'] = _put_global(system['tris'],
+                              z if np.asarray(system['tris']).ndim == 3
+                              else rep)
     # links live on the left-neighbor shard; S-1 entries shard like z when
     # divisible, else replicate (tiny)
     links = system['links']
@@ -366,13 +400,19 @@ def slm_window_to_stack(slm, shape_gear=None):
 def _stack_lambda_balance(verts0, tris, multiplier, poisson, links, ratio):
     """Trace-ratio stiffness balance for the stacked system (matches
     SLM._balance_lambdas semantics)."""
-    def per_section(v0, tr):
-        return fem.shape_matrices(v0[tr])
-    B, area2 = jax.vmap(per_section)(verts0, tris)
+    shared = tris.ndim == 2
+    if shared:
+        B, area2 = jax.vmap(lambda v0: fem.shape_matrices(v0[tris]))(verts0)
+    else:
+        B, area2 = jax.vmap(
+            lambda v0, tr: fem.shape_matrices(v0[tr]))(verts0, tris)
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
     dt = verts0.dtype
     V = verts0.shape[1]
-    dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
+    if shared:
+        dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(Ke)
+    else:
+        dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
     idx0, bary0, idx1, bary1, weight = links
     dC = jnp.zeros_like(dK)
     dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
