@@ -18,6 +18,17 @@ from feabas_tpu.common import render_by_subregions, z_order
 from feabas_tpu import storage
 
 
+def _interp_flag(interp):
+    """Map a reference-style ``remap_interp`` name ('NEAREST'/'LINEAR'/
+    'CUBIC', reference renderer.py:969) to the cv2 interpolation constant
+    consumed by ``render_by_subregions``."""
+    import cv2
+    table = {'NEAREST': cv2.INTER_NEAREST, 'LINEAR': cv2.INTER_LINEAR,
+             'CUBIC': cv2.INTER_CUBIC, 'AREA': cv2.INTER_AREA,
+             'LANCZOS': cv2.INTER_LANCZOS4}
+    return table.get(str(interp).upper(), cv2.INTER_LINEAR)
+
+
 def rasterize_mesh(mesh, bbox, gear=const.MESH_GEAR_MOVING, tri_weights=None):
     """Triangle-id map over an integer pixel grid.
 
@@ -544,7 +555,8 @@ class VolumeRenderer:
                 renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
                 for bbox in chunks:
                     key = (int(bbox[0]), int(bbox[1]))
-                    blk = renderer.crop(bbox, return_empty=True)
+                    blk = renderer.crop(bbox, return_empty=True,
+                                        interpolation=_interp_flag(self._interp))
                     if blk is not None:
                         self.writer.write_single_chunk(bbox, z, blk)
                         n_written += 1
@@ -633,7 +645,8 @@ class VolumeRenderer:
                         mesh, image_loader=self._get_loader(name))))
                 for bbox in chunks:
                     wrote = _render_one_slab_chunk(
-                        renderers, self.writer, bbox, z0, depth)
+                        renderers, self.writer, bbox, z0, depth,
+                        interp=self._interp)
                     n_written += wrote
                     done.add((int(bbox[0]), int(bbox[1])))
                     flush()
@@ -644,13 +657,15 @@ class VolumeRenderer:
         return n_written
 
 
-def _render_one_slab_chunk(renderers, writer, bbox, z0, depth):
+def _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
+                           interp='LINEAR'):
     """Render one xy chunk across a slab's sections and write it once.
     ``renderers``: [(z, MeshRenderer)]. Returns 1 if written, else 0."""
     layers = {}
     dtype = None
     for z, r in renderers:
-        blk = r.crop(bbox, return_empty=True)
+        blk = r.crop(bbox, return_empty=True,
+                     interpolation=_interp_flag(interp))
         if blk is not None:
             layers[z - z0] = blk
             dtype = blk.dtype
@@ -697,7 +712,8 @@ def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
             mesh, image_loader=loader)))
     keys, wrote = [], 0
     for bbox in chunk_bboxes:
-        wrote += _render_one_slab_chunk(renderers, writer, bbox, z0, depth)
+        wrote += _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
+                                        interp=interp)
         keys.append((int(bbox[0]), int(bbox[1])))
     return keys, wrote
 
@@ -730,7 +746,8 @@ def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
     renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
     keys, wrote = [], 0
     for bbox in chunk_bboxes:
-        blk = renderer.crop(bbox, return_empty=True)
+        blk = renderer.crop(bbox, return_empty=True,
+                            interpolation=_interp_flag(interp))
         if blk is not None:
             writer.write_single_chunk(bbox, z, blk)
             wrote += 1

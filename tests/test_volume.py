@@ -180,6 +180,30 @@ def test_montage_parallel_render_matches_serial(workdir, tmp_path, rng):
         assert a is not None and b is not None and np.array_equal(a, b), fname
 
 
+def test_volume_nearest_interp_preserves_labels(tmp_path, workdir):
+    """remap_interp='NEAREST' must reach the resampler: rendering a label
+    image through a sub-pixel shift yields only source label values (a
+    bilinear path would blend new intermediate ids)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import TensorStoreWriter, StreamLoader
+    from feabas_tpu.renderer import VolumeRenderer
+    h = w = 96
+    labels = np.zeros((h, w), np.uint8)
+    labels[:, w // 3:2 * w // 3] = 100
+    labels[:, 2 * w // 3:] = 200
+    mesh = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=32,
+                          name='lab', uid=0)
+    mesh.set_translation((0.5, 0.5))  # forces fractional source coords
+    out = str(tmp_path / 'labvol')
+    writer = TensorStoreWriter.create(out, (0, 0, w, h), 1,
+                                      driver='zarr', chunk_shape=[64, 64, 1])
+    vr = VolumeRenderer([(0, 'lab', mesh)], {'lab': StreamLoader(labels)},
+                        writer, remap_interp='NEAREST')
+    assert vr.render_volume() > 0
+    vals = np.unique(np.asarray(writer.read_chunk((0, 0, w, h), 0)))
+    assert set(vals.tolist()) <= {0, 100, 200}, vals
+
+
 def test_volume_slab_single_write_per_chunk(tile_volume, tmp_path,
                                             monkeypatch):
     """Done-criterion (round-2 VERDICT #7): on a chunk-depth-deep volume
