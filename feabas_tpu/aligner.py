@@ -59,6 +59,95 @@ def match_name(sec0, sec1, delimiter=DELIMITER):
     return f'{sec0}{delimiter}{sec1}.h5'
 
 
+def get_convex_hull(tname, resolution=None):
+    """Convex hull (K, 2) of a saved transform's MOVING footprint
+    (reference get_convex_hull: aligner.py:145; scipy hull replaces the
+    shapely region union — the hull of the deformed vertex cloud equals
+    the hull of the region for our convex-cell meshes)."""
+    from scipy.spatial import ConvexHull
+    m = Mesh.from_h5(tname)
+    if resolution is not None:
+        m.change_resolution(resolution)
+    pts = m.vertices_w_offset(const.MESH_GEAR_MOVING)
+    if pts.shape[0] < 3:
+        return pts
+    return pts[ConvexHull(pts).vertices]
+
+
+def apply_transform_normalization(tname, out_dir=None, R=None, txy=(0.0, 0.0),
+                                  resolution=None):
+    """Apply one global affine+translation to a saved transform's FIXED
+    and MOVING gears (reference apply_transform_normalization:
+    aligner.py:157) — the worker of :func:`normalize_transforms`."""
+    m = Mesh.from_h5(tname)
+    locked = m.locked
+    m.locked = False
+    if resolution is not None:
+        m.change_resolution(resolution)
+    T = np.eye(3)
+    if R is not None:
+        T[:2, :2] = np.asarray(R)[:2, :2]
+    T[2, :2] = np.asarray(txy, np.float64)
+    for gear in (const.MESH_GEAR_FIXED, const.MESH_GEAR_MOVING):
+        if m.vertices_initialized(gear):
+            m.apply_affine(T, gear=(gear, gear))
+    m.locked = locked
+    out = tname if out_dir is None \
+        else join_paths(out_dir, storage.base_name(tname))
+    m.save_to_h5(out)
+    return out
+
+
+def normalize_transforms(tlist, angle=0.0, offset=(0.0, 0.0), resolution=None,
+                         num_workers=1):
+    """Rigidly normalize a set of aligned transforms as one stack
+    (reference normalize_transforms: thumbnail_main.py:295): rotate every
+    section by ``angle`` degrees (None -> the rotation minimizing the
+    union bounding rectangle), then shift so the stack's bbox corner sits
+    at ``offset`` (None -> rotate about the shared centroid, no shift).
+    Returns the output canvas bbox (0, 0, W, H)."""
+    from feabas_tpu.concurrent import submit_to_workers
+    from feabas_tpu.spatial import find_rotation_for_minimum_rectangle
+    hulls = list(submit_to_workers(
+        get_convex_hull, [(t,) for t in tlist],
+        kwargs_list=[{'resolution': resolution}] * len(tlist),
+        num_workers=num_workers))
+    pts = np.concatenate([h for h in hulls if h is not None and len(h)])
+
+    def rot(th):
+        return np.array([[np.cos(th), np.sin(th)],
+                         [-np.sin(th), np.cos(th)]])
+
+    if angle is None:
+        theta = find_rotation_for_minimum_rectangle(pts.astype(np.float32))
+        # cv2's minAreaRect angle sign convention is unreliable: keep the
+        # derotation direction that actually zeroes the residual rotation
+        res = []
+        for th in (theta, -theta):
+            q = pts @ rot(th)
+            r = find_rotation_for_minimum_rectangle(q.astype(np.float32))
+            res.append(abs((r + np.pi / 4) % (np.pi / 2) - np.pi / 4))
+        theta = theta if res[0] <= res[1] else -theta
+    else:
+        theta = float(angle) * np.pi / 180.0
+    Rt = rot(theta)
+    tp = pts @ Rt
+    cmin, cmax = tp.min(axis=0), tp.max(axis=0)
+    if offset is None:
+        centr = pts.mean(axis=0)
+        txy = centr - centr @ Rt
+    else:
+        txy = np.asarray(offset, np.float64) - cmin
+    xy_max = np.ceil(cmax + txy + np.clip(cmin + txy, 0, None))
+    bbox_out = (0, 0, int(xy_max[0]), int(xy_max[1]))
+    if theta != 0 or np.any(np.asarray(txy) != 0):
+        list(submit_to_workers(
+            apply_transform_normalization, [(t,) for t in tlist],
+            kwargs_list=[{'R': Rt, 'txy': txy, 'resolution': resolution}]
+            * len(tlist), num_workers=num_workers))
+    return bbox_out
+
+
 def parse_match_name(fname, delimiter=DELIMITER):
     stem = storage.base_name(fname).rsplit('.', 1)[0]
     a, _, b = stem.partition(delimiter)

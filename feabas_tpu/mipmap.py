@@ -149,6 +149,74 @@ def create_thumbnail(src_meta, out_file, thumbnail_mip=6, src_mip=0,
     return out_file
 
 
+def tensorstore_spec_for_dir(path):
+    """Detect the tensorstore driver of a rendered-volume directory and
+    return an openable spec, or None when the directory is not a volume."""
+    markers = (('info', 'neuroglancer_precomputed'),
+               ('.zarray', 'zarr'), ('.zgroup', 'zarr'),
+               ('attributes.json', 'n5'))
+    for fname, driver in markers:
+        if storage.file_exists(join_paths(str(path), fname)):
+            return {'driver': driver,
+                    'kvstore': {'driver': 'file', 'path': str(path)}}
+    return None
+
+
+def create_thumbnail_tensorstore(base_spec, out_file=None, thumbnail_mip=6,
+                                 z=0, highpass=True,
+                                 highpass_inter_mip=None):
+    """Thumbnail straight from a tensorstore volume through stacked
+    'downsample' drivers (reference create_thumbnail_tensorstore:
+    mipmap.py:252) — no intermediate mip tiles touch disk.
+
+    With ``highpass``, shading is suppressed by the reference's
+    max-minus-min construction: mean-downsample to an intermediate mip,
+    then take one extra level of MAX- and MIN-downsampling (cast to
+    float), mean-reduce both to the target mip, and auto-scale their
+    difference (dark-on-light, matching the image-path thumbnails).
+    """
+    if out_file is not None and storage.file_exists(out_file,
+                                                    use_cache=True):
+        return out_file
+    from feabas_tpu.dal import TensorStoreLoader, get_tensorstore_spec
+    if isinstance(base_spec, str):
+        spec = tensorstore_spec_for_dir(base_spec)
+        if spec is None:
+            raise RuntimeError(f'not a tensorstore volume: {base_spec}')
+        base_spec = spec
+
+    def read_full(spec):
+        ld = TensorStoreLoader(spec, z=z)
+        dom = ld.dataset.domain
+        b = (int(dom[0].inclusive_min), int(dom[1].inclusive_min),
+             int(dom[0].exclusive_max), int(dom[1].exclusive_max))
+        return ld.crop(b)
+
+    if not highpass:
+        img = read_full(get_tensorstore_spec(base_spec, mip=thumbnail_mip))
+        out = _max_entropy_scaling(img.astype(np.float32))
+    else:
+        inter = max(0, thumbnail_mip - 2) if highpass_inter_mip is None \
+            else int(highpass_inter_mip)
+        inter = min(inter, max(thumbnail_mip - 1, 0))
+        inter_spec = get_tensorstore_spec(base_spec, mip=inter)
+        rest = thumbnail_mip - inter - 1
+        ext = {}
+        for method in ('max', 'min'):
+            s = {'driver': 'cast', 'dtype': 'float32',
+                 'base': {'driver': 'downsample',
+                          'downsample_factors': [2, 2, 1],
+                          'downsample_method': method,
+                          'base': inter_spec}}
+            ext[method] = read_full(get_tensorstore_spec(s, mip=rest))
+        hp = ext['max'].astype(np.float32) - ext['min'].astype(np.float32)
+        out = 255 - _max_entropy_scaling(hp, qlow=0.0)
+    if out_file is None:
+        return out
+    common.imwrite(out_file, out)
+    return out_file
+
+
 def generate_thumbnail_mask(tform_h5, out_file, thumbnail_mip=6,
                             mask_erode=2):
     """ROI mask for a section's thumbnail from its stitch meshes

@@ -18,6 +18,23 @@ from feabas_tpu.common import render_by_subregions, z_order
 from feabas_tpu import storage
 
 
+def resolve_section_source(src):
+    """Loader from a section-source reference: a coordinate-file path, a
+    tensorstore volume directory, a JSON loader spec, or a live loader."""
+    from feabas_tpu.dal import (AbstractImageLoader, StaticImageLoader,
+                                TensorStoreLoader, get_loader_from_json)
+    if isinstance(src, AbstractImageLoader):
+        return src
+    if isinstance(src, str) and not src.lstrip().startswith('{'):
+        if not src.endswith('.txt'):
+            from feabas_tpu.mipmap import tensorstore_spec_for_dir
+            spec = tensorstore_spec_for_dir(src)
+            if spec is not None:
+                return TensorStoreLoader(spec)
+        return StaticImageLoader.from_coordinate_file(src)
+    return get_loader_from_json(src)
+
+
 def _interp_flag(interp):
     """Map a reference-style ``remap_interp`` name ('NEAREST'/'LINEAR'/
     'CUBIC', reference renderer.py:969) to the cv2 interpolation constant
@@ -469,10 +486,9 @@ class VolumeRenderer:
         self._interp = kwargs.get('remap_interp', 'LINEAR')
 
     def _get_loader(self, name):
-        from feabas_tpu.dal import StaticImageLoader, AbstractImageLoader
         ld = self.loaders[name]
         if isinstance(ld, str):
-            ld = StaticImageLoader.from_coordinate_file(ld)
+            ld = resolve_section_source(ld)
             self.loaders[name] = ld
         return ld
 
@@ -690,7 +706,6 @@ def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
     the batch union so huge sections don't fully load per job. Returns
     (done_keys, num_written)."""
     from feabas_tpu.mesh import Mesh
-    from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
     boxes = np.asarray(chunk_bboxes, np.float64).reshape(-1, 4)
     union = (boxes[:, 0].min(), boxes[:, 1].min(),
              boxes[:, 2].max(), boxes[:, 3].max())
@@ -704,10 +719,7 @@ def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
                (tb[:, 1] < union[3]) & (tb[:, 3] > union[1]))
         if sel.any() and not sel.all():
             mesh = mesh.submesh(sel)
-        if isinstance(loader_spec, str):
-            loader = StaticImageLoader.from_coordinate_file(loader_spec)
-        else:
-            loader = get_loader_from_json(loader_spec)
+        loader = resolve_section_source(loader_spec)
         renderers.append((int(z), MeshRenderer.from_mesh(
             mesh, image_loader=loader)))
     keys, wrote = [], 0
@@ -728,7 +740,6 @@ def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
     from its JSON spec, and writes each chunk. Returns (done_keys,
     num_written)."""
     from feabas_tpu.mesh import Mesh
-    from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
     mesh = Mesh(mesh_init.pop('vertices'), mesh_init.pop('triangles'),
                 **mesh_init)
     boxes = np.asarray(chunk_bboxes, np.float64).reshape(-1, 4)
@@ -739,10 +750,7 @@ def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
            (tb[:, 1] < union[3]) & (tb[:, 3] > union[1]))
     if sel.any() and not sel.all():
         mesh = mesh.submesh(sel)
-    if isinstance(loader_spec, str):
-        loader = StaticImageLoader.from_coordinate_file(loader_spec)
-    else:
-        loader = get_loader_from_json(loader_spec)
+    loader = resolve_section_source(loader_spec)
     renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
     keys, wrote = [], 0
     for bbox in chunk_bboxes:

@@ -30,11 +30,43 @@ def stitched_section_list(work_dir, slicing=None):
     root = join_paths(work_dir, 'stitched_sections', 'mip0')
     metas = storage.list_folder_content(join_paths(root, '*', 'metadata.txt'))
     pairs = [(m.rstrip('/').split('/')[-2], m) for m in sorted(metas)]
+    # tensorstore-rendered sections (no metadata.txt): the dir is the
+    # volume (reference loads TS specs in align matching: align_main.py:102)
+    seen = {n for n, _ in pairs}
+    from feabas_tpu.mipmap import tensorstore_spec_for_dir
+    for d in sorted(storage.list_folder_content(join_paths(root, '*/'))):
+        name = d.rstrip('/').split('/')[-1]
+        if name not in seen and tensorstore_spec_for_dir(d) is not None:
+            pairs.append((name, d.rstrip('/')))
+    pairs.sort()
     if slicing is not None:
         if slicing.reverse:
             pairs = pairs[::-1]
         pairs = pairs[slice(slicing.start, slicing.stop, slicing.step)]
     return pairs
+
+
+def section_loader(meta, **loader_config):
+    """Loader for a stitched section: coordinate-file mosaic for
+    ``metadata.txt`` entries, TensorStoreLoader for rendered-volume dirs."""
+    from feabas_tpu.dal import StaticImageLoader, TensorStoreLoader
+    if str(meta).endswith('.txt'):
+        return StaticImageLoader.from_coordinate_file(meta, **loader_config)
+    from feabas_tpu.mipmap import tensorstore_spec_for_dir
+    spec = tensorstore_spec_for_dir(meta)
+    if spec is None:
+        raise RuntimeError(f'not a stitched section source: {meta}')
+    return TensorStoreLoader(spec, **loader_config)
+
+
+def section_source_bbox(loader):
+    """World bbox of a section source (mosaic tile union or TS domain)."""
+    if hasattr(loader, 'bboxes'):
+        b = np.asarray(loader.bboxes)
+        return (b[:, 0].min(), b[:, 1].min(), b[:, 2].max(), b[:, 3].max())
+    dom = loader.dataset.domain
+    return (int(dom[0].inclusive_min), int(dom[1].inclusive_min),
+            int(dom[0].exclusive_max), int(dom[1].exclusive_max))
 
 
 def meshing_main(args, conf, logger):
@@ -65,9 +97,8 @@ def meshing_main(args, conf, logger):
                 min_mesh_angle=mconf.get('min_mesh_angle', 0),
                 resolution=res, name=name)
         else:
-            loader = StaticImageLoader.from_coordinate_file(meta)
-            bbox = (loader.bboxes[:, 0].min(), loader.bboxes[:, 1].min(),
-                    loader.bboxes[:, 2].max(), loader.bboxes[:, 3].max())
+            loader = section_loader(meta)
+            bbox = section_source_bbox(loader)
             mesh = Mesh.from_bbox(bbox, cartesian=False, mesh_size=mesh_size,
                                   resolution=res, name=name)
         # carry the rough placement from the thumbnail transform so fine
@@ -131,10 +162,10 @@ def matching_main(args, conf, logger):
         mesh1.change_resolution(res)
         mesh0.uid, mesh1.uid = 0.0, 1.0
         mesh0.locked = True
-        loader0 = StaticImageLoader.from_coordinate_file(
-            metas[sec0], **(mconf.get('loader_config') or {}))
-        loader1 = StaticImageLoader.from_coordinate_file(
-            metas[sec1], **(mconf.get('loader_config') or {}))
+        loader0 = section_loader(metas[sec0],
+                                 **(mconf.get('loader_config') or {}))
+        loader1 = section_loader(metas[sec1],
+                                 **(mconf.get('loader_config') or {}))
         if scale != 1.0:
             loader0 = _ScaledLoader(loader0, scale)
             loader1 = _ScaledLoader(loader1, scale)
@@ -271,8 +302,7 @@ def render_main(args, conf, logger):
             continue
         t0 = time.time()
         mesh = Mesh.from_h5(t)
-        loader = StaticImageLoader.from_coordinate_file(
-            meta, **(rconf.get('loader_config') or {}))
+        loader = section_loader(meta, **(rconf.get('loader_config') or {}))
         from feabas_tpu.common import interp_from_name
         tiles = render_whole_mesh(
             mesh, loader, join_paths(out_dir, prefix_name),

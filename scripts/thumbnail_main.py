@@ -29,6 +29,15 @@ def stitched_sections(work_dir, slicing=None):
     root = join_paths(work_dir, 'stitched_sections', 'mip0')
     metas = storage.list_folder_content(join_paths(root, '*', 'metadata.txt'))
     pairs = [(m.rstrip('/').split('/')[-2], m) for m in sorted(metas)]
+    # tensorstore-rendered sections: the section dir IS the volume
+    # (neuroglancer info / zarr / n5 markers, no metadata.txt)
+    seen = {n for n, _ in pairs}
+    from feabas_tpu.mipmap import tensorstore_spec_for_dir
+    for d in sorted(storage.list_folder_content(join_paths(root, '*/'))):
+        name = d.rstrip('/').split('/')[-1]
+        if name not in seen and tensorstore_spec_for_dir(d) is not None:
+            pairs.append((name, d.rstrip('/')))
+    pairs.sort()
     if slicing is not None:
         if slicing.reverse:
             pairs = pairs[::-1]
@@ -51,14 +60,25 @@ def downsample_main(args, conf, logger):
     fmt = dconf.get('thumbnail_format', 'png')
     for name, meta in stitched_sections(work_dir, args):
         t0 = time.time()
-        mip_map_one_section(name, meta,
-                            join_paths(work_dir, 'stitched_sections'),
-                            max_mip=min(max_mip, 4),
-                            fmt=dconf.get('format', 'jpg'))
         out = thumb_path(work_dir, name, fmt)
-        create_thumbnail(meta, out, thumbnail_mip=thumb_mip,
-                         highpass=dconf.get('thumbnail_highpass', True),
-                         highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+        if not str(meta).endswith('.txt'):
+            # tensorstore-rendered section: thumbnail straight from the
+            # volume via downsample drivers; mips are served virtually
+            # (get_tensorstore_spec) so no tile pyramid is materialized
+            from feabas_tpu.mipmap import create_thumbnail_tensorstore
+            create_thumbnail_tensorstore(
+                meta, out, thumbnail_mip=thumb_mip,
+                highpass=dconf.get('thumbnail_highpass', True),
+                highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+        else:
+            mip_map_one_section(name, meta,
+                                join_paths(work_dir, 'stitched_sections'),
+                                max_mip=min(max_mip, 4),
+                                fmt=dconf.get('format', 'jpg'))
+            create_thumbnail(
+                meta, out, thumbnail_mip=thumb_mip,
+                highpass=dconf.get('thumbnail_highpass', True),
+                highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
         tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
         if storage.file_exists(tform):
             generate_thumbnail_mask(
@@ -160,17 +180,33 @@ def optimize_main(args, conf, logger):
     res = config.montage_resolution() * (2 ** thumb_mip)
     fmt = conf.get('downsample', {}).get('thumbnail_format', 'png')
     mesh_dir = join_paths(work_dir, 'thumbnail_align', 'mesh')
+    mask_dir = join_paths(work_dir, 'thumbnail_align', 'material_masks')
     names = [n for n, _ in stitched_sections(work_dir, None)]
     mconf = oconf.get('meshing_config', {}) or {}
     for name in names:
         out = join_paths(mesh_dir, name + '.h5')
         if storage.file_exists(out, use_cache=True):
             continue
-        img = imread(thumb_path(work_dir, name, fmt), flag=cv2.IMREAD_GRAYSCALE)
-        mesh = Mesh.from_bbox((0, 0, img.shape[1], img.shape[0]),
-                              cartesian=True,
-                              mesh_size=mconf.get('mesh_size', 100),
-                              resolution=res, name=name)
+        mask_file = join_paths(mask_dir, name + '.png')
+        if storage.file_exists(mask_file):
+            # mesh the section's material mask so excluded regions carry
+            # no elements (reference meshes thumbnails from masks:
+            # thumbnail_main.py:583-632)
+            from feabas_tpu.spatial import Geometry
+            geom = Geometry.from_image(
+                mask_file, scale=1.0, resolution=res,
+                material_table=config.material_table())
+            mesh = Mesh.from_geometry(
+                geom, mesh_size=mconf.get('mesh_size', 100),
+                simplify_tol=mconf.get('simplify_tol', 2),
+                resolution=res, name=name)
+        else:
+            img = imread(thumb_path(work_dir, name, fmt),
+                         flag=cv2.IMREAD_GRAYSCALE)
+            mesh = Mesh.from_bbox((0, 0, img.shape[1], img.shape[0]),
+                                  cartesian=True,
+                                  mesh_size=mconf.get('mesh_size', 100),
+                                  resolution=res, name=name)
         mesh.save_to_h5(out)
     al = Aligner(mesh_dir,
                  join_paths(work_dir, 'thumbnail_align', 'tform'),
@@ -192,18 +228,34 @@ def render_main(args, conf, logger):
     tform_dir = join_paths(work_dir, 'thumbnail_align', 'tform')
     out_dir = join_paths(work_dir, 'thumbnail_align', 'aligned')
     names = [n for n, _ in stitched_sections(work_dir, args)]
-    boxes = []
-    meshes = {}
-    for name in names:
-        t = join_paths(tform_dir, name + '.h5')
-        if storage.file_exists(t):
-            meshes[name] = Mesh.from_h5(t)
-            boxes.append(meshes[name].bbox(gear='MOVING'))
-    if not boxes:
+    tpaths = [join_paths(tform_dir, n + '.h5') for n in names]
+    avail = [(n, t) for n, t in zip(names, tpaths)
+             if storage.file_exists(t)]
+    if not avail:
         return
+    rconf = dict(conf.get('render', {}) or {})
+    canvas = None
+    if rconf.get('normalize', True):
+        # one rigid normalization over the WHOLE stack: derotate (angle
+        # null -> minimum-rectangle auto) + pin the bbox corner, then
+        # render onto the normalized canvas (reference
+        # normalize_transforms: thumbnail_main.py:295). angle=0 +
+        # offset=(0,0) is idempotent across re-runs.
+        from feabas_tpu.aligner import normalize_transforms
+        offset = rconf.get('offset', (0.0, 0.0))
+        canvas = normalize_transforms(
+            [t for _, t in avail], angle=rconf.get('rotation_angle', 0.0),
+            offset=None if offset is None else tuple(offset))
+        storage.clear_exists_cache()
+    meshes = {}
+    boxes = []
+    for name, t in avail:
+        meshes[name] = Mesh.from_h5(t)
+        boxes.append(meshes[name].bbox(gear='MOVING'))
     boxes = np.asarray(boxes)
-    canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
-              float(boxes[:, 2].max()), float(boxes[:, 3].max()))
+    if canvas is None:
+        canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
+                  float(boxes[:, 2].max()), float(boxes[:, 3].max()))
     for name, mesh in meshes.items():
         out = join_paths(out_dir, f'{name}.{fmt}')
         if storage.file_exists(out, use_cache=True):

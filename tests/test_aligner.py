@@ -399,3 +399,58 @@ def test_persistent_chunk_map_incremental_growth(workdir, rng):
     junction_ok = {'sec0047.h5'}  # junction_width 1 + pad context
     allowed = junction_ok | {'sec0046.h5'}
     assert changed <= allowed, changed
+
+
+def test_normalize_transforms_rigid_normalization(workdir, tmp_path):
+    """normalize_transforms derotates the whole stack jointly and pins
+    the union bbox corner at the requested offset, applying the SAME
+    rigid map to every section (reference normalize_transforms:
+    thumbnail_main.py:295, apply_transform_normalization: aligner.py:157)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu import constant as const
+    from feabas_tpu.aligner import normalize_transforms, get_convex_hull
+    theta = np.deg2rad(10.0)
+    R = np.array([[np.cos(theta), np.sin(theta)],
+                  [-np.sin(theta), np.cos(theta)]])
+    tnames = []
+    rel01 = None
+    for z in range(3):
+        m = Mesh.from_bbox((0, 0, 100, 60), cartesian=True, mesh_size=30,
+                           name=f's{z}', uid=z)
+        # a rotated, drifting stack
+        v = m.vertices_w_offset(const.MESH_GEAR_INITIAL) @ R + [50 + 3 * z,
+                                                                -20 + 2 * z]
+        c = v.mean(axis=0, keepdims=True)
+        m.set_vertices(v - c, const.MESH_GEAR_MOVING, offset=c)
+        t = str(tmp_path / f's{z}.h5')
+        m.save_to_h5(t)
+        tnames.append(t)
+    h0 = get_convex_hull(tnames[0])
+    h1 = get_convex_hull(tnames[1])
+    rel01 = h1.mean(axis=0) - h0.mean(axis=0)
+    bbox = normalize_transforms(tnames, angle=None, offset=(0.0, 0.0))
+    pts = np.concatenate([
+        Mesh.from_h5(t).vertices_w_offset(const.MESH_GEAR_MOVING)
+        for t in tnames])
+    # corner pinned at the origin, canvas covers the stack
+    assert np.all(pts.min(axis=0) > -1e-6)
+    assert pts[:, 0].max() <= bbox[2] and pts[:, 1].max() <= bbox[3]
+    # derotated: the min-rect rotation of the normalized stack is ~0
+    from feabas_tpu.spatial import find_rotation_for_minimum_rectangle
+    th = find_rotation_for_minimum_rectangle(pts.astype(np.float32))
+    th = (th + np.pi / 4) % (np.pi / 2) - np.pi / 4   # mod 90 degrees
+    assert abs(th) < np.deg2rad(1.5), np.rad2deg(th)
+    # the map is RIGID and SHARED: relative section offsets keep length
+    h0n = get_convex_hull(tnames[0])
+    h1n = get_convex_hull(tnames[1])
+    rel01n = h1n.mean(axis=0) - h0n.mean(axis=0)
+    assert np.isclose(np.linalg.norm(rel01n), np.linalg.norm(rel01),
+                      atol=1e-3)
+    # idempotent at angle=0/offset=(0,0): a second pass is a no-op
+    before = [open(t, 'rb').read() for t in tnames]
+    normalize_transforms(tnames, angle=0.0, offset=(0.0, 0.0))
+    pts2 = np.concatenate([
+        Mesh.from_h5(t).vertices_w_offset(const.MESH_GEAR_MOVING)
+        for t in tnames])
+    assert np.allclose(pts2, pts, atol=1e-6)

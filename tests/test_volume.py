@@ -235,3 +235,76 @@ def test_volume_slab_single_write_per_chunk(tile_volume, tmp_path,
         blk = writer.read_chunk((40, 40, 120, 120), z).astype(float)
         cc = np.corrcoef(ref.ravel(), blk.ravel())[0, 1]
         assert cc > 0.98, (z, cc)
+
+
+def test_create_thumbnail_tensorstore(tmp_path, workdir, rng):
+    """Thumbnails straight from a tensorstore volume via stacked
+    downsample drivers (reference create_thumbnail_tensorstore:
+    mipmap.py:252): no mip tiles on disk; highpass output keeps texture
+    contrast while canceling a large-scale shading gradient."""
+    from synthutil import texture
+    from feabas_tpu.dal import TensorStoreWriter
+    from feabas_tpu.mipmap import (create_thumbnail_tensorstore,
+                                   tensorstore_spec_for_dir)
+    from feabas_tpu.common import imread
+    h = w = 512
+    img = texture(rng, h, w).astype(np.float32)
+    # strong left-right shading gradient that highpass must suppress
+    shade = np.linspace(0.2, 1.0, w)[None, :]
+    img = np.clip(img * shade, 0, 255).astype(np.uint8)
+    out = str(tmp_path / 'vol')
+    wtr = TensorStoreWriter.create(out, (0, 0, w, h), 1, driver='zarr',
+                                   chunk_shape=[128, 128, 1])
+    wtr.write_single_chunk((0, 0, w, h), 0, img)
+    spec = tensorstore_spec_for_dir(out)
+    assert spec is not None and spec['driver'] == 'zarr'
+    # plain (no-highpass) thumbnail at mip2: 4x downsampled
+    p0 = str(tmp_path / 'plain.png')
+    create_thumbnail_tensorstore(out, p0, thumbnail_mip=2, highpass=False)
+    t0 = imread(p0)
+    assert t0.shape == (h // 4, w // 4)
+    # highpass thumbnail: shading gradient mostly removed -> left and
+    # right halves have similar mean, unlike the plain thumbnail
+    p1 = str(tmp_path / 'hp.png')
+    create_thumbnail_tensorstore(out, p1, thumbnail_mip=2, highpass=True,
+                                 highpass_inter_mip=0)
+    t1 = imread(p1)
+    assert t1.shape == (h // 4, w // 4)
+
+    def lr_ratio(t):
+        m = t.astype(float)
+        L = m[:, : m.shape[1] // 2].mean()
+        R = m[:, m.shape[1] // 2:].mean()
+        return min(L, R) / max(L, R)
+
+    assert lr_ratio(t1) > lr_ratio(t0) + 0.1, (lr_ratio(t0), lr_ratio(t1))
+
+
+def test_volume_render_from_tensorstore_source(tmp_path, workdir, rng):
+    """A tensorstore-rendered section can feed the next pipeline stage:
+    string loaders that point at a TS volume dir resolve to a
+    TensorStoreLoader in both serial and worker volume paths (reference
+    loads TS specs in align rendering: align_main.py:102,477)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import TensorStoreWriter
+    from feabas_tpu.renderer import VolumeRenderer, resolve_section_source
+    from feabas_tpu.dal import TensorStoreLoader
+    h = w = 128
+    img = texture(rng, h, w).astype(np.uint8)
+    src_dir = str(tmp_path / 'src_vol')
+    sw = TensorStoreWriter.create(src_dir, (0, 0, w, h), 1, driver='zarr',
+                                  chunk_shape=[64, 64, 1])
+    sw.write_single_chunk((0, 0, w, h), 0, img)
+    assert isinstance(resolve_section_source(src_dir), TensorStoreLoader)
+    mesh = Mesh.from_bbox((0, 0, w, h), cartesian=True, mesh_size=40,
+                          name='sec', uid=0)
+    mesh_path = str(tmp_path / 'sec.h5')
+    mesh.save_to_h5(mesh_path)
+    out = str(tmp_path / 'out_vol')
+    writer = TensorStoreWriter.create(out, (0, 0, w, h), 1, driver='zarr',
+                                      chunk_shape=[64, 64, 1])
+    vr = VolumeRenderer([(0, 'sec', mesh_path)], {'sec': src_dir}, writer)
+    n = vr.render_volume(num_workers=2, chunks_per_job=1)
+    assert n > 0
+    back = np.asarray(writer.read_chunk((0, 0, w, h), 0))
+    assert np.array_equal(back, img)
