@@ -126,6 +126,28 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
     }
 
 
+def montage_aggregates(centers, max_coarse=4096, target=2048):
+    """Spatially-coherent tile aggregates for the coarse preconditioner.
+
+    Identity below ``max_coarse`` tiles (exact per-tile coarse space);
+    above, tiles sort by the Morton code of their quantized centers and
+    chunk into ~``target`` contiguous runs, so each aggregate is a
+    compact neighborhood (whole-mFoV-scale modes stay in the coarse
+    space at any tile count). Returns (agg (M,) int32, n_agg)."""
+    from feabas_tpu.common import z_order
+    M = centers.shape[0]
+    if M <= max_coarse:
+        return np.arange(M, dtype=np.int32), M
+    c = np.asarray(centers, np.float64)
+    span = max(float(np.ptp(c[:, 0])), float(np.ptp(c[:, 1])), 1.0)
+    q = np.floor((c - c.min(axis=0)) / span * 1024).astype(np.int64)
+    order = z_order(q[:, ::-1])            # (row, col) convention
+    run = -(-M // int(target))
+    agg = np.empty(M, np.int32)
+    agg[order] = np.arange(M, dtype=np.int32) // run
+    return agg, int(agg.max()) + 1
+
+
 def pad_montage_system(system, n_devices):
     """Pad the tile axis to a multiple of ``n_devices`` with inert locked
     copies of tile 0 (no links touch them; free=0 keeps them fixed)."""
@@ -138,6 +160,9 @@ def pad_montage_system(system, n_devices):
     for k in ('verts0', 'u', 'multiplier', 'poisson'):
         a = system[k]
         out[k] = np.concatenate([a, np.repeat(a[:1], pad, axis=0)], axis=0)
+    if 'agg' in system:
+        out['agg'] = np.concatenate(
+            [system['agg'], np.zeros(pad, np.int32)])
     out['free'] = np.concatenate(
         [system['free'], np.zeros((pad, 1, 1), np.float32)], axis=0)
     return out
@@ -154,6 +179,9 @@ def shard_montage_system(system, device_mesh):
         out[k] = jax.device_put(system[k], msh)
     out['tris'] = jax.device_put(system['tris'], rep)
     out['r_rest'] = jax.device_put(system['r_rest'], rep)
+    if 'agg' in system:
+        out['agg'] = jax.device_put(np.asarray(system['agg'], np.int32),
+                                    rep)
     out['links'] = tuple(jax.device_put(a, rep) for a in system['links'])
     return out
 
@@ -183,11 +211,18 @@ def _montage_matvec(x, Ke, tris, links, free, lam_s, lam_c):
     return y * free
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter',))
+@functools.partial(jax.jit, static_argnames=('maxiter', 'n_agg'))
 def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
-                  lam_ratio=1.0, tol=1e-7, atol=0.0, maxiter=2000):
+                  lam_ratio=1.0, tol=1e-7, atol=0.0, maxiter=2000,
+                  agg=None, n_agg=None):
     """One montage relaxation in displacement form; returns
     (new_u (M,V,2), stats (2,2)).
+
+    ``agg``/``n_agg``: optional per-tile aggregate ids for the coarse
+    preconditioner space. Identity (one aggregate per tile) reproduces
+    the exact link-Laplacian coarse solve; spatially-coherent aggregates
+    keep the coarse system invertible at 10k+ tiles (MultiSEM scale),
+    where a dense per-tile (M, M) inverse would not fit.
 
     ``verts0`` holds per-tile LOCAL rest coordinates (shape matrices are
     translation invariant), ``u`` the start displacement, and ``r_rest``
@@ -249,33 +284,44 @@ def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     diag = jnp.where(free > 0, diag, 1.0)
     # two-level preconditioner: per-tile uniform translations are exact
     # stiffness null modes, so the montage's slow modes live in the
-    # (M,M) link-graph Laplacian — solved exactly when M is small enough
-    # to invert (same idea as the window solve's z-chain coarse space).
-    # The gate covers MultiSEM-scale sections (2k+ tiles): the coarse
-    # space carries the whole-mFoV translation modes that plain Jacobi
-    # converges slowest on. inv() at M=4096 is ~0.1 TFLOP — trivial on
-    # the MXU, seconds on CPU.
+    # link-graph translation Laplacian (same idea as the window solve's
+    # z-chain coarse space). Small sections invert the exact per-tile
+    # (M,M) system; above the identity gate, tiles AGGREGATE into
+    # spatially-coherent groups (``agg``) and the (A,A) aggregate
+    # Laplacian P_f' L P_f carries the slow whole-region modes — this
+    # keeps the coarse solve dense-invertible at MultiSEM scale (10k+
+    # tiles) instead of dropping to plain Jacobi.
     precond = None
-    if M <= 4096:
+    if n_agg is None and M <= 4096:
+        agg = jnp.arange(M, dtype=jnp.int32)
+        n_agg = M
+    if n_agg is not None and agg is not None:
+        A = int(n_agg)
         freed = free[:, 0, 0]
+        freed_agg = jnp.zeros(A, dt).at[agg].max(freed)
         w2 = (weight ** 2) * lam_c
-        Ac = jnp.zeros((M, M), dt)
-        Ac = Ac.at[m0, m0].add(w2).at[m1, m1].add(w2)
-        Ac = Ac.at[m0, m1].add(-w2).at[m1, m0].add(-w2)
-        mask2 = freed[:, None] * freed[None, :]
-        Ac = jnp.where(mask2 > 0, Ac, 0.0)
+        a0 = agg[m0]
+        a1 = agg[m1]
+        # exact free-subspace restriction: a locked endpoint contributes
+        # its diagonal mass only through the OTHER (free) tile
+        f0 = freed[m0]
+        f1 = freed[m1]
+        Ac = jnp.zeros((A, A), dt)
+        Ac = Ac.at[a0, a0].add(w2 * f0).at[a1, a1].add(w2 * f1)
+        Ac = Ac.at[a0, a1].add(-w2 * f0 * f1).at[a1, a0].add(-w2 * f0 * f1)
         reg = jnp.maximum(jnp.diagonal(Ac).max(), 1.0)
-        Ac = Ac + jnp.diag(jnp.where(freed > 0, 1e-6 * reg, reg))
+        Ac = Ac + jnp.diag(jnp.where(freed_agg > 0, 1e-6 * reg, reg))
         Acinv = jnp.linalg.inv(Ac)
         minv = jnp.where(diag > 1e-12,
                          1.0 / jnp.where(diag > 1e-12, diag, 1.0), 1.0)
 
         def precond(r):
-            rc = r.sum(axis=1)                          # (M, 2)
+            rt = r.sum(axis=1)                          # (M, 2)
+            rc = jnp.zeros((A, 2), dt).at[agg].add(rt)
             cc = jnp.einsum('st,tc->sc', Acinv, rc,
                             precision=jax.lax.Precision.HIGHEST)
-            cc = cc * freed[:, None]
-            return r * minv + cc[:, None, :] * free
+            cc = cc * freed_agg[:, None]
+            return r * minv + cc[agg][:, None, :] * free
 
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter, precond=precond)
@@ -307,13 +353,19 @@ def sharded_montage_linear_solve(slm, lam_ratio, shape_gear=None,
     jmesh = device_mesh if device_mesh is not None else montage_device_mesh()
     n_dev = jmesh.devices.size
     M = system['num_meshes']
+    # coarse-space aggregates: identity (exact) up to 4096 tiles,
+    # Morton-run neighborhoods beyond — the preconditioner stays active
+    # at MultiSEM scale instead of falling back to plain Jacobi
+    system['agg'], n_agg = montage_aggregates(
+        system['verts0_host'].mean(axis=1))
     padded = pad_montage_system(system, n_dev)
     sharded = shard_montage_system(padded, jmesh)
     new_u, stats = montage_solve(
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_ratio=float(lam_ratio),
-        tol=float(tol), atol=float(atol), maxiter=int(maxiter))
+        tol=float(tol), atol=float(atol), maxiter=int(maxiter),
+        agg=sharded['agg'], n_agg=n_agg)
     stats = np.asarray(stats)
     bnorm, res = float(stats[0, 0]), float(stats[0, 1])
     cost0 = float(stats[1, 0])
