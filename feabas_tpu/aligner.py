@@ -370,8 +370,10 @@ class Stack:
         ragged stacks, not just uniform synthetic ones."""
         from feabas_tpu.parallel.window import (
             slm_window_to_stack, shard_stack_system, stack_solve,
-            _stack_lambda_balance, stack_positions, JMesh)
+            stack_rigid_modes, _stack_lambda_balance, stack_positions,
+            JMesh)
         import jax
+        import jax.numpy as jnp
         system = slm_window_to_stack(slm)
         if system is None:
             return False
@@ -382,6 +384,9 @@ class Stack:
         jmesh = JMesh(np.array(devices[:n_dev]), ('z',))
         base_weight = system['links'][4].copy()
         u = system['u']
+        modes = stack_rigid_modes(system)
+        if modes is not None:
+            modes = jnp.asarray(modes, jnp.float32)
         for _pass in range(max(int(max_passes), 1)):
             sharded = shard_stack_system(system, jmesh)
             lam_s = float(_stack_lambda_balance(
@@ -392,7 +397,7 @@ class Stack:
                 sharded['verts0'], sharded['u'], sharded['tris'],
                 sharded['multiplier'], sharded['poisson'], sharded['links'],
                 sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
-                maxiter=maxiter)
+                maxiter=maxiter, modes=modes)
             u = np.asarray(out, np.float64)
             system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:

@@ -105,12 +105,33 @@ def _flat_translation_precond(offsets_arr, agg, mesh_free, idx0, idx1,
     return precond
 
 
+def _mode_projector(modes):
+    """Orthogonal projector removing the span of ``modes`` (K, NV, 2),
+    an orthonormal set. Used to deflate the rigid-body modes of fully-free
+    connected components: for such a component the infinitesimal-rotation
+    direction has near-zero curvature (only the shape-gear anchor
+    mismatches resist it) yet a nonzero gradient, so an unprojected
+    linearized solve can 'pay' for residue with an arbitrarily large
+    section rotation that the true nonlinear cost rejects (reference
+    counterpart: extra-DOF removal for unlocked components,
+    optimizer.py:1362-1377)."""
+    if modes is None:
+        return lambda x: x
+
+    def project(x):
+        coef = jnp.einsum('knc,nc->k', modes, x)
+        return x - jnp.einsum('k,knc->nc', coef, modes)
+
+    return project
+
+
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def _linear_solve_eng(tris, B, area2, multiplier, poisson,
                       idx0, bary0, idx1, bary1, weight,
                       pos_start, pos_shape, free,
                       lam_ratio, tol, atol, maxiter,
-                      offsets_arr=None, agg=None, mesh_free=None):
+                      offsets_arr=None, agg=None, mesh_free=None,
+                      modes=None):
     """Fused elastic solve for the dominant case: linear-ENG elements only
     (any number of meshes/material groups, concatenated in global vertex
     numbering). Assembles element blocks, trace-balances the stiffness
@@ -132,11 +153,13 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     lam_s = jnp.where(ok, lam_ratio * tr_c / jnp.where(tr_k > 0, tr_k, 1.0), 1.0)
     lam_c = 1.0
 
+    project = _mode_projector(modes)
+
     def matvec(x):
-        x = x * free
+        x = project(x * free)
         y = fem.stiffness_matvec(x, Ke, tris) * lam_s
         y = y + fem.crosslink_matvec(x, idx0, bary0, idx1, bary1, weight) * lam_c
-        return y * free
+        return project(y * free)
 
     b = -fem.stiffness_matvec(u_cur, Ke, tris) * lam_s
     r0 = (fem.link_eval(pos_start, idx1, bary1)
@@ -144,16 +167,19 @@ def _linear_solve_eng(tris, B, area2, multiplier, poisson,
     rw = r0 * (weight ** 2)[:, None]
     b = b.at[idx1].add(-bary1[:, :, None] * rw[:, None, :] * lam_c)
     b = b.at[idx0].add(bary0[:, :, None] * rw[:, None, :] * lam_c)
-    b = b * free
+    b = project(b * free)
     diag = dK * lam_s + dC * lam_c
     diag = jnp.where(free > 0, diag, 1.0)
     precond = None
     if agg is not None:
-        precond = _flat_translation_precond(
+        inner = _flat_translation_precond(
             offsets_arr, agg, mesh_free, idx0, idx1, weight, lam_c, diag,
             free, pos_start.dtype)
+        if inner is not None:
+            precond = lambda r: project(inner(project(r)))
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter, precond=precond)
+    dx = project(dx)
     # pack (dx, bnorm, res, cost0) into ONE array so the caller pays a
     # single device->host round trip (dominant cost on tunneled links)
     cost0 = jnp.linalg.norm(r0 * weight[:, None])
@@ -832,6 +858,59 @@ class SLM:
             'links': (idx0, bary0, idx1, bary1, weight),
         }
 
+    def _rigid_deflation_modes(self, pos_shape):
+        """Orthonormal rigid modes (2 translations + 1 infinitesimal
+        rotation about the component centroid, in shape-gear geometry) of
+        every fully-free link-connected component, stacked (K, NV, 2) in
+        global vertex numbering; None when every component is anchored by
+        a locked mesh. Deflating these from the linear solve is the
+        reference's extra-DOF removal for unlocked components
+        (reference optimizer.py:1362-1377): without it the rotation
+        direction has near-zero curvature but nonzero gradient and the
+        solve buys residue reduction with a spurious whole-component
+        rotation."""
+        n = self.num_meshes
+        parent = list(range(n))
+
+        def find(a):
+            while parent[a] != a:
+                parent[a] = parent[parent[a]]
+                a = parent[a]
+            return a
+
+        uid2idx = {m.uid: i for i, m in enumerate(self.meshes)}
+        for l in self.active_links():
+            a, b = find(uid2idx[l.uids[0]]), find(uid2idx[l.uids[1]])
+            if a != b:
+                parent[a] = b
+        offsets = np.cumsum([0] + [m.num_vertices for m in self.meshes])
+        comp_locked = {}
+        for i, m in enumerate(self.meshes):
+            r = find(i)
+            comp_locked[r] = comp_locked.get(r, False) or m.locked
+        nv = int(offsets[-1])
+        modes = []
+        for r, locked in comp_locked.items():
+            if locked:
+                continue
+            rows = np.concatenate([np.arange(offsets[i], offsets[i + 1])
+                                   for i in range(n) if find(i) == r])
+            m1 = np.zeros((nv, 2))
+            m1[rows, 0] = 1.0 / np.sqrt(rows.size)
+            m2 = np.zeros((nv, 2))
+            m2[rows, 1] = 1.0 / np.sqrt(rows.size)
+            modes.extend([m1, m2])
+            q = pos_shape[rows] - pos_shape[rows].mean(axis=0)
+            nrm = np.linalg.norm(q)
+            if nrm > 0:
+                m3 = np.zeros((nv, 2))
+                m3[rows, 0] = -q[:, 1] / nrm
+                m3[rows, 1] = q[:, 0] / nrm
+                modes.append(m3)
+        if not modes:
+            return None
+        return np.stack(modes)
+
     def _gather_positions(self, gear):
         return np.concatenate([m.vertices_w_offset(gear) for m in self.meshes], axis=0)
 
@@ -981,6 +1060,7 @@ class SLM:
             self._last_solve_fused = True
             idx0, bary0, idx1, bary1, weight = sys_d['links']
             dt = _solver_dtype()
+            deflate = self._rigid_deflation_modes(pos_shape)
             tris = jnp.concatenate([g['tris'] for g in groups])
             B = jnp.concatenate([g['B_area'][0] for g in groups])
             area2 = jnp.concatenate([g['B_area'][1] for g in groups])
@@ -999,7 +1079,8 @@ class SLM:
                 abs(lam_s / lam_c), tol, atol, int(maxiter),
                 offsets_arr=jnp.asarray(offs),
                 agg=jnp.asarray(agg, jnp.int32),
-                mesh_free=jnp.asarray(mesh_free, dt)))
+                mesh_free=jnp.asarray(mesh_free, dt),
+                modes=None if deflate is None else jnp.asarray(deflate, dt)))
             dx = packed[:-2]
             bnorm, res = float(packed[-2, 0]), float(packed[-2, 1])
             cost0 = float(packed[-1, 0])
@@ -1033,15 +1114,19 @@ class SLM:
             dof_map_j = jnp.asarray(dof_map)
         free = free.astype(u_cur.dtype)
         nv = sys_d['nv']
+        deflate = None if groupings is not None else \
+            self._rigid_deflation_modes(pos_shape)
+        proj = _mode_projector(None if deflate is None
+                               else jnp.asarray(deflate, u_cur.dtype))
 
         def matvec_full(x):
-            x = x * free
+            x = proj(x * free)
             y = jnp.zeros_like(x)
             for tris, Ke, _ in terms:
                 y = y + fem.stiffness_matvec(x, Ke, tris) * lam_s
             y = y + fem.crosslink_matvec(x, idx0, bary0, idx1, bary1,
                                          weight) * lam_c
-            return y * free
+            return proj(y * free)
 
         # rhs: -(lam_s * P(u) + lam_c * C^T W r)
         b = jnp.zeros_like(u_cur)
@@ -1062,6 +1147,7 @@ class SLM:
 
         cost0 = float(jnp.linalg.norm(r0 * weight[:, None]))
         if groupings is None:
+            b = proj(b)
             diag = jnp.where(free > 0, diag, 1.0)
             offs = sys_d['offsets']
             agg = np.repeat(np.arange(len(self.meshes)), np.diff(offs))
@@ -1072,11 +1158,14 @@ class SLM:
                 jnp.asarray(offs), jnp.asarray(agg, jnp.int32),
                 jnp.asarray(mesh_free, u_cur.dtype), idx0, idx1, weight,
                 lam_c, diag, free, u_cur.dtype)
+            if precond is not None and deflate is not None:
+                inner = precond
+                precond = lambda r: proj(inner(proj(r)))
             dx, n_it, res = fem.cg_solve(matvec_full, b, diag=diag, tol=tol,
                                          atol=atol, maxiter=int(maxiter),
                                          chances=chances, precond=precond)
             bnorm = float(jnp.linalg.norm(b))
-            dx = np.asarray(dx * free)
+            dx = np.asarray(proj(dx) * free)
             _solver_log().debug('linear solve: %d CG iters, |b|=%.3e, res=%.3e',
                                 int(n_it), bnorm, float(res))
         else:

@@ -126,6 +126,48 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
     }
 
 
+def montage_rigid_modes(system):
+    """Orthonormal rigid modes (tx, ty, infinitesimal rotation about the
+    component centroid) of every fully-free link-connected tile component,
+    stacked (K, M, V, 2), or None when all components are anchored.
+    Same role as ``SLM._rigid_deflation_modes`` (reference extra-DOF
+    removal, optimizer.py:1362-1377): the rotation direction of an
+    unanchored montage has near-zero curvature but nonzero gradient, so
+    an unprojected solve can rotate the whole section spuriously."""
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+    M = system['num_meshes']
+    V = system['num_vertices']
+    m0, _, _, m1, _, _, w = system['links']
+    act = w > 0
+    adj = coo_matrix((np.ones(int(act.sum())), (m0[act], m1[act])),
+                     shape=(M, M))
+    _, labels = connected_components(adj, directed=False)
+    locked = system['free'][:M, 0, 0] == 0
+    verts = system['verts0_host']                       # (M, V, 2) f64
+    modes = []
+    for lbl in np.unique(labels):
+        sel = labels == lbl
+        if locked[sel].any():
+            continue
+        cnt = float(sel.sum() * V)
+        m1v = np.zeros((M, V, 2))
+        m1v[sel, :, 0] = 1.0 / np.sqrt(cnt)
+        m2v = np.zeros((M, V, 2))
+        m2v[sel, :, 1] = 1.0 / np.sqrt(cnt)
+        modes.extend([m1v, m2v])
+        q = verts[sel] - verts[sel].reshape(-1, 2).mean(axis=0)
+        nrm = np.linalg.norm(q)
+        if nrm > 0:
+            m3v = np.zeros((M, V, 2))
+            m3v[sel, :, 0] = -q[..., 1] / nrm
+            m3v[sel, :, 1] = q[..., 0] / nrm
+            modes.append(m3v)
+    if not modes:
+        return None
+    return np.stack(modes)
+
+
 def montage_aggregates(centers, max_coarse=4096, target=2048):
     """Spatially-coherent tile aggregates for the coarse preconditioner.
 
@@ -214,7 +256,7 @@ def _montage_matvec(x, Ke, tris, links, free, lam_s, lam_c):
 @functools.partial(jax.jit, static_argnames=('maxiter', 'n_agg'))
 def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                   lam_ratio=1.0, tol=1e-7, atol=0.0, maxiter=2000,
-                  agg=None, n_agg=None):
+                  agg=None, n_agg=None, modes=None):
     """One montage relaxation in displacement form; returns
     (new_u (M,V,2), stats (2,2)).
 
@@ -264,8 +306,18 @@ def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                       1.0)
     lam_c = jnp.asarray(1.0, dt)
 
+    if modes is None:
+        project = lambda x: x
+    else:
+        mds = modes.astype(dt)
+
+        def project(x):
+            coef = jnp.einsum('kmvc,mvc->k', mds, x)
+            return x - jnp.einsum('k,kmvc->mvc', coef, mds)
+
     def matvec(x):
-        return _montage_matvec(x, Ke, tris, links, free, lam_s, lam_c)
+        return project(_montage_matvec(project(x), Ke, tris, links, free,
+                                       lam_s, lam_c))
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(u, Ke) \
@@ -323,8 +375,13 @@ def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
             cc = cc * freed_agg[:, None]
             return r * minv + cc[agg][:, None, :] * free
 
+    b = project(b)
+    if precond is not None and modes is not None:
+        inner_precond = precond
+        precond = lambda r: project(inner_precond(project(r)))
     dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol, atol=atol,
                                  maxiter=maxiter, precond=precond)
+    dx = project(dx)
     cost0 = jnp.linalg.norm(r_abs * weight[:, None])
     stats = jnp.stack([jnp.stack([jnp.linalg.norm(b), res]),
                        jnp.stack([cost0, n_it.astype(dt)])])
@@ -358,14 +415,24 @@ def sharded_montage_linear_solve(slm, lam_ratio, shape_gear=None,
     # at MultiSEM scale instead of falling back to plain Jacobi
     system['agg'], n_agg = montage_aggregates(
         system['verts0_host'].mean(axis=1))
+    modes = montage_rigid_modes(system)
     padded = pad_montage_system(system, n_dev)
     sharded = shard_montage_system(padded, jmesh)
+    modes_j = None
+    if modes is not None:
+        Mp = padded['u'].shape[0]
+        if Mp > modes.shape[1]:
+            modes = np.concatenate(
+                [modes, np.zeros((modes.shape[0], Mp - modes.shape[1],
+                                  modes.shape[2], 2))], axis=1)
+        modes_j = jax.device_put(
+            modes.astype(np.float32), NamedSharding(jmesh, P(None, 'm')))
     new_u, stats = montage_solve(
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_ratio=float(lam_ratio),
         tol=float(tol), atol=float(atol), maxiter=int(maxiter),
-        agg=sharded['agg'], n_agg=n_agg)
+        agg=sharded['agg'], n_agg=n_agg, modes=modes_j)
     stats = np.asarray(stats)
     bnorm, res = float(stats[0, 0]), float(stats[0, 1])
     cost0 = float(stats[1, 0])

@@ -138,6 +138,53 @@ def _build_system(meshes, links_per_pair, shape_gear, start_gear,
     }
 
 
+def stack_rigid_modes(system):
+    """Orthonormal rigid modes (tx, ty, infinitesimal rotation about the
+    component centroid) of every fully-free chain component of a stacked
+    window system, as (K, S, V, 2), or None when every component contains
+    a locked section. Same role as ``SLM._rigid_deflation_modes``
+    (reference extra-DOF removal, optimizer.py:1362-1377): a window with
+    no locked seed would otherwise buy residue reduction with a spurious
+    whole-window rotation whose only resistance is the rest-residual
+    geometry. Mode support excludes padding vertices."""
+    free = np.asarray(system['free'])                   # (S, V, 1)
+    S, V = free.shape[0], free.shape[1]
+    weight = np.asarray(system['links'][4])             # (S-1, L)
+    nvs = system['num_vertices']
+    verts0_host = system['verts0_host']
+    # chain components: cut at pairs with no active links
+    comp = np.zeros(S, np.int64)
+    for k in range(1, S):
+        comp[k] = comp[k - 1] + (0 if (k - 1 < weight.shape[0]
+                                       and (weight[k - 1] > 0).any())
+                                 else 1)
+    sec_free = free.max(axis=(1, 2)) > 0
+    modes = []
+    for lbl in np.unique(comp):
+        sel = np.nonzero(comp == lbl)[0]
+        if not sec_free[sel].all():
+            continue
+        cnt = float(sum(nvs[s] for s in sel))
+        m1 = np.zeros((S, V, 2))
+        m2 = np.zeros((S, V, 2))
+        m3 = np.zeros((S, V, 2))
+        allq = np.concatenate([verts0_host[s][:nvs[s]] for s in sel])
+        cen = allq.mean(axis=0)
+        for s in sel:
+            m1[s, :nvs[s], 0] = 1.0 / np.sqrt(cnt)
+            m2[s, :nvs[s], 1] = 1.0 / np.sqrt(cnt)
+            q = verts0_host[s][:nvs[s]] - cen
+            m3[s, :nvs[s], 0] = -q[:, 1]
+            m3[s, :nvs[s], 1] = q[:, 0]
+        modes.extend([m1, m2])
+        nrm = np.linalg.norm(m3)
+        if nrm > 0:
+            modes.append(m3 / nrm)
+    if not modes:
+        return None
+    return np.stack(modes)
+
+
 def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
     """A @ x for the stacked system; x: (S, V, 2); tris: (S, T, 3). With
     an incidence table the FEM transpose uses gathers instead of
@@ -182,7 +229,8 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
-                lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None):
+                lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None,
+                modes=None):
     """One window relaxation in displacement form.
 
     Returns (new_u (S, V, 2), n_it, res). Minimizes
@@ -202,9 +250,18 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     dt = u.dtype
     r_rest = r_rest.astype(dt)
 
+    if modes is None:
+        project = lambda x: x
+    else:
+        mds = modes.astype(dt)
+
+        def project(x):
+            coef = jnp.einsum('ksvc,svc->k', mds, x)
+            return x - jnp.einsum('k,ksvc->svc', coef, mds)
+
     def matvec(x):
-        return _stack_matvec(x, Ke, tris, links, free, lam_s, inc=inc,
-                             imask=imask)
+        return project(_stack_matvec(project(x), Ke, tris, links, free,
+                                     lam_s, inc=inc, imask=imask))
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     idx0, bary0, idx1, bary1, weight = links
@@ -265,11 +322,11 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
         cc = jnp.einsum('st,tc->sc', Acinv, rc,
                         precision=jax.lax.Precision.HIGHEST)
         cc = cc * freed[:, None]
-        return r * minv + cc[:, None, :] * free
+        return project(r * minv + cc[:, None, :] * free)
 
-    dx, n_it, res = fem.cg_solve(matvec, b, diag=diag, tol=tol,
+    dx, n_it, res = fem.cg_solve(matvec, project(b), diag=diag, tol=tol,
                                  maxiter=maxiter, precond=precond)
-    return u + dx * free, n_it, res
+    return u + project(dx) * free, n_it, res
 
 
 def _put_global(arr, sharding):
@@ -442,11 +499,15 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
     system = build_stack_system(meshes, links_per_pair)
     jmesh = global_stack_mesh()
     sharded = shard_stack_system(system, jmesh)
+    modes = stack_rigid_modes(system)
+    if modes is not None:
+        modes = _put_global(modes.astype(np.float32),
+                            NamedSharding(jmesh, P()))
     u_new, n_it, res = stack_solve(
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
-        maxiter=maxiter)
+        maxiter=maxiter, modes=modes)
     u_all = gather_stack_result(u_new)
     pos = stack_positions(system, u_all)
     return pos, int(n_it), float(res)

@@ -138,6 +138,16 @@ def matching_main(args, conf, logger):
             mask = None
             if storage.file_exists(mfile):
                 mask = imread(mfile, flag=cv2.IMREAD_GRAYSCALE) != 255
+                if mask.shape != img.shape:
+                    # the mask and the thumbnail rasterize the same canvas
+                    # independently (mesh bboxes vs volume/mosaic extent)
+                    # and may disagree by a px of ceil; conform, padding
+                    # as excluded
+                    m = np.zeros(img.shape[:2], dtype=bool)
+                    h = min(mask.shape[0], img.shape[0])
+                    w = min(mask.shape[1], img.shape[1])
+                    m[:h, :w] = mask[:h, :w]
+                    mask = m
             kps = prepare_image(img, mask=mask,
                                 **dict(aconf.get('feature_matching', {}) or {}))
             cache[name] = (img, mask, kps)

@@ -258,3 +258,53 @@ def test_aggregated_coarse_space_scales_preconditioner():
     # richer coarse spaces converge faster
     assert it_aggr <= it_one
     assert it_exact <= it_aggr + 5
+
+
+def test_free_montage_deflates_rigid_modes():
+    """A montage with NO locked tile (the standard stitching case) must
+    keep the sharded solve orthogonal to the section's rigid modes:
+    montage_rigid_modes yields an orthonormal basis, the solve recovers
+    the RELATIVE lattice, and the solution carries no net rotation or
+    drift (reference guard: extra-DOF removal for unlocked components,
+    optimizer.py:1362-1377)."""
+    slm, truth = _grid_slm(rows=3, cols=4, seed=11, lock_first=False)
+    system = montage.slm_montage_to_tiles(slm)
+    modes = montage.montage_rigid_modes(system)
+    assert modes is not None and modes.shape[0] == 3
+    flat = modes.reshape(3, -1)
+    np.testing.assert_allclose(flat @ flat.T, np.eye(3), atol=1e-9)
+
+    out = montage.sharded_montage_linear_solve(slm, 1.0, tol=1e-10,
+                                               maxiter=4000)
+    assert out is not None and out[2]
+    # relative lattice recovered: neighbor-pair placements match truth
+    # (the solver-quality metric for an anchor-free system; absolute
+    # placements are defined only up to the deflated rigid modes and the
+    # f32 differential floor accumulates with distance)
+    offs = []
+    for m in slm.meshes:
+        off = m.vertices_w_offset(const.MESH_GEAR_MOVING) \
+            - m.vertices_w_offset(const.MESH_GEAR_INITIAL)
+        offs.append(off.mean(axis=0))
+    offs = np.asarray(offs)
+    tr = np.asarray(truth)
+    for r in range(3):
+        for c in range(4):
+            i = r * 4 + c
+            for j in ([i + 1] if c < 3 else []) + ([i + 4] if r < 2 else []):
+                e = (offs[j] - offs[i]) - (tr[j] - tr[i])
+                assert np.abs(e).max() < 0.1, (i, j, e)
+    # no net rigid motion: the committed displacement from the start
+    # state is orthogonal to the deflated modes
+    allq, allu = [], []
+    for m in slm.meshes:
+        q = m.vertices_w_offset(const.MESH_GEAR_FIXED)
+        allq.append(q)
+        allu.append(m.vertices_w_offset(const.MESH_GEAR_MOVING) - q)
+    q = np.concatenate(allq)
+    u = np.concatenate(allu)
+    assert np.abs(u.mean(axis=0)).max() < 1e-6
+    qc = q - q.mean(axis=0)
+    ang = float(np.sum(qc[:, 0] * u[:, 1] - qc[:, 1] * u[:, 0])
+                / np.sum(qc ** 2))
+    assert abs(ang) < 1e-8, ang

@@ -434,3 +434,71 @@ def test_link_residue_smoothing_and_autocorrelation(workdir):
     link2 = Link.from_coordinates(m0, m1, pts, pts + noise,
                                   gear=(const.MESH_GEAR_INITIAL,) * 2)
     assert link2.spatial_autocorrelation() < 0.45
+
+
+def _rigid_fit_angle(q, u):
+    """Least-squares infinitesimal rotation angle of displacement u over
+    centered reference coords q."""
+    q = q - q.mean(axis=0)
+    u = u - u.mean(axis=0)
+    num = float(np.sum(q[:, 0] * u[:, 1] - q[:, 1] * u[:, 0]))
+    den = float(np.sum(q ** 2))
+    return num / max(den, 1e-12)
+
+
+@pytest.mark.parametrize('path', ['fused', 'general'])
+def test_fully_free_solve_deflates_rigid_modes(workdir, rng, path):
+    """A montage with NO locked mesh must not buy residue reduction with
+    a whole-section rotation: the rotation direction has near-zero
+    curvature (only the FIXED-frame anchor mismatches resist it) but a
+    noise-driven gradient, so without deflation the linearized solve
+    rotates the section by degrees (reference guard: extra-DOF removal
+    for unlocked components, optimizer.py:1362-1377)."""
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu import constant as const
+
+    def build():
+        slm = SLM([
+            _tile_mesh((0, 0, 200, 180), 0, mesh_size=90),
+            _tile_mesh((140, 0, 340, 180), 1, mesh_size=90),
+        ])
+        # true placement of tile1 differs from its stage frame by
+        # (-1.0, +1.5); links carry 0.3 px measurement noise -- the
+        # correlated-noise regime where the spurious-rotation gradient
+        # is strongest
+        pts = _grid_pts((140, 0, 199, 180), n=6)
+        noise = rng.normal(0, 0.3, pts.shape)
+        slm.add_link_from_coordinates(
+            0, 1, pts + noise, pts + [1.0, -1.5],
+            gear=(const.MESH_GEAR_INITIAL, const.MESH_GEAR_INITIAL))
+        return slm
+
+    slm = build()
+    if path == 'fused':
+        c0, c1 = slm.optimize_linear(stiffness_lambda=-1.0,
+                                     crosslink_lambda=-1.0, tol=1e-10)
+        assert slm._last_solve_fused
+    else:
+        c0, c1 = slm.optimize_linear(stiffness_lambda=0.25,
+                                     crosslink_lambda=1.0, tol=1e-10)
+        assert not slm._last_solve_fused
+    assert c1 <= c0 + 1e-9
+    disps = []
+    for m in slm.meshes:
+        q = m.vertices_w_offset('FIXED')
+        u = m.vertices_w_offset('MOVING') - q
+        # no per-tile rotation/dilation: displacement is a translation
+        # to sub-noise accuracy
+        # pre-fix the solve rotated the section by ~0.08 rad
+        # (>10 px ptp); post-fix only the noise-scale elastic
+        # response remains
+        assert np.ptp(u, axis=0).max() < 2.0, u
+        assert abs(_rigid_fit_angle(q, u)) < 5e-3
+        disps.append(u.mean(axis=0))
+    # relative placement recovered (stage error was (-1.0, +1.5))
+    rel = disps[1] - disps[0]
+    assert np.allclose(rel, [-1.0, 1.5], atol=0.5), rel
+    # deflation pins the free component: no net drift of the section
+    assert np.abs(np.concatenate(
+        [m.vertices_w_offset('MOVING') - m.vertices_w_offset('FIXED')
+         for m in slm.meshes]).mean(axis=0)).max() < 0.75

@@ -189,3 +189,36 @@ def test_ragged_topology_sharded_window(workdir, rng):
     offs = np.asarray(offs) - offs[0]
     err = offs - (-(drift - drift[0]))
     assert np.abs(err).max() < 0.5, np.abs(err).max()
+
+
+def test_stack_rigid_modes_deflate_free_window(workdir):
+    """A window with NO locked section must not absorb a whole-window
+    rigid drift/rotation: stack_rigid_modes yields an orthonormal basis
+    and stack_solve keeps the solution orthogonal to it (reference role:
+    extra-DOF removal for unlocked components, optimizer.py:1362-1377)."""
+    import jax.numpy as jnp
+    from feabas_tpu.parallel.window import (build_stack_system, stack_solve,
+                                            stack_rigid_modes)
+    from feabas_tpu.mesh import Mesh
+    rng = np.random.default_rng(5)
+    system, drift = _make_stack(S=8, rng=rng)
+    # unlock everything -> one fully-free chain component
+    system['free'] = np.ones_like(system['free'])
+    modes = stack_rigid_modes(system)
+    assert modes is not None and modes.shape[0] == 3
+    flat = modes.reshape(modes.shape[0], -1)
+    np.testing.assert_allclose(flat @ flat.T, np.eye(3), atol=1e-9)
+    args = _solve_args(system)
+    u_new, n_it, res = stack_solve(*args, lam_s=0.01, tol=1e-10,
+                                   maxiter=400,
+                                   modes=jnp.asarray(modes))
+    dx = np.asarray(u_new) - system['u']
+    coef = np.einsum('ksvc,svc->k', modes, dx)
+    assert np.abs(coef).max() < 1e-5, coef
+    # the drift is still counteracted RELATIVELY (section z moves by
+    # -drift[z] up to the deflated global rigid mode)
+    off = np.asarray(u_new).mean(axis=1)
+    for z in range(1, len(off)):
+        got = off[z] - off[z - 1]
+        want = -(drift[z] - drift[z - 1])
+        np.testing.assert_allclose(got, want, atol=0.05)
