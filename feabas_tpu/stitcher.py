@@ -12,6 +12,7 @@ import scipy.sparse as sparse
 
 from feabas_tpu import common, config
 from feabas_tpu import constant as const
+from feabas_tpu import spatial as sp
 from feabas_tpu.concurrent import submit_to_workers
 from feabas_tpu.dal import StaticImageLoader, get_loader_from_json
 from feabas_tpu.matcher import stitching_matcher
@@ -529,10 +530,43 @@ class Stitcher:
         return int(labels.max())
 
     def normalize_coordinates(self, rotation_threshold=None, offset=(1, 1), **kwargs):
-        """Shift (and optionally de-rotate) the solved section so its bbox
-        corner sits at ``offset`` (reference: stitcher.py:1085)."""
+        """Rigidly normalize the solved section: when a connected
+        subsystem's median per-tile rotation (vs stage frame) exceeds
+        ``rotation_threshold`` degrees, rotate the subsystem back, then
+        shift so the section bbox corner sits at ``offset`` (reference:
+        stitcher.py:1085). A fully-free montage solve can only determine
+        placements up to its deflated rigid modes, and the per-stage
+        cascade may accumulate a small net spin; this re-anchors the
+        section to its stage orientation."""
         if self.meshes is None:
             return
+        if rotation_threshold is not None:
+            slm = getattr(self, '_slm', None)
+            if slm is not None and slm.meshes is self.meshes:
+                labels = slm.mesh_connectivity()
+            else:
+                labels = np.zeros(len(self.meshes), dtype=np.int64)
+            gear = (const.MESH_GEAR_INITIAL, const.MESH_GEAR_MOVING)
+            rotations = []
+            for m in self.meshes:
+                _, R = sp.fit_affine(m.vertices_w_offset(gear[1]),
+                                     m.vertices_w_offset(gear[0]),
+                                     return_rigid=True)
+                rotations.append(np.arctan2(R[0, 1], R[0, 0]))
+            rotations = np.asarray(rotations)
+            for lbl in np.unique(labels):
+                sel = labels == lbl
+                theta = float(np.median(rotations[sel]))
+                if abs(theta) * 180 / np.pi > rotation_threshold:
+                    # row-vector rotation by -theta (undo the measured spin)
+                    c, s = np.cos(theta), np.sin(theta)
+                    R = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1]],
+                                 dtype=np.float64)
+                    for m, keep in zip(self.meshes, sel):
+                        if keep:
+                            m.apply_affine(
+                                R, gear=(const.MESH_GEAR_MOVING,
+                                         const.MESH_GEAR_MOVING))
         bboxes = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING) for m in self.meshes])
         corner = bboxes[:, :2].min(axis=0)
         shift = np.asarray(offset, np.float64) - corner

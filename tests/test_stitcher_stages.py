@@ -287,3 +287,41 @@ def test_refine_stage_positions_10k_tiles_sparse():
     err = (refined[:, :2] - true_o)
     err -= err.mean(axis=0, keepdims=True)
     assert np.abs(err).max() < 0.05, np.abs(err).max()
+
+
+def test_normalize_coordinates_derotates(rng, workdir):
+    """normalize_coordinates must undo a net section spin above
+    rotation_threshold degrees (reference: stitcher.py:1085-1117) and
+    then place the bbox corner at the offset."""
+    from feabas_tpu import constant as const
+    st, world, tiles, true_bboxes, stage_bboxes = _stitcher_with_matches(rng)
+    st.initialize_optimizer()
+    st.optimize_translation()
+    # inject a 1-degree whole-section spin about the section centroid
+    th = np.deg2rad(1.0)
+    c, s = np.cos(th), np.sin(th)
+    R = np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+    for m in st.meshes:
+        m.apply_affine(R, gear=(const.MESH_GEAR_MOVING,
+                                const.MESH_GEAR_MOVING))
+    st.normalize_coordinates(rotation_threshold=0.5, offset=(1, 1))
+    from feabas_tpu import spatial as sp
+    angs = []
+    for m in st.meshes:
+        _, Rm = sp.fit_affine(m.vertices_w_offset(const.MESH_GEAR_MOVING),
+                              m.vertices_w_offset(const.MESH_GEAR_INITIAL),
+                              return_rigid=True)
+        angs.append(np.degrees(np.arctan2(Rm[0, 1], Rm[0, 0])))
+    # residual net rotation well under the threshold (was 1 degree)
+    assert abs(np.median(angs)) < 0.05, angs
+    bboxes = np.asarray([m.bbox(gear=const.MESH_GEAR_MOVING)
+                         for m in st.meshes])
+    np.testing.assert_allclose(bboxes[:, :2].min(axis=0), (1, 1), atol=1e-6)
+    # below-threshold rotations are left alone (stage anchoring is only
+    # for drift, not a hard rigid fit)
+    before = [m.vertices_w_offset(const.MESH_GEAR_MOVING).copy()
+              for m in st.meshes]
+    st.normalize_coordinates(rotation_threshold=0.5, offset=(1, 1))
+    for b, m in zip(before, st.meshes):
+        np.testing.assert_allclose(
+            m.vertices_w_offset(const.MESH_GEAR_MOVING), b, atol=1e-9)
