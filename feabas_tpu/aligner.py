@@ -13,7 +13,7 @@ import os
 
 import numpy as np
 
-from feabas_tpu import common, config, storage
+from feabas_tpu import common, config, logging, storage
 from feabas_tpu import constant as const
 from feabas_tpu.caching import generate_cache
 from feabas_tpu.mesh import Mesh, transform_mesh
@@ -303,6 +303,18 @@ class Stack:
                 m.locked = m.name not in free_sections
         if np.all(slm.lock_flags):
             return slm
+        # refuse to place sections the matches never determined: a mesh
+        # with no link path to an anchor keeps its start placement, stays
+        # unlocked (is_outcast), and the window logs it (reference:
+        # aligner.py:700, optimizer.py:1604)
+        outcasts = slm.flag_outcasts()
+        if outcasts.any():
+            names = sorted({m.name for m, o in zip(slm.meshes, outcasts) if o})
+            logging.get_main_logger().warning(
+                'unanchored section(s) %s: no match path to a locked '
+                'mesh; placements withheld', names)
+            if outcasts.all():
+                return slm
         n_split = slm.divide_disconnected_submeshes()
         residue_mode = kwargs.pop('residue_mode', 'huber')
         residue_len = kwargs.pop('residue_len', -3)
@@ -503,8 +515,13 @@ class Stack:
         def do_commit(i):
             name = self.section_list[i]
             mesh = self.get_mesh(name)
-            mesh.locked = True
             committed[i] = True
+            if getattr(mesh, 'is_outcast', False):
+                # unanchored: leave unlocked and persist nothing — the
+                # placement was never determined by matches (reference:
+                # aligner.py:417-423)
+                return
+            mesh.locked = True
             out.append(name)
             if commit_fn is not None:
                 commit_fn(name, mesh)

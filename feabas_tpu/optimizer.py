@@ -562,6 +562,29 @@ class SLM:
         _, labels = csgraph.connected_components(g, directed=False)
         return labels
 
+    def flag_outcasts(self):
+        """Flag meshes with no link path to an anchor (reference
+        flag_outcasts: optimizer.py:1604): when any mesh is locked,
+        components containing no locked mesh are outcasts; when the whole
+        system free-floats, every component but the largest is. Sets
+        ``mesh.is_outcast`` and returns the boolean array — callers use it
+        to refuse committing/locking unanchored sections rather than
+        persisting a placement the matches never determined."""
+        labels = self.mesh_connectivity()
+        lock_flags = np.asarray([m.locked for m in self.meshes], dtype=bool)
+        prior = np.asarray([m.is_outcast for m in self.meshes], dtype=bool)
+        if labels.max() == 0:
+            outcasts = prior
+        elif lock_flags.any() or prior.any():
+            anchored_labels = labels[lock_flags & ~prior]
+            outcasts = ~np.isin(labels, anchored_labels)
+        else:
+            u, cnt = np.unique(labels, return_counts=True)
+            outcasts = labels != u[np.argmax(cnt)]
+        for m, flg in zip(self.meshes, outcasts):
+            m.is_outcast = bool(flg)
+        return outcasts
+
     # ------------------------- translation solve ------------------------- #
 
     def optimize_translation(self, **kwargs):

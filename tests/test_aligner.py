@@ -454,3 +454,53 @@ def test_normalize_transforms_rigid_normalization(workdir, tmp_path):
         Mesh.from_h5(t).vertices_w_offset(const.MESH_GEAR_MOVING)
         for t in tnames])
     assert np.allclose(pts2, pts, atol=1e-6)
+
+
+def test_unanchored_section_withheld(workdir, rng):
+    """A section with no match path to the rest of the window must not be
+    committed with an arbitrary placement: it is flagged outcast
+    (reference optimizer.py:1604), left unlocked, and gets no tform; the
+    connected sections align normally (reference: aligner.py:417-423)."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.common import Match
+
+    S = 6
+    drift = np.cumsum(rng.normal(0, 2.0, (S, 2)), axis=0)
+    drift -= drift[0]
+    names = [f'sec{z:04d}' for z in range(S)]
+    xs, ys = np.meshgrid(np.linspace(10, 110, 5), np.linspace(10, 110, 5))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    meshes = {}
+    for z, name in enumerate(names):
+        meshes[name] = Mesh.from_bbox((0, 0, 120, 120), cartesian=True,
+                                      mesh_size=30, name=name, resolution=4)
+    matches = {}
+    for z in range(S - 2):          # section 5 gets NO matches
+        delta = drift[z + 1] - drift[z]
+        matches[(names[z], names[z + 1])] = Match(
+            pts, pts + delta, np.ones(len(pts)), 0.01)
+    stack = Stack(meshes=meshes, matches=matches, resolution=4)
+    saved = []
+    committed = stack.optimize_slide_window(
+        window_size=4, buffer_size=2, start_loc='L', residue_len=3,
+        commit_fn=lambda name, mesh: saved.append(name))
+    assert names[-1] not in committed
+    assert names[-1] not in saved
+    assert sorted(committed) == names[:-1]
+    assert sorted(saved) == names[:-1]
+    m5 = stack.get_mesh(names[-1])
+    assert m5.is_outcast and not m5.locked
+    # the outcast kept its start placement exactly
+    d5 = m5.vertices_w_offset('MOVING') - m5.vertices_w_offset('INITIAL')
+    assert np.abs(d5).max() < 1e-9
+    # the anchored sections recovered the drift
+    offs = []
+    for name in names[:-1]:
+        m = stack.get_mesh(name)
+        d = m.vertices_w_offset('MOVING') - m.vertices_w_offset('INITIAL')
+        offs.append(d.mean(axis=0))
+    offs = np.asarray(offs) - offs[0]
+    err = offs - (-(drift[:-1] - drift[0]))
+    assert np.abs(err).max() < 0.3, np.abs(err).max()
