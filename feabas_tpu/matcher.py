@@ -423,7 +423,14 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
             'valid': valid,
             'rlen': np.float64(rlen),
         })
-        meta.append((bs, fs, fs, bool(last), bool(first),
+        # final-round subpixel: int >= 2 -> normalized local-DFT peak
+        # upsampling at that factor (removes the quadratic fit's
+        # pull-to-integer bias); 1/True -> 3x3 quadratic; coarse rounds
+        # stay integer (their residuals re-measure next round anyway)
+        sp_up = kwargs.get('subpixel_upsample', 1)
+        sp_up = int(sp_up) if sp_up else 0
+        sp_last = sp_up if sp_up >= 2 else bool(sp_up)
+        meta.append((bs, fs, fs, sp_last if last else False, bool(first),
                      1e-8 if last else 1e-6, int(K)))
         valid_rounds.append((n, nb, centers, anchor_idx))
         first = False
@@ -431,6 +438,19 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         return None
     src0 = np.asarray(loader0.preprocess(loader0._img))
     src1 = np.asarray(loader1.preprocess(loader1._img))
+    # valid-content masks of the source arrays (overlap-band crops are
+    # zero-padded to bucketed shapes; the padding is NOT valid content
+    # for the envelope normalization of the final round)
+    def _vmask(src, key):
+        m = np.zeros(src.shape[:2], np.float32)
+        v = kwargs.get(key, None)
+        if v is None:
+            m[:] = 1.0
+        else:
+            m[:int(v[0]), :int(v[1])] = 1.0
+        return m
+    msrc0 = _vmask(src0, 'src_valid0')
+    msrc1 = _vmask(src1, 'src_valid1')
     mult = np.concatenate([g['multiplier'] for g in groups])
     poisson = np.concatenate([g['poisson'] for g in groups])
     pos1 = mesh1.vertices_w_offset(const.MESH_GEAR_MOVING)
@@ -461,6 +481,7 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     return {
         'mesh0': mesh0, 'mesh1': mesh1,
         'src0': src0, 'src1': src1,
+        'msrc0': msrc0, 'msrc1': msrc1,
         'pos1': pos1, 'verts0_1': verts0_1, 'shape1': shape1,
         'tris1': np.asarray(mesh1.triangles, np.int32),
         'mult': mult, 'poisson': poisson,
@@ -469,6 +490,7 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         'mult0': mult0, 'poisson0': poisson0,
         'pos0': mesh0.vertices_w_offset(const.MESH_GEAR_MOVING),
         'rounds': rounds, 'meta': tuple(meta),
+        'env_norm': bool(kwargs.get('envelope_normalize', True)),
         'coarse': coarse, 'coarse_meta': coarse_meta, 'cfg': cfg,
         'valid_rounds': valid_rounds,
         'lam_ratio': abs(float(stiffness_lambda)),
@@ -532,9 +554,9 @@ def _fused_finalize(prep, arr):
     return common.Match(xy0_init[keep], xy1_init[keep], w[keep], strain)
 
 
-_FUSED_ARRAY_KEYS = ('src0', 'src1', 'pos1', 'verts0_1', 'shape1', 'tris1',
-                     'mult', 'poisson', 'shape0', 'tris0', 'mult0',
-                     'poisson0', 'pos0')
+_FUSED_ARRAY_KEYS = ('src0', 'src1', 'msrc0', 'msrc1', 'pos1', 'verts0_1',
+                     'shape1', 'tris1', 'mult', 'poisson', 'shape0', 'tris0',
+                     'mult0', 'poisson0', 'pos0')
 
 
 def _fused_execute_batch(preps):
@@ -553,14 +575,14 @@ def _fused_execute_batch(preps):
     coarse = {k: jnp.asarray(np.stack([np.asarray(p['coarse'][k])
                                        for p in preps]))
               for k in p0['coarse']} if p0['coarse'] is not None else None
-    (src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
+    (src0, src1, msrc0, msrc1, pos1, verts0_1, shape1, tris1, mult, poisson,
      shape0, tris0, mult0, poisson0, pos0) = args
     packed = match_loop.fused_rounds_batched(
-        src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
-        rounds, p0['meta'], shape0, tris0, mult0, poisson0, pos0,
+        src0, src1, msrc0, msrc1, pos1, verts0_1, shape1, tris1, mult,
+        poisson, rounds, p0['meta'], shape0, tris0, mult0, poisson0, pos0,
         lam_ratio=p0['lam_ratio'], sigma=p0['sigma'],
         conf_thresh=p0['conf_thresh'], coarse=coarse,
-        coarse_meta=p0['coarse_meta'])
+        coarse_meta=p0['coarse_meta'], env_norm=p0['env_norm'])
     return np.asarray(packed)  # ONE fetch for the whole batch
 
 
@@ -582,6 +604,7 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         coarse = {k: jnp.asarray(v) for k, v in prep['coarse'].items()}
     packed = match_loop.fused_rounds(
         jnp.asarray(prep['src0']), jnp.asarray(prep['src1']),
+        jnp.asarray(prep['msrc0']), jnp.asarray(prep['msrc1']),
         jnp.asarray(prep['pos1']), jnp.asarray(prep['verts0_1']),
         jnp.asarray(prep['shape1']), jnp.asarray(prep['tris1']),
         jnp.asarray(prep['mult']), jnp.asarray(prep['poisson']),
@@ -591,7 +614,7 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         jnp.asarray(prep['pos0']),
         lam_ratio=prep['lam_ratio'], sigma=prep['sigma'],
         conf_thresh=prep['conf_thresh'], coarse=coarse,
-        coarse_meta=prep['coarse_meta'])
+        coarse_meta=prep['coarse_meta'], env_norm=prep['env_norm'])
     arr = np.asarray(packed)  # the ONE fetch
     return _fused_finalize(prep, arr)
 
@@ -626,6 +649,13 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     max_spacing_skip = int(kwargs.get('max_spacing_skip', 0))
     min_block_size_multiplier = float(kwargs.get('min_block_size_multiplier', 4.0))
     link_weight_decay = float(kwargs.get('link_weight_decay', 0.0))
+    # final-round subpixel estimator + windowed-correlation envelope
+    # normalization (see ops/xcorr: the triangular overlap envelope
+    # biases raw peaks ~0.05-0.08 px toward zero displacement)
+    sp_up = kwargs.get('subpixel_upsample', 1)
+    sp_up = int(sp_up) if sp_up else 0
+    sp_last = sp_up if sp_up >= 2 else bool(sp_up)
+    env_norm = 'peak' if kwargs.get('envelope_normalize', True) else False
 
     mesh0.locked = True
     slm = SLM([mesh0, mesh1])
@@ -682,11 +712,24 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
             sel = qsizes == bs
             ctr = centers[sel]
             block_size = int(bs)
+            bmask0 = bmask1 = None
             if use_device:
                 stack0, kept0 = warp_ops.mesh_blocks_device(
                     mesh0, src0, ctr, block_size, src_offset=src_off0)
                 stack1, kept1 = warp_ops.mesh_blocks_device(
                     mesh1, src1, ctr, block_size, src_offset=src_off1)
+                if env_norm and subpixel and block_size >= 64:
+                    # valid-content masks (ones warped through the same
+                    # affines) for the final-round envelope-normalized
+                    # peak: an analytic full-block envelope is wrong at
+                    # strip/image borders (see ops/match_loop)
+                    import jax.numpy as jnp
+                    bmask0, _ = warp_ops.mesh_blocks_device(
+                        mesh0, jnp.ones(src0.shape, jnp.float32), ctr,
+                        block_size, src_offset=src_off0)
+                    bmask1, _ = warp_ops.mesh_blocks_device(
+                        mesh1, jnp.ones(src1.shape, jnp.float32), ctr,
+                        block_size, src_offset=src_off1)
             else:
                 render0 = MeshRenderer.from_mesh(
                     mesh0, image_loader=loader0, geodesic_mask=geodesic_mask)
@@ -699,6 +742,9 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                 continue
             s0 = stack0[np.searchsorted(kept0, keep)]
             s1 = stack1[np.searchsorted(kept1, keep)]
+            if bmask0 is not None:
+                bmask0 = bmask0[np.searchsorted(kept0, keep)]
+                bmask1 = bmask1[np.searchsorted(kept1, keep)]
             centers_k = ctr[keep]
             n_real = int(s0.shape[0])
             if use_device:
@@ -709,15 +755,25 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                         [s0, jnp.broadcast_to(s0[:1], (nb - n_real,) + s0.shape[1:])])
                     s1 = jnp.concatenate(
                         [s1, jnp.broadcast_to(s1[:1], (nb - n_real,) + s1.shape[1:])])
+                    if bmask0 is not None:
+                        bmask0 = jnp.concatenate(
+                            [bmask0, jnp.broadcast_to(
+                                bmask0[:1], (nb - n_real,) + bmask0.shape[1:])])
+                        bmask1 = jnp.concatenate(
+                            [bmask1, jnp.broadcast_to(
+                                bmask1[:1], (nb - n_real,) + bmask1.shape[1:])])
             # dispatch every batch, fetch ONCE per round (each fetch is a
             # full host<->device round trip on tunneled links)
             parts = []
             for b0 in range(0, int(s0.shape[0]), batch_size):
-                parts.append(xcorr_fft(s0[b0:b0 + batch_size],
-                                       s1[b0:b0 + batch_size],
-                                       conf_mode=conf_mode, sigma=sigma,
-                                       pad=pad, subpixel=subpixel,
-                                       return_device=use_device))
+                parts.append(xcorr_fft(
+                    s0[b0:b0 + batch_size], s1[b0:b0 + batch_size],
+                    conf_mode=conf_mode, sigma=sigma,
+                    pad=pad, subpixel=subpixel,
+                    mask0=None if bmask0 is None else bmask0[b0:b0 + batch_size],
+                    mask1=None if bmask1 is None else bmask1[b0:b0 + batch_size],
+                    normalize=env_norm if bmask0 is not None else False,
+                    return_device=use_device))
             if use_device:
                 import jax.numpy as jnp
                 out = np.asarray(jnp.concatenate(parts, axis=1))
@@ -787,7 +843,7 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                 return None
             break
         result = _match_round(centers, size_factors, spacing,
-                              subpixel=last_round)
+                              subpixel=sp_last if last_round else False)
         if result is None:
             if not initialized:
                 return None
@@ -939,7 +995,7 @@ def stitching_matcher(img0, img1, **kwargs):
         # overlap in img1's own pixel frame
         ovl1 = (ovl[0] - t[0], ovl[1] - t[1], ovl[2] - t[0], ovl[3] - t[1])
         f1b, off1, v1 = _band(f1, ovl1)
-        extra = {}
+        extra = {'src_valid0': v0, 'src_valid1': v1}
         if kwargs.get('fused_prep_only', False):
             extra['fused_prep_only'] = True
         if in_program_coarse_pool:
@@ -967,7 +1023,8 @@ def stitching_matcher(img0, img1, **kwargs):
                         'stiffness_lambda', 'conf_mode', 'distributor',
                         'geodesic_mask', 'allow_dwell', 'max_spacing_skip',
                         'min_block_size_multiplier', 'link_weight_decay',
-                        'fused_rounds')})
+                        'fused_rounds', 'envelope_normalize',
+                        'subpixel_upsample')})
         return match
 
     def _dims(img):

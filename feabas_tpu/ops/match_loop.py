@@ -127,11 +127,13 @@ def _avg_pool(img, k):
     return img[:H, :W].reshape(H // k, k, W // k, k).mean(axis=(1, 3))
 
 
-def _fused_rounds_core(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
+def _fused_rounds_core(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
+                       tris1, multiplier,
                        poisson, rounds, meta, shape0, tris0, multiplier0,
                        poisson0, pos0, lam_ratio=0.35, sigma=2.5,
                        conf_thresh=0.3, huber_passes=2, maxiter=600,
-                       coarse=None, coarse_meta=None, fft_chunk=128):
+                       coarse=None, coarse_meta=None, fft_chunk=128,
+                       env_norm=True):
     """Run the full fine-match schedule on device.
 
     Args:
@@ -234,12 +236,52 @@ def _fused_rounds_core(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
         # shrinks fft_chunk to keep the product <=128.
         n = blocks0.shape[0]
         chunk = min(int(fft_chunk), n)
+        # mask-overlap envelope normalization for the FINAL (measured)
+        # round: windowed correlation is multiplied by the overlap surface
+        # of the blocks' valid-content masks, which biases even the EXACT
+        # peak ~0.05-0.08 px toward zero displacement (measured). The
+        # masks come from warping a ones-image through the same affines —
+        # an analytic full-block triangle is WRONG at strip/image borders
+        # where blocks carry fill (using it measured 3x worse than no
+        # correction). Clamp at 0.5 relative overlap so far-displacement
+        # noise amplifies <= 2x. Only the last round pays the extra
+        # warps/FFTs: earlier rounds' biases are re-measured away.
+        # only for blocks >= 64 px: below that the correlation peak is
+        # noisy enough that the <=2x far-field amplification costs more
+        # than the ~0.05 px envelope bias it removes (measured: 16-48 px
+        # narrow-strip blocks got 2x WORSE with normalization; 128 px
+        # interior blocks got 4x better)
+        use_env = bool(env_norm) and bool(subpixel) and bs >= 64
+        if use_env:
+            mb0 = affine_warp_blocks_shifted(msrc0.astype(jnp.float32),
+                                             origins, rd['A0'], rd['b0'],
+                                             bs, bs, K)
+            mb1 = affine_warp_blocks_shifted(msrc1.astype(jnp.float32),
+                                             origins, A1, b1, bs, bs, K)
         dxs, dys, confs = [], [], []
         for s in range(0, n, chunk):
             F0 = jnp.fft.rfft2(g0[s:s + chunk], s=(fy, fx))
             F1 = jnp.fft.rfft2(g1[s:s + chunk], s=(fy, fx))
-            C = jnp.fft.irfft2(jnp.conj(F0) * F1, s=(fy, fx))
-            dx_c, dy_c, _peak = _peak_and_subpixel(C, (fy, fx), subpixel)
+            Fc = jnp.conj(F0) * F1
+            C = jnp.fft.irfft2(Fc, s=(fy, fx))
+            if use_env:
+                M0 = jnp.fft.rfft2(mb0[s:s + chunk], s=(fy, fx))
+                M1 = jnp.fft.rfft2(mb1[s:s + chunk], s=(fy, fx))
+                Nc_env = jnp.conj(M0) * M1
+                E = jnp.fft.irfft2(Nc_env, s=(fy, fx))
+                nc_b = E.shape[0]
+                Emax = jnp.clip(E.reshape(nc_b, -1).max(axis=-1), 1e-6,
+                                None)[:, None, None]
+                env_div = jnp.clip(E / Emax, 0.5, None)
+            else:
+                Nc_env = None
+                env_div = 1.0
+            # peaks localize on the envelope-normalized surface; the
+            # confidence ratio stays on the RAW surfaces (normalizing
+            # both deflates conf ~2x and breaks tuned thresholds)
+            dx_c, dy_c, _peak = _peak_and_subpixel(C / env_div, (fy, fx),
+                                                   subpixel, Fc=Fc,
+                                                   Nc=Nc_env)
             Cm = jnp.abs(jnp.fft.irfft2(F0 * F1, s=(fy, fx)))
             nc = C.shape[0]
             mx_rl = C.reshape(nc, -1).max(axis=-1)
@@ -297,19 +339,21 @@ fused_rounds = functools.partial(
     jax.jit,
     static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
                      'huber_passes', 'maxiter', 'coarse_meta',
-                     'fft_chunk'))(
+                     'fft_chunk', 'env_norm'))(
     _fused_rounds_core)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
-                     'huber_passes', 'maxiter', 'coarse_meta'))
-def fused_rounds_batched(src0, src1, pos1, verts0_1, shape1, tris1,
+                     'huber_passes', 'maxiter', 'coarse_meta', 'env_norm'))
+def fused_rounds_batched(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
+                         tris1,
                          multiplier, poisson, rounds, meta, shape0, tris0,
                          multiplier0, poisson0, pos0, lam_ratio=0.35,
                          sigma=2.5, conf_thresh=0.3, huber_passes=2,
-                         maxiter=600, coarse=None, coarse_meta=None):
+                         maxiter=600, coarse=None, coarse_meta=None,
+                         env_norm=True):
     """vmap of the fused schedule over a leading PAIR axis: a whole batch
     of same-shape tile pairs (one section's overlaps bucket to a handful
     of shapes) costs ONE dispatch and one fetch. All array arguments
@@ -317,15 +361,17 @@ def fused_rounds_batched(src0, src1, pos1, verts0_1, shape1, tris1,
     n_pairs = src0.shape[0]
     fft_chunk = max(8, 128 // max(int(n_pairs), 1))
 
-    def one(s0, s1, p1, v01, sh1, t1, ml, po, rds, sh0, t0_, ml0, po0, p0,
-            crs):
+    def one(s0, s1, m0_, m1_, p1, v01, sh1, t1, ml, po, rds, sh0, t0_,
+            ml0, po0, p0, crs):
         return _fused_rounds_core(
-            s0, s1, p1, v01, sh1, t1, ml, po, rds, meta, sh0, t0_, ml0,
+            s0, s1, m0_, m1_, p1, v01, sh1, t1, ml, po, rds, meta, sh0,
+            t0_, ml0,
             po0, p0, lam_ratio=lam_ratio, sigma=sigma,
             conf_thresh=conf_thresh, huber_passes=huber_passes,
             maxiter=maxiter, coarse=crs, coarse_meta=coarse_meta,
-            fft_chunk=fft_chunk)
+            fft_chunk=fft_chunk, env_norm=env_norm)
 
-    return jax.vmap(one)(src0, src1, pos1, verts0_1, shape1, tris1,
+    return jax.vmap(one)(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
+                         tris1,
                          multiplier, poisson, rounds, shape0, tris0,
                          multiplier0, poisson0, pos0, coarse)

@@ -103,3 +103,39 @@ def test_xcorr_normalize_partial_overlap(rng):
     img0[~m0] = 0
     dx, dy, conf = xcorr_fft(img0, img1, mask0=m0, normalize=True)
     assert abs(dy - 15) <= 0.51 and abs(dx) <= 0.51
+
+
+def test_envelope_normalized_peak_accuracy():
+    """The windowed-correlation envelope biases raw peaks toward zero
+    displacement; normalize='peak' must remove it WITHOUT changing the
+    confidence (tuned thresholds), and the int-subpixel DFT upsampler
+    must agree with the quadratic fit at the fine scale."""
+    import cv2
+    from feabas_tpu.ops.xcorr import xcorr_fft
+    rng = np.random.default_rng(7)
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(rng.normal(0, 1, (512, 512)), 2.0)
+    base = (base / base.std() * 40 + 128).astype(np.float64)
+    F = np.fft.fft2(base)
+    ky = np.fft.fftfreq(512)[:, None]
+    kx = np.fft.fftfreq(512)[None, :]
+    errs = {False: [], 'peak': [], 'dft': []}
+    confs = {False: [], 'peak': []}
+    for sx, sy in [(0.3, 0.0), (0.5, 0.25), (0.75, 0.5), (0.25, 0.75)]:
+        img1 = np.real(np.fft.ifft2(F * np.exp(-2j * np.pi * (ky * sy + kx * sx))))
+        a = base[128:256, 128:256].astype(np.float32)
+        b = img1[128:256, 128:256].astype(np.float32)
+        for key, kw in ((False, dict(subpixel=True)),
+                        ('peak', dict(subpixel=True, normalize='peak')),
+                        ('dft', dict(subpixel=16, normalize='peak'))):
+            dx, dy, conf = xcorr_fft(a, b, sigma=2.5, **kw)
+            errs[key].append(np.hypot(abs(float(dx)) - sx, abs(float(dy)) - sy))
+            if key in confs:
+                confs[key].append(float(conf))
+    # peak-mode confidence identical to raw
+    np.testing.assert_allclose(confs['peak'], confs[False], atol=1e-5)
+    # normalization removes most of the envelope bias
+    assert np.mean(errs['peak']) < 0.6 * np.mean(errs[False]), errs
+    assert np.mean(errs['peak']) < 0.04
+    # the DFT upsampler lands in the same (normalized) regime
+    assert np.mean(errs['dft']) < 0.06, errs['dft']
