@@ -505,7 +505,9 @@ def match_two_thumbnails_pmcc(img0, img1, mask0=None, mask1=None,
                                        'min_block_size_multiplier',
                                        'split_disconnected',
                                        'render_weight_threshold',
-                                       'stiffness_multiplier_threshold')})
+                                       'stiffness_multiplier_threshold',
+                                       'envelope_normalize',
+                                       'subpixel_upsample')})
 
 
 def align_two_thumbnails(img0, img1, mask0=None, mask1=None,
