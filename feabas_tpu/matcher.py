@@ -21,6 +21,31 @@ from feabas_tpu.renderer import MeshRenderer
 from feabas_tpu.ops.xcorr import xcorr_fft
 
 
+def _env_interior(origins, bs, K, A, b, vhw):
+    """Per-block flag: the whole source read window of the shifted-warp
+    kernel (affine images of the block corners +- (K+4)) lies inside the
+    source's valid-content extents (h, w) — exactly when the shared
+    analytic full-block overlap envelope is the correct normalizer."""
+    corners = np.array([[0, 0], [bs, 0], [0, bs], [bs, bs]], np.float64)
+    c = origins[:, None, :] + corners[None]
+    sxy = np.einsum('bcx,bxy->bcy', c, np.asarray(A, np.float64)) \
+        + np.asarray(b, np.float64)[:, None, :]
+    lo = sxy.min(axis=1) - (K + 4)
+    hi = sxy.max(axis=1) + (K + 4)
+    h, w = int(vhw[0]), int(vhw[1])
+    return ((lo[:, 0] >= 0) & (lo[:, 1] >= 0)
+            & (hi[:, 0] <= w) & (hi[:, 1] <= h))
+
+
+def _parse_subpixel(kwargs):
+    """Final-round subpixel mode from ``subpixel_upsample``: int >= 2 ->
+    normalized local-DFT upsampling at that factor; 1/True -> 3x3
+    quadratic (default); 0/False -> integer peaks."""
+    sp_up = kwargs.get('subpixel_upsample', 1)
+    sp_up = int(sp_up) if sp_up else 0
+    return sp_up if sp_up >= 2 else bool(sp_up)
+
+
 def global_translation_matcher(img0, img1, **kwargs):
     """Whole-image translation via FFT xcorr; falls back to divided blocks
     when confidence is low (reference: matcher.py:138)."""
@@ -351,6 +376,7 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     meta = []
     valid_rounds = []
     first = True
+    has_last = False
     for i, spacing in enumerate(spacings):
         last = i == len(spacings) - 1
         if distributor in ('cartesian_region', 'intersect_triangulation'):
@@ -412,6 +438,19 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         K = next((k for k in _K_BUCKETS if k >= kA + 2), None)
         if K is None:
             return None
+        # per-block interior flags for the envelope normalization: a
+        # block qualifies when its WHOLE source read window (affine
+        # corners +- K+4) sits inside both sources' valid-content
+        # extents, so the shared analytic full-block envelope is exact —
+        # no device mask warps/FFTs needed (the earlier mask-warp
+        # implementation cost ~80 ms/pair through the tunnel)
+        v0ext = kwargs.get('src_valid0', None) or \
+            np.asarray(loader0._img).shape[:2]
+        v1ext = kwargs.get('src_valid1', None) or \
+            np.asarray(loader1._img).shape[:2]
+        b1 = _b1p[tid1] - off1
+        env_ok = (_env_interior(origins, bs, K, A0, b0, v0ext)
+                  & _env_interior(origins, bs, K, A1p[tid1], b1, v1ext))
         rounds.append({
             'origins': _pad(origins).astype(np.float32),
             'A0': _pad(A0).astype(np.float32),
@@ -421,36 +460,18 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
             'anchor_idx': _pad(anchor_idx).astype(np.int32),
             'anchor_idx0': _pad(mesh0.triangles[tid0]).astype(np.int32),
             'valid': valid,
+            'env_ok': _pad(env_ok.astype(np.float32)),
             'rlen': np.float64(rlen),
         })
-        # final-round subpixel: int >= 2 -> normalized local-DFT peak
-        # upsampling at that factor (removes the quadratic fit's
-        # pull-to-integer bias); 1/True -> 3x3 quadratic; coarse rounds
-        # stay integer (their residuals re-measure next round anyway)
-        sp_up = kwargs.get('subpixel_upsample', 1)
-        sp_up = int(sp_up) if sp_up else 0
-        sp_last = sp_up if sp_up >= 2 else bool(sp_up)
-        meta.append((bs, fs, fs, sp_last if last else False, bool(first),
-                     1e-8 if last else 1e-6, int(K)))
+        meta.append((bs, fs, fs, _parse_subpixel(kwargs) if last else False,
+                     bool(first), 1e-8 if last else 1e-6, int(K)))
         valid_rounds.append((n, nb, centers, anchor_idx))
+        has_last = has_last or last
         first = False
-    if not rounds or not meta[-1][3]:
+    if not rounds or not has_last:
         return None
     src0 = np.asarray(loader0.preprocess(loader0._img))
     src1 = np.asarray(loader1.preprocess(loader1._img))
-    # valid-content masks of the source arrays (overlap-band crops are
-    # zero-padded to bucketed shapes; the padding is NOT valid content
-    # for the envelope normalization of the final round)
-    def _vmask(src, key):
-        m = np.zeros(src.shape[:2], np.float32)
-        v = kwargs.get(key, None)
-        if v is None:
-            m[:] = 1.0
-        else:
-            m[:int(v[0]), :int(v[1])] = 1.0
-        return m
-    msrc0 = _vmask(src0, 'src_valid0')
-    msrc1 = _vmask(src1, 'src_valid1')
     mult = np.concatenate([g['multiplier'] for g in groups])
     poisson = np.concatenate([g['poisson'] for g in groups])
     pos1 = mesh1.vertices_w_offset(const.MESH_GEAR_MOVING)
@@ -481,7 +502,6 @@ def _fused_prep(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
     return {
         'mesh0': mesh0, 'mesh1': mesh1,
         'src0': src0, 'src1': src1,
-        'msrc0': msrc0, 'msrc1': msrc1,
         'pos1': pos1, 'verts0_1': verts0_1, 'shape1': shape1,
         'tris1': np.asarray(mesh1.triangles, np.int32),
         'mult': mult, 'poisson': poisson,
@@ -509,7 +529,8 @@ def _fused_signature(prep):
                                  for k, v in rd.items()))
                     for rd in prep['rounds'])
     return (prep['meta'], prep['coarse_meta'], prep['lam_ratio'],
-            prep['sigma'], prep['conf_thresh'], shapes, rshapes)
+            prep['sigma'], prep['conf_thresh'], prep['env_norm'],
+            shapes, rshapes)
 
 
 def _fused_finalize(prep, arr):
@@ -554,9 +575,9 @@ def _fused_finalize(prep, arr):
     return common.Match(xy0_init[keep], xy1_init[keep], w[keep], strain)
 
 
-_FUSED_ARRAY_KEYS = ('src0', 'src1', 'msrc0', 'msrc1', 'pos1', 'verts0_1',
-                     'shape1', 'tris1', 'mult', 'poisson', 'shape0', 'tris0',
-                     'mult0', 'poisson0', 'pos0')
+_FUSED_ARRAY_KEYS = ('src0', 'src1', 'pos1', 'verts0_1', 'shape1', 'tris1',
+                     'mult', 'poisson', 'shape0', 'tris0', 'mult0',
+                     'poisson0', 'pos0')
 
 
 def _fused_execute_batch(preps):
@@ -575,11 +596,11 @@ def _fused_execute_batch(preps):
     coarse = {k: jnp.asarray(np.stack([np.asarray(p['coarse'][k])
                                        for p in preps]))
               for k in p0['coarse']} if p0['coarse'] is not None else None
-    (src0, src1, msrc0, msrc1, pos1, verts0_1, shape1, tris1, mult, poisson,
+    (src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
      shape0, tris0, mult0, poisson0, pos0) = args
     packed = match_loop.fused_rounds_batched(
-        src0, src1, msrc0, msrc1, pos1, verts0_1, shape1, tris1, mult,
-        poisson, rounds, p0['meta'], shape0, tris0, mult0, poisson0, pos0,
+        src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
+        rounds, p0['meta'], shape0, tris0, mult0, poisson0, pos0,
         lam_ratio=p0['lam_ratio'], sigma=p0['sigma'],
         conf_thresh=p0['conf_thresh'], coarse=coarse,
         coarse_meta=p0['coarse_meta'], env_norm=p0['env_norm'])
@@ -604,7 +625,6 @@ def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
         coarse = {k: jnp.asarray(v) for k, v in prep['coarse'].items()}
     packed = match_loop.fused_rounds(
         jnp.asarray(prep['src0']), jnp.asarray(prep['src1']),
-        jnp.asarray(prep['msrc0']), jnp.asarray(prep['msrc1']),
         jnp.asarray(prep['pos1']), jnp.asarray(prep['verts0_1']),
         jnp.asarray(prep['shape1']), jnp.asarray(prep['tris1']),
         jnp.asarray(prep['mult']), jnp.asarray(prep['poisson']),
@@ -652,9 +672,7 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
     # final-round subpixel estimator + windowed-correlation envelope
     # normalization (see ops/xcorr: the triangular overlap envelope
     # biases raw peaks ~0.05-0.08 px toward zero displacement)
-    sp_up = kwargs.get('subpixel_upsample', 1)
-    sp_up = int(sp_up) if sp_up else 0
-    sp_last = sp_up if sp_up >= 2 else bool(sp_up)
+    sp_last = _parse_subpixel(kwargs)
     env_norm = 'peak' if kwargs.get('envelope_normalize', True) else False
 
     mesh0.locked = True
@@ -719,16 +737,28 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                 stack1, kept1 = warp_ops.mesh_blocks_device(
                     mesh1, src1, ctr, block_size, src_offset=src_off1)
                 if env_norm and subpixel and block_size >= 64:
-                    # valid-content masks (ones warped through the same
-                    # affines) for the final-round envelope-normalized
-                    # peak: an analytic full-block envelope is wrong at
-                    # strip/image borders (see ops/match_loop)
+                    # valid-content masks (the sources' validity images
+                    # warped through the same affines) for the final-
+                    # round envelope-normalized peak: an analytic full-
+                    # block envelope is wrong at strip/image borders
+                    # (see ops/match_loop), and band crops are zero-
+                    # padded to bucketed shapes (src_valid* extents)
                     import jax.numpy as jnp
+
+                    def _vimg(src, key):
+                        m = np.zeros(src.shape[:2], np.float32)
+                        v = kwargs.get(key, None)
+                        if v is None:
+                            m[:] = 1.0
+                        else:
+                            m[:int(v[0]), :int(v[1])] = 1.0
+                        return jnp.asarray(m)
+
                     bmask0, _ = warp_ops.mesh_blocks_device(
-                        mesh0, jnp.ones(src0.shape, jnp.float32), ctr,
+                        mesh0, _vimg(src0, 'src_valid0'), ctr,
                         block_size, src_offset=src_off0)
                     bmask1, _ = warp_ops.mesh_blocks_device(
-                        mesh1, jnp.ones(src1.shape, jnp.float32), ctr,
+                        mesh1, _vimg(src1, 'src_valid1'), ctr,
                         block_size, src_offset=src_off1)
             else:
                 render0 = MeshRenderer.from_mesh(

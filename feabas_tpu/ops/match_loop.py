@@ -127,8 +127,7 @@ def _avg_pool(img, k):
     return img[:H, :W].reshape(H // k, k, W // k, k).mean(axis=(1, 3))
 
 
-def _fused_rounds_core(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
-                       tris1, multiplier,
+def _fused_rounds_core(src0, src1, pos1, verts0_1, shape1, tris1, multiplier,
                        poisson, rounds, meta, shape0, tris0, multiplier0,
                        poisson0, pos0, lam_ratio=0.35, sigma=2.5,
                        conf_thresh=0.3, huber_passes=2, maxiter=600,
@@ -152,6 +151,9 @@ def _fused_rounds_core(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
             anchor_idx (B,3), anchor_idx0 (B,3)  [link anchor triangles;
             barycentrics are computed at measurement time on device],
             valid (B,)  [0 for padding rows],
+            env_ok (B,)  [1 where the block's whole source read window is
+            interior to both sources' valid extents — the blocks whose
+            final-round peak divides by the analytic overlap envelope],
             rlen (scalar)  [Huber residue length].
         meta: tuple of per-round static (block_size, fft_y, fft_x,
             subpixel, translate_first, tol, warp_window_K).
@@ -236,28 +238,28 @@ def _fused_rounds_core(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
         # shrinks fft_chunk to keep the product <=128.
         n = blocks0.shape[0]
         chunk = min(int(fft_chunk), n)
-        # mask-overlap envelope normalization for the FINAL (measured)
-        # round: windowed correlation is multiplied by the overlap surface
-        # of the blocks' valid-content masks, which biases even the EXACT
-        # peak ~0.05-0.08 px toward zero displacement (measured). The
-        # masks come from warping a ones-image through the same affines —
-        # an analytic full-block triangle is WRONG at strip/image borders
-        # where blocks carry fill (using it measured 3x worse than no
-        # correction). Clamp at 0.5 relative overlap so far-displacement
-        # noise amplifies <= 2x. Only the last round pays the extra
-        # warps/FFTs: earlier rounds' biases are re-measured away.
-        # only for blocks >= 64 px: below that the correlation peak is
-        # noisy enough that the <=2x far-field amplification costs more
-        # than the ~0.05 px envelope bias it removes (measured: 16-48 px
-        # narrow-strip blocks got 2x WORSE with normalization; 128 px
-        # interior blocks got 4x better)
+        # overlap-envelope normalization for the FINAL (measured) round:
+        # windowed correlation is multiplied by the overlap surface of
+        # the blocks' valid-content masks, biasing even the EXACT peak
+        # ~0.05-0.08 px toward zero displacement (measured). Blocks whose
+        # whole source read window is interior (host-computed
+        # rd['env_ok'] — affine corners +- (K+4) inside the sources'
+        # valid extents) divide by the SHARED analytic full-block
+        # envelope, which is exact for them; border blocks keep raw
+        # peaks (a mismatched envelope measured 3x worse than none, and
+        # device mask warps cost ~80 ms/pair through the tunnel). Clamp
+        # at 0.5 relative overlap bounds far-field noise amplification
+        # at 2x. Only blocks >= 64 px: smaller peaks are noisy enough
+        # that amplification outweighs the bias (measured 2x worse on
+        # 16-48 px strip blocks, 4x better on 128 px interior ones).
         use_env = bool(env_norm) and bool(subpixel) and bs >= 64
         if use_env:
-            mb0 = affine_warp_blocks_shifted(msrc0.astype(jnp.float32),
-                                             origins, rd['A0'], rd['b0'],
-                                             bs, bs, K)
-            mb1 = affine_warp_blocks_shifted(msrc1.astype(jnp.float32),
-                                             origins, A1, b1, bs, bs, K)
+            Mk = jnp.fft.rfft2(jnp.ones((1, bs, bs), jnp.float32),
+                               s=(fy, fx))
+            Nc_env = jnp.conj(Mk) * Mk
+            E = jnp.fft.irfft2(Nc_env, s=(fy, fx))
+            env_div = jnp.clip(E / jnp.clip(E.max(), 1e-6, None), 0.5, None)
+            env_ok = rd['env_ok']
         dxs, dys, confs = [], [], []
         for s in range(0, n, chunk):
             F0 = jnp.fft.rfft2(g0[s:s + chunk], s=(fy, fx))
@@ -265,23 +267,18 @@ def _fused_rounds_core(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
             Fc = jnp.conj(F0) * F1
             C = jnp.fft.irfft2(Fc, s=(fy, fx))
             if use_env:
-                M0 = jnp.fft.rfft2(mb0[s:s + chunk], s=(fy, fx))
-                M1 = jnp.fft.rfft2(mb1[s:s + chunk], s=(fy, fx))
-                Nc_env = jnp.conj(M0) * M1
-                E = jnp.fft.irfft2(Nc_env, s=(fy, fx))
-                nc_b = E.shape[0]
-                Emax = jnp.clip(E.reshape(nc_b, -1).max(axis=-1), 1e-6,
-                                None)[:, None, None]
-                env_div = jnp.clip(E / Emax, 0.5, None)
+                okc = env_ok[s:s + chunk][:, None, None]
+                C_pk = jnp.where(okc > 0, C / env_div, C)
+                Nc_c = Nc_env
             else:
-                Nc_env = None
-                env_div = 1.0
+                C_pk = C
+                Nc_c = None
             # peaks localize on the envelope-normalized surface; the
             # confidence ratio stays on the RAW surfaces (normalizing
             # both deflates conf ~2x and breaks tuned thresholds)
-            dx_c, dy_c, _peak = _peak_and_subpixel(C / env_div, (fy, fx),
+            dx_c, dy_c, _peak = _peak_and_subpixel(C_pk, (fy, fx),
                                                    subpixel, Fc=Fc,
-                                                   Nc=Nc_env)
+                                                   Nc=Nc_c)
             Cm = jnp.abs(jnp.fft.irfft2(F0 * F1, s=(fy, fx)))
             nc = C.shape[0]
             mx_rl = C.reshape(nc, -1).max(axis=-1)
@@ -347,8 +344,7 @@ fused_rounds = functools.partial(
     jax.jit,
     static_argnames=('meta', 'lam_ratio', 'sigma', 'conf_thresh',
                      'huber_passes', 'maxiter', 'coarse_meta', 'env_norm'))
-def fused_rounds_batched(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
-                         tris1,
+def fused_rounds_batched(src0, src1, pos1, verts0_1, shape1, tris1,
                          multiplier, poisson, rounds, meta, shape0, tris0,
                          multiplier0, poisson0, pos0, lam_ratio=0.35,
                          sigma=2.5, conf_thresh=0.3, huber_passes=2,
@@ -361,17 +357,15 @@ def fused_rounds_batched(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
     n_pairs = src0.shape[0]
     fft_chunk = max(8, 128 // max(int(n_pairs), 1))
 
-    def one(s0, s1, m0_, m1_, p1, v01, sh1, t1, ml, po, rds, sh0, t0_,
-            ml0, po0, p0, crs):
+    def one(s0, s1, p1, v01, sh1, t1, ml, po, rds, sh0, t0_, ml0, po0, p0,
+            crs):
         return _fused_rounds_core(
-            s0, s1, m0_, m1_, p1, v01, sh1, t1, ml, po, rds, meta, sh0,
-            t0_, ml0,
+            s0, s1, p1, v01, sh1, t1, ml, po, rds, meta, sh0, t0_, ml0,
             po0, p0, lam_ratio=lam_ratio, sigma=sigma,
             conf_thresh=conf_thresh, huber_passes=huber_passes,
             maxiter=maxiter, coarse=crs, coarse_meta=coarse_meta,
             fft_chunk=fft_chunk, env_norm=env_norm)
 
-    return jax.vmap(one)(src0, src1, msrc0, msrc1, pos1, verts0_1, shape1,
-                         tris1,
+    return jax.vmap(one)(src0, src1, pos1, verts0_1, shape1, tris1,
                          multiplier, poisson, rounds, shape0, tris0,
                          multiplier0, poisson0, pos0, coarse)

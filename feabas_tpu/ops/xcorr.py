@@ -138,7 +138,10 @@ def _peak_and_subpixel(C, fftshp, subpixel, Fc=None, Nc=None):
     dy = (idx // fx).astype(jnp.float32)
     dx = (idx % fx).astype(jnp.float32)
     kappa = int(subpixel) if not isinstance(subpixel, bool) else 0
-    if kappa >= 2 and Fc is not None:
+    if kappa >= 2 and Fc is not None and Nc is not None:
+        # the upsampler needs the overlap normalizer: the exact raw peak
+        # is FAITHFUL to the envelope bias, so unnormalized upsampling
+        # measures worse than the quadratic fit — fall through to it
         oy, ox = _dft_upsample_offsets(Fc, dy, dx, fftshp, kappa, Nc=Nc)
         return dx + ox, dy + oy, peak
     if subpixel:
@@ -163,12 +166,18 @@ def _peak_and_subpixel(C, fftshp, subpixel, Fc=None, Nc=None):
     return dx, dy, peak
 
 
-def _normalizer(M0, M1, fftshp, conj0, clip=0.1):
+def _normalizer_from(F, fftshp, clip=0.1):
+    """Relative mask-overlap surface from its precomputed half-spectrum,
+    clipped below at ``clip`` (bounds far-field amplification)."""
     fy, fx = fftshp
-    F = (jnp.conj(M0) if conj0 else M0) * M1
     NC = jnp.fft.irfft2(F, s=fftshp).reshape(-1, fy * fx)
     NC = NC / jnp.clip(NC.max(axis=-1, keepdims=True), 1.0, None)
     return jnp.clip(NC, clip, None)
+
+
+def _normalizer(M0, M1, fftshp, conj0, clip=0.1):
+    return _normalizer_from((jnp.conj(M0) if conj0 else M0) * M1,
+                            fftshp, clip=clip)
 
 
 @functools.partial(
@@ -198,9 +207,9 @@ def _xcorr_core(img0, img1, mask0, mask1, fftshp, shp0, shp1,
             # the envelope-bias correction is exact near the center while
             # far-field noise amplifies < 2x (a 0.1 clamp lets sidelobe
             # noise outbid weak true peaks, measured on warped pairs)
-            Cn = Cf / _normalizer(M0, M1, fftshp, conj0=True, clip=0.5)
+            Cn = Cf / _normalizer_from(Nc, fftshp, clip=0.5)
         else:
-            Cn = Cf / _normalizer(M0, M1, fftshp, conj0=True)
+            Cn = Cf / _normalizer_from(Nc, fftshp)
             Cf = Cn
     else:
         Cn = Cf
@@ -274,8 +283,15 @@ def xcorr_fft(img0, img1, conf_mode=const.FFT_CONF_MIRROR, **kwargs):
         img0, img1 = img0[None], img1[None]
     if sigma > 0:
         from feabas_tpu.ops.filters import masked_dog_filter
-        img0 = masked_dog_filter(img0, sigma, mask=mask0)
-        img1 = masked_dog_filter(img1, sigma, mask=mask1)
+        # normalize='peak' reserves the masks for peak normalization
+        # only: feeding them to the DoG too (boundary-leakage
+        # subtraction) would change the raw surfaces and the confidence
+        # for border blocks, diverging from the fused path's unmasked
+        # filter and the tuned conf thresholds
+        dog_m0 = None if normalize == 'peak' else mask0
+        dog_m1 = None if normalize == 'peak' else mask1
+        img0 = masked_dog_filter(img0, sigma, mask=dog_m0)
+        img1 = masked_dog_filter(img1, sigma, mask=dog_m1)
     shp0 = tuple(int(s) for s in img0.shape[-2:])
     shp1 = tuple(int(s) for s in img1.shape[-2:])
     if pad:

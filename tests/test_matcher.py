@@ -348,3 +348,25 @@ def test_match_pairs_batched_parity(rng, workdir):
                                    np.sort(ms.xy0, axis=0), atol=1e-5)
         err = np.median(np.linalg.norm(mb.xy0 - (mb.xy1 + sh), axis=-1))
         assert err < 0.1, err
+
+
+def test_env_interior_flags():
+    """_env_interior marks exactly the blocks whose whole source read
+    window (affine corners +- K+4) sits inside the valid extents."""
+    from feabas_tpu.matcher import _env_interior
+    bs, K = 64, 8
+    A = np.tile(np.eye(2), (3, 1, 1))
+    b = np.zeros((3, 2))
+    # valid region 256x256; margin needed = K+4 = 12
+    origins = np.array([[100.0, 100.0],    # interior
+                        [5.0, 100.0],      # too close to x=0
+                        [100.0, 256 - bs - 5.0]])  # too close to y=H
+    ok = _env_interior(origins, bs, K, A, b, (256, 256))
+    assert ok.tolist() == [True, False, False]
+    # a 2x-scale affine doubles the source footprint
+    A2 = np.tile(2 * np.eye(2), (1, 1, 1))
+    ok2 = _env_interior(np.array([[60.0, 60.0]]), bs, K, A2,
+                        np.zeros((1, 2)), (256, 256))
+    ok3 = _env_interior(np.array([[60.0, 60.0]]), bs, K, A2,
+                        np.zeros((1, 2)), (300, 300))
+    assert ok2.tolist() == [False] and ok3.tolist() == [True]

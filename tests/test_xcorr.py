@@ -110,7 +110,6 @@ def test_envelope_normalized_peak_accuracy():
     displacement; normalize='peak' must remove it WITHOUT changing the
     confidence (tuned thresholds), and the int-subpixel DFT upsampler
     must agree with the quadratic fit at the fine scale."""
-    import cv2
     from feabas_tpu.ops.xcorr import xcorr_fft
     rng = np.random.default_rng(7)
     from scipy.ndimage import gaussian_filter
