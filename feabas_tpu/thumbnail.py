@@ -97,7 +97,26 @@ def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
     if num_features and num_features > 0 and resp.size > num_features:
         order = np.argsort(resp)[::-1][:num_features]
         yy, xx, resp = yy[order], xx[order], resp[order]
-    kp = KeyPoints(np.stack([xx, yy], -1), resp)
+    # subpixel localization: 3x3 quadratic fit of the response around each
+    # interior peak. Integer keypoints quantize BOTH sides of a
+    # correspondence at +-0.5 px — the floor on thumbnail match accuracy
+    # (the reference's peak_local_max keeps integers; measured here this
+    # halves the median pair error)
+    h, w = f.shape
+    inner = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1)
+    xs = xx.astype(np.float64)
+    ys = yy.astype(np.float64)
+    if inner.any():
+        yi, xi = yy[inner], xx[inner]
+        cxx = f[yi, xi - 1] + f[yi, xi + 1] - 2 * f[yi, xi]
+        cyy = f[yi - 1, xi] + f[yi + 1, xi] - 2 * f[yi, xi]
+        ox = np.where(cxx < 0,
+                      (f[yi, xi - 1] - f[yi, xi + 1]) / (2 * cxx), 0.0)
+        oy = np.where(cyy < 0,
+                      (f[yi - 1, xi] - f[yi + 1, xi]) / (2 * cyy), 0.0)
+        xs[inner] += np.clip(ox, -0.5, 0.5)
+        ys[inner] += np.clip(oy, -0.5, 0.5)
+    kp = KeyPoints(np.stack([xs, ys], -1), resp)
     if mask is not None and np.asarray(mask).dtype != bool:
         kp.class_id = np.asarray(mask)[yy, xx].astype(np.int32)
     return kp

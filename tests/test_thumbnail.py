@@ -183,3 +183,21 @@ def test_keypoint_matches_container(rng, workdir):
     assert km2.num_points == 2 and km.num_points == 3
     m = km2.to_match()
     assert m.xy0.shape == (2, 2) and m.weight.shape == (2,)
+
+
+def test_keypoint_subpixel_localization(rng):
+    """DoG extrema carry subpixel offsets: a blob centered off-grid must
+    be localized to well under the 0.5 px integer-quantization floor."""
+    from feabas_tpu.thumbnail import detect_extrema_log
+    img = np.full((96, 96), 128.0, np.float32)
+    gy, gx = np.mgrid[0:96, 0:96]
+    for cx, cy in [(30.3, 40.7), (70.6, 20.2), (50.5, 72.4)]:
+        img += 80.0 * np.exp(-(((gx - cx) ** 2 + (gy - cy) ** 2)
+                               / (2 * 3.0 ** 2)))
+    kp = detect_extrema_log(img, sigma=3.0, min_spacing=12)
+    got = kp.xy[np.argsort(kp.response)[::-1][:3]]
+    want = np.array([[30.3, 40.7], [70.6, 20.2], [50.5, 72.4]])
+    # match each truth point to its nearest detection
+    for wpt in want:
+        d = np.linalg.norm(got - wpt, axis=-1).min()
+        assert d < 0.25, (wpt, got)
