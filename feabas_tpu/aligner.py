@@ -396,10 +396,13 @@ class Stack:
         jmesh = JMesh(np.array(devices[:n_dev]), ('z',))
         base_weight = system['links'][4].copy()
         u = system['u']
-        modes = stack_rigid_modes(system)
-        if modes is not None:
-            modes = jnp.asarray(modes, jnp.float32)
         for _pass in range(max(int(max_passes), 1)):
+            # recompute per pass: residue reweighting can zero a pair's
+            # links and SPLIT the chain, creating new fully-free
+            # components whose rigid modes must also deflate
+            modes = stack_rigid_modes(system)
+            if modes is not None:
+                modes = jnp.asarray(modes, jnp.float32)
             sharded = shard_stack_system(system, jmesh)
             lam_s = float(_stack_lambda_balance(
                 sharded['verts0'], sharded['tris'], sharded['multiplier'],
@@ -576,10 +579,15 @@ class Stack:
                     subprocess_optimize_window, [job], num_workers=1,
                     parallel_framework=dispatch, **dispatch_settings))[0]
                 storage.clear_exists_cache()
+                saved = set(result)
                 for k, name in zip(commit_set, commit_names):
                     # drop stale cached meshes; reload picks up the tform
                     self.mesh_cache.pop(name)
                     committed[k] = True
+                    if name not in saved:
+                        # worker withheld an unanchored section: no tform
+                        # was written, so it stays unlocked and retries
+                        continue
                     out.append(name)
                     if commit_fn is not None:
                         commit_fn(name, self.get_mesh(name))
@@ -622,10 +630,17 @@ def subprocess_optimize_window(init_dict, window_sections, commit_sections,
     init_dict.pop('section_list', None)
     stack = Stack(section_list=list(window_sections), **init_dict)
     stack.optimize_section_list(list(window_sections), **dict(opt_kwargs))
+    done = []
     for name in commit_sections:
         mesh = stack.get_mesh(name)
+        if getattr(mesh, 'is_outcast', False):
+            # unanchored: persist nothing — the placement was never
+            # determined by matches; it retries in a later window (same
+            # rule as the local do_commit path)
+            continue
         mesh.save_to_h5(join_paths(stack.tform_dir, name + '.h5'))
-    return list(commit_sections)
+        done.append(name)
+    return done
 
 
 def split_disconnected_sections(stack):

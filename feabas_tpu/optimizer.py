@@ -106,21 +106,32 @@ def _flat_translation_precond(offsets_arr, agg, mesh_free, idx0, idx1,
 
 
 def _mode_projector(modes):
-    """Orthogonal projector removing the span of ``modes`` (K, NV, 2),
-    an orthonormal set. Used to deflate the rigid-body modes of fully-free
+    """Orthogonal projector removing the span of ``modes`` — (K, ...) with
+    any trailing layout matching the vectors it is applied to, an
+    orthonormal set. Used to deflate the rigid-body modes of fully-free
     connected components: for such a component the infinitesimal-rotation
     direction has near-zero curvature (only the shape-gear anchor
     mismatches resist it) yet a nonzero gradient, so an unprojected
     linearized solve can 'pay' for residue with an arbitrarily large
     section rotation that the true nonlinear cost rejects (reference
     counterpart: extra-DOF removal for unlocked components,
-    optimizer.py:1362-1377)."""
+    optimizer.py:1362-1377). Shared by the fused/general SLM solves, the
+    sharded montage solve, and the stacked window solve. The
+    contractions run at Precision.HIGHEST: the TPU's default bf16
+    matmul would leave ~1e-3 relative rigid-mode leakage per
+    projection."""
     if modes is None:
         return lambda x: x
+    hi = jax.lax.Precision.HIGHEST
+    tail = tuple(range(1, modes.ndim))
 
     def project(x):
-        coef = jnp.einsum('knc,nc->k', modes, x)
-        return x - jnp.einsum('k,knc->nc', coef, modes)
+        # tensordot (not reshape+matmul): sharded operands keep their
+        # layout and the cross-shard reduction lowers to one psum
+        coef = jnp.tensordot(modes, x, axes=(tail, tuple(range(x.ndim))),
+                             precision=hi)
+        return x - jnp.tensordot(coef, modes, axes=((0,), (0,)),
+                                 precision=hi)
 
     return project
 
@@ -573,11 +584,16 @@ class SLM:
         labels = self.mesh_connectivity()
         lock_flags = np.asarray([m.locked for m in self.meshes], dtype=bool)
         prior = np.asarray([m.is_outcast for m in self.meshes], dtype=bool)
-        if labels.max() == 0:
-            outcasts = prior
-        elif lock_flags.any() or prior.any():
+        if lock_flags.any():
+            # fresh verdict from THIS system's connectivity: a section
+            # flagged in an earlier (less connected) window must clear
+            # once a path to an anchor exists. Prior-outcast locked
+            # meshes don't anchor (their placement was never determined).
             anchored_labels = labels[lock_flags & ~prior]
             outcasts = ~np.isin(labels, anchored_labels)
+        elif labels.max() == 0:
+            # one fully-free component IS the majority component
+            outcasts = np.zeros(self.num_meshes, dtype=bool)
         else:
             u, cnt = np.unique(labels, return_counts=True)
             outcasts = labels != u[np.argmax(cnt)]

@@ -306,14 +306,8 @@ def montage_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                       1.0)
     lam_c = jnp.asarray(1.0, dt)
 
-    if modes is None:
-        project = lambda x: x
-    else:
-        mds = modes.astype(dt)
-
-        def project(x):
-            coef = jnp.einsum('kmvc,mvc->k', mds, x)
-            return x - jnp.einsum('k,kmvc->mvc', coef, mds)
+    from feabas_tpu.optimizer import _mode_projector
+    project = _mode_projector(None if modes is None else modes.astype(dt))
 
     def matvec(x):
         return project(_montage_matvec(project(x), Ke, tris, links, free,

@@ -250,14 +250,8 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     dt = u.dtype
     r_rest = r_rest.astype(dt)
 
-    if modes is None:
-        project = lambda x: x
-    else:
-        mds = modes.astype(dt)
-
-        def project(x):
-            coef = jnp.einsum('ksvc,svc->k', mds, x)
-            return x - jnp.einsum('k,ksvc->svc', coef, mds)
+    from feabas_tpu.optimizer import _mode_projector
+    project = _mode_projector(None if modes is None else modes.astype(dt))
 
     def matvec(x):
         return project(_stack_matvec(project(x), Ke, tris, links, free,

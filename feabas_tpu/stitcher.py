@@ -542,7 +542,10 @@ class Stitcher:
             return
         if rotation_threshold is not None:
             slm = getattr(self, '_slm', None)
-            if slm is not None and slm.meshes is self.meshes:
+            # SLM copies the mesh list, so compare by the meshes
+            # themselves (identity of each entry), not list identity
+            if (slm is not None and len(slm.meshes) == len(self.meshes)
+                    and all(a is b for a, b in zip(slm.meshes, self.meshes))):
                 labels = slm.mesh_connectivity()
             else:
                 labels = np.zeros(len(self.meshes), dtype=np.int64)

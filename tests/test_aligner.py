@@ -504,3 +504,43 @@ def test_unanchored_section_withheld(workdir, rng):
     offs = np.asarray(offs) - offs[0]
     err = offs - (-(drift[:-1] - drift[0]))
     assert np.abs(err).max() < 0.3, np.abs(err).max()
+
+
+def test_remote_window_withholds_outcasts(workdir, rng):
+    """The remote window worker (subprocess_optimize_window) must not
+    persist tforms for unanchored sections: the returned commit list
+    excludes them and no file appears."""
+    from feabas_tpu.aligner import (Stack, subprocess_optimize_window,
+                                    _stack_init_dict, save_matches_to_h5,
+                                    match_name)
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu import storage
+    from feabas_tpu.common import Match
+    mesh_dir = storage.join_paths(str(workdir), 'a', 'mesh')
+    tform_dir = storage.join_paths(str(workdir), 'a', 'tform')
+    match_dir = storage.join_paths(str(workdir), 'a', 'match')
+    for d in (mesh_dir, tform_dir, match_dir):
+        storage.makedirs(d)
+    names = [f's{z:02d}' for z in range(4)]
+    xs, ys = np.meshgrid(np.linspace(10, 110, 4), np.linspace(10, 110, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    for n in names:
+        Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=40,
+                       name=n, resolution=4).save_to_h5(
+            storage.join_paths(mesh_dir, n + '.h5'))
+    # matches chain s00-s01-s02; s03 has none
+    for z in range(2):
+        save_matches_to_h5(
+            storage.join_paths(match_dir, match_name(names[z], names[z + 1])),
+            Match(pts, pts + rng.normal(0, 0.01, pts.shape),
+                  np.ones(len(pts)), 0.01), 4)
+    stack = Stack(section_list=names, mesh_dir=mesh_dir,
+                  tform_dir=tform_dir, match_dir=match_dir, resolution=4)
+    done = subprocess_optimize_window(
+        _stack_init_dict(stack), names, names,
+        {'residue_len': 3, 'use_sharded_solve': False})
+    assert sorted(done) == names[:3]
+    assert not storage.file_exists(
+        storage.join_paths(tform_dir, names[3] + '.h5'))
+    for n in names[:3]:
+        assert storage.file_exists(storage.join_paths(tform_dir, n + '.h5'))

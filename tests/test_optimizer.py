@@ -502,3 +502,40 @@ def test_fully_free_solve_deflates_rigid_modes(workdir, rng, path):
     assert np.abs(np.concatenate(
         [m.vertices_w_offset('MOVING') - m.vertices_w_offset('FIXED')
          for m in slm.meshes]).mean(axis=0)).max() < 0.75
+
+
+def test_flag_outcasts_clears_and_idempotent(workdir):
+    """A prior is_outcast flag must clear once a path to an anchor exists,
+    and repeated calls on a lock-free system must be stable (majority
+    rule), not escalate to all-outcast."""
+    from feabas_tpu.optimizer import SLM
+    from feabas_tpu import constant as const
+
+    def chain(n, locked0=True):
+        ms = [_tile_mesh((120 * i, 0, 120 * i + 100, 100), i, mesh_size=60)
+              for i in range(n)]
+        ms[0].locked = locked0
+        slm = SLM(ms)
+        pts = _grid_pts((0, 0, 100, 100), n=3)
+        for i in range(n - 1):
+            slm.add_link_from_coordinates(
+                i, i + 1, pts, pts,
+                gear=(const.MESH_GEAR_INITIAL,) * 2)
+        return slm
+
+    # previously flagged mesh connected to an anchor -> flag clears
+    slm = chain(3, locked0=True)
+    slm.meshes[2].is_outcast = True
+    out = slm.flag_outcasts()
+    assert out.tolist() == [False, False, False]
+    assert not slm.meshes[2].is_outcast
+
+    # lock-free with prior flags: majority rule, idempotent
+    slm2 = chain(3, locked0=False)
+    iso = _tile_mesh((1000, 0, 1100, 100), 9, mesh_size=60)
+    slm2.add_meshes([iso]) if hasattr(slm2, 'add_meshes') else \
+        slm2.meshes.append(iso)
+    first = slm2.flag_outcasts()
+    second = slm2.flag_outcasts()
+    assert first.tolist() == [False, False, False, True]
+    assert second.tolist() == first.tolist()

@@ -325,3 +325,40 @@ def test_normalize_coordinates_derotates(rng, workdir):
     for b, m in zip(before, st.meshes):
         np.testing.assert_allclose(
             m.vertices_w_offset(const.MESH_GEAR_MOVING), b, atol=1e-9)
+
+
+def test_normalize_derotates_per_subsystem(rng, workdir):
+    """Two link-disconnected subsystems spun opposite ways must EACH be
+    de-rotated (the whole-section median is ~0, so a single global
+    verdict would skip both)."""
+    from feabas_tpu.stitcher import Stitcher
+    from feabas_tpu.common import Match
+    from feabas_tpu import constant as const
+    from feabas_tpu import spatial as sp
+    # two tile pairs with no cross links
+    bboxes = np.array([[0, 0, 150, 120], [120, 0, 270, 120],
+                       [600, 0, 750, 120], [720, 0, 870, 120]], float)
+    st = Stitcher([f't{i}.png' for i in range(4)], bboxes)
+    pts = np.stack(np.meshgrid(np.linspace(125, 145, 3),
+                               np.linspace(5, 115, 4)), -1).reshape(-1, 2)
+    st.matches[(0, 1)] = Match(pts, pts - [120, 0], np.ones(len(pts)), 0.01)
+    st.matches[(2, 3)] = Match(pts + [600 - 0, 0], pts + [600 - 720, 0],
+                               np.ones(len(pts)), 0.01)
+    st.initialize_optimizer()
+    st.optimize_translation()
+    # spin subsystem A by +1.2 deg, subsystem B by -1.2 deg
+    for sign, sel in ((1.0, (0, 1)), (-1.0, (2, 3))):
+        th = sign * np.deg2rad(1.2)
+        c, s = np.cos(th), np.sin(th)
+        R = np.array([[c, -s, 0.0], [s, c, 0.0], [0, 0, 1.0]])
+        for i in sel:
+            st.meshes[i].apply_affine(
+                R, gear=(const.MESH_GEAR_MOVING, const.MESH_GEAR_MOVING))
+    st.normalize_coordinates(rotation_threshold=0.5, offset=(1, 1))
+    for i in range(4):
+        _, Rm = sp.fit_affine(
+            st.meshes[i].vertices_w_offset(const.MESH_GEAR_MOVING),
+            st.meshes[i].vertices_w_offset(const.MESH_GEAR_INITIAL),
+            return_rigid=True)
+        ang = abs(np.degrees(np.arctan2(Rm[0, 1], Rm[0, 0])))
+        assert ang < 0.1, (i, ang)
