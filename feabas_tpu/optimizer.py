@@ -136,6 +136,38 @@ def _mode_projector(modes):
     return project
 
 
+def rigid_modes_flat(n_slots, components):
+    """Orthonormal rigid modes (tx, ty, infinitesimal rotation about the
+    component centroid) over a flattened (n_slots, 2) DOF layout.
+
+    ``components``: iterable of (rows, q) — flat slot indices of one
+    fully-free component and the matching world coordinates (len(rows),
+    2). Returns (K, n_slots, 2) or None. This is the ONE construction
+    behind SLM._rigid_deflation_modes, montage_rigid_modes, and
+    stack_rigid_modes — the call sites differ only in how components are
+    discovered and how slots map onto their array layouts."""
+    modes = []
+    for rows, q in components:
+        rows = np.asarray(rows)
+        if rows.size == 0:
+            continue
+        m1 = np.zeros((n_slots, 2))
+        m1[rows, 0] = 1.0 / np.sqrt(rows.size)
+        m2 = np.zeros((n_slots, 2))
+        m2[rows, 1] = 1.0 / np.sqrt(rows.size)
+        modes.extend([m1, m2])
+        qc = np.asarray(q, np.float64) - np.asarray(q, np.float64).mean(axis=0)
+        nrm = np.linalg.norm(qc)
+        if nrm > 0:
+            m3 = np.zeros((n_slots, 2))
+            m3[rows, 0] = -qc[:, 1] / nrm
+            m3[rows, 1] = qc[:, 0] / nrm
+            modes.append(m3)
+    if not modes:
+        return None
+    return np.stack(modes)
+
+
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def _linear_solve_eng(tris, B, area2, multiplier, poisson,
                       idx0, bary0, idx1, bary1, weight,
@@ -928,27 +960,14 @@ class SLM:
             r = find(i)
             comp_locked[r] = comp_locked.get(r, False) or m.locked
         nv = int(offsets[-1])
-        modes = []
+        comps = []
         for r, locked in comp_locked.items():
             if locked:
                 continue
             rows = np.concatenate([np.arange(offsets[i], offsets[i + 1])
                                    for i in range(n) if find(i) == r])
-            m1 = np.zeros((nv, 2))
-            m1[rows, 0] = 1.0 / np.sqrt(rows.size)
-            m2 = np.zeros((nv, 2))
-            m2[rows, 1] = 1.0 / np.sqrt(rows.size)
-            modes.extend([m1, m2])
-            q = pos_shape[rows] - pos_shape[rows].mean(axis=0)
-            nrm = np.linalg.norm(q)
-            if nrm > 0:
-                m3 = np.zeros((nv, 2))
-                m3[rows, 0] = -q[:, 1] / nrm
-                m3[rows, 1] = q[:, 0] / nrm
-                modes.append(m3)
-        if not modes:
-            return None
-        return np.stack(modes)
+            comps.append((rows, pos_shape[rows]))
+        return rigid_modes_flat(nv, comps)
 
     def _gather_positions(self, gear):
         return np.concatenate([m.vertices_w_offset(gear) for m in self.meshes], axis=0)

@@ -145,27 +145,16 @@ def montage_rigid_modes(system):
     _, labels = connected_components(adj, directed=False)
     locked = system['free'][:M, 0, 0] == 0
     verts = system['verts0_host']                       # (M, V, 2) f64
-    modes = []
+    from feabas_tpu.optimizer import rigid_modes_flat
+    slot = np.arange(M * V).reshape(M, V)
+    comps = []
     for lbl in np.unique(labels):
         sel = labels == lbl
         if locked[sel].any():
             continue
-        cnt = float(sel.sum() * V)
-        m1v = np.zeros((M, V, 2))
-        m1v[sel, :, 0] = 1.0 / np.sqrt(cnt)
-        m2v = np.zeros((M, V, 2))
-        m2v[sel, :, 1] = 1.0 / np.sqrt(cnt)
-        modes.extend([m1v, m2v])
-        q = verts[sel] - verts[sel].reshape(-1, 2).mean(axis=0)
-        nrm = np.linalg.norm(q)
-        if nrm > 0:
-            m3v = np.zeros((M, V, 2))
-            m3v[sel, :, 0] = -q[..., 1] / nrm
-            m3v[sel, :, 1] = q[..., 0] / nrm
-            modes.append(m3v)
-    if not modes:
-        return None
-    return np.stack(modes)
+        comps.append((slot[sel].ravel(), verts[sel].reshape(-1, 2)))
+    modes = rigid_modes_flat(M * V, comps)
+    return None if modes is None else modes.reshape(-1, M, V, 2)
 
 
 def montage_aggregates(centers, max_coarse=4096, target=2048):

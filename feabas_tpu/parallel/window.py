@@ -159,30 +159,18 @@ def stack_rigid_modes(system):
                                        and (weight[k - 1] > 0).any())
                                  else 1)
     sec_free = free.max(axis=(1, 2)) > 0
-    modes = []
+    from feabas_tpu.optimizer import rigid_modes_flat
+    slot = np.arange(S * V).reshape(S, V)
+    comps = []
     for lbl in np.unique(comp):
         sel = np.nonzero(comp == lbl)[0]
         if not sec_free[sel].all():
             continue
-        cnt = float(sum(nvs[s] for s in sel))
-        m1 = np.zeros((S, V, 2))
-        m2 = np.zeros((S, V, 2))
-        m3 = np.zeros((S, V, 2))
-        allq = np.concatenate([verts0_host[s][:nvs[s]] for s in sel])
-        cen = allq.mean(axis=0)
-        for s in sel:
-            m1[s, :nvs[s], 0] = 1.0 / np.sqrt(cnt)
-            m2[s, :nvs[s], 1] = 1.0 / np.sqrt(cnt)
-            q = verts0_host[s][:nvs[s]] - cen
-            m3[s, :nvs[s], 0] = -q[:, 1]
-            m3[s, :nvs[s], 1] = q[:, 0]
-        modes.extend([m1, m2])
-        nrm = np.linalg.norm(m3)
-        if nrm > 0:
-            modes.append(m3 / nrm)
-    if not modes:
-        return None
-    return np.stack(modes)
+        rows = np.concatenate([slot[s, :nvs[s]] for s in sel])
+        q = np.concatenate([verts0_host[s][:nvs[s]] for s in sel])
+        comps.append((rows, q))
+    modes = rigid_modes_flat(S * V, comps)
+    return None if modes is None else modes.reshape(-1, S, V, 2)
 
 
 def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
