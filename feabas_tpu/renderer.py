@@ -306,7 +306,20 @@ class MeshRenderer:
             if fv is None:
                 fv = getattr(loader, 'default_fillval', 0)
             return np.full(mask.shape, fv, dtype=getattr(loader, 'dtype', np.uint8))
-        return render_by_subregions(map_x, map_y, mask, loader, **kwargs)
+        img = render_by_subregions(map_x, map_y, mask, loader, **kwargs)
+        return self._apply_log(img, mask, kwargs)
+
+    @staticmethod
+    def _apply_log(img, mask, kwargs):
+        """Optional Laplacian-of-Gaussian (masked DoG) filtering of a
+        rendered block (reference: renderer.py:568-588 honors a
+        ``log_sigma`` crop kwarg; the device matcher filters on-device, so
+        this host path exists for API parity and ad-hoc filtered exports)."""
+        sigma = kwargs.get('log_sigma', 0)
+        if not sigma or img is None:
+            return img
+        from feabas_tpu.common import masked_dog_filter
+        return masked_dog_filter(img, float(sigma), mask=mask)
 
     def crop_multiple(self, bboxes, image_loader=None, **kwargs):
         """Render several output blocks with ONE loader IO pass: the
@@ -325,7 +338,8 @@ class MeshRenderer:
             if not mk.any():
                 return [None if kwargs.get('return_empty', False) else
                         self._filled(mk.shape, loader, kwargs)]
-            return [render_by_subregions(mx, my, mk, loader, **kwargs)]
+            img = render_by_subregions(mx, my, mk, loader, **kwargs)
+            return [self._apply_log(img, mk, kwargs)]
         wmax = max(f[0].shape[1] for f in fields)
 
         def padw(a, fill):
@@ -350,7 +364,8 @@ class MeshRenderer:
                 out.append(None if kwargs.get('return_empty', False) else
                            self._filled((h, w), loader, kwargs))
             else:
-                out.append(big[r:r + h, :w].copy())
+                out.append(self._apply_log(big[r:r + h, :w].copy(), mk,
+                                           kwargs))
             r += h
         return out
 

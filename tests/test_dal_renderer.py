@@ -521,3 +521,27 @@ def test_mipmap_get_image_loader_bare(tmp_path, workdir, rng):
     imwrite(str(tdir / 's_tr1-tc2.png'), world[:64, 64:])
     loader = get_image_loader(str(tdir))
     assert np.array_equal(loader.crop((0, 0, 128, 64)), world[:64])
+
+
+def test_crop_log_sigma_filters_block(tile_set, workdir):
+    """crop(log_sigma=s) returns the masked-DoG-filtered float block
+    (reference: renderer.py:568-588); crop_multiple agrees per block."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.common import masked_dog_filter
+    world, paths, bboxes = tile_set
+    loader = StaticImageLoader(paths, bboxes)
+    m = Mesh.from_bbox((0, 0, 220, 220), cartesian=True, mesh_size=50)
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    bbox = (20, 30, 120, 130)
+    raw = r.crop(bbox)
+    filt = r.crop(bbox, log_sigma=2.5)
+    assert np.issubdtype(filt.dtype, np.floating)
+    _, _, mask = r.crop_field(bbox)
+    want = masked_dog_filter(raw, 2.5, mask=mask)
+    assert np.allclose(filt, want)
+    # bandpass actually engaged: mean removed, edges preserved
+    assert abs(filt.mean()) < abs(raw.astype(np.float64).mean()) * 0.1
+    multi = r.crop_multiple([bbox, (40, 40, 160, 160)], log_sigma=2.5)
+    assert np.allclose(multi[0], filt)
