@@ -302,10 +302,7 @@ class MeshRenderer:
         if not mask.any():
             if kwargs.get('return_empty', False):
                 return None
-            fv = kwargs.get('fillval', self._fillval)
-            if fv is None:
-                fv = getattr(loader, 'default_fillval', 0)
-            return np.full(mask.shape, fv, dtype=getattr(loader, 'dtype', np.uint8))
+            return self._filled(mask.shape, loader, kwargs)
         img = render_by_subregions(map_x, map_y, mask, loader, **kwargs)
         return self._apply_log(img, mask, kwargs)
 
@@ -319,6 +316,12 @@ class MeshRenderer:
         if not sigma or img is None:
             return img
         from feabas_tpu.common import masked_dog_filter
+        if img.ndim == 3:
+            # multichannel render: blocks come back (H, W, C) but the
+            # filter expects (..., H, W) — filter per channel
+            out = masked_dog_filter(np.moveaxis(img, -1, 0), float(sigma),
+                                    mask=mask)
+            return np.moveaxis(out, 0, -1)
         return masked_dog_filter(img, float(sigma), mask=mask)
 
     def crop_multiple(self, bboxes, image_loader=None, **kwargs):
@@ -370,6 +373,11 @@ class MeshRenderer:
         return out
 
     def _filled(self, shape, loader, kwargs):
+        if kwargs.get('log_sigma', 0):
+            # a filtered constant block is identically zero; returning the
+            # raw fillval here would mix unfiltered uint8 blocks into a
+            # float32 zero-mean filtered batch
+            return np.zeros(shape, np.float32)
         fv = kwargs.get('fillval', self._fillval)
         if fv is None:
             fv = getattr(loader, 'default_fillval', 0)

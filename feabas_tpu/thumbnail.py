@@ -149,13 +149,13 @@ def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
     if n == 0:
         kps.des = np.zeros((0, proj_num, beam_num), np.float32)
         return kps
-    r = int(beam_radius)
-    D = 2 * r + 1
-    ax = np.linspace(-r, r, D)
+    r = float(beam_radius)
+    D = 2 * int(round(r)) + 1        # beam-integral box width (odd int)
+    ax = np.linspace(-r, r, D)       # offsets honor a fractional radius
     idx = np.linspace(0, D - 1, beam_num).round().astype(np.int64)
     offs = ax[idx]                                            # (B,)
     thetas = np.arange(proj_num) * np.pi / proj_num
-    margin = r + 2
+    margin = int(np.ceil(r)) + 2
     corners = np.array([[0, 0], [w - 1, 0], [0, h - 1], [w - 1, h - 1]],
                        np.float64)
     des = np.empty((n, proj_num, beam_num), np.float32)

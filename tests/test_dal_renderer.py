@@ -545,3 +545,39 @@ def test_crop_log_sigma_filters_block(tile_set, workdir):
     assert abs(filt.mean()) < abs(raw.astype(np.float64).mean()) * 0.1
     multi = r.crop_multiple([bbox, (40, 40, 160, 160)], log_sigma=2.5)
     assert np.allclose(multi[0], filt)
+
+
+def test_crop_log_sigma_multichannel_and_empty(tile_set, workdir, tmp_path,
+                                               rng):
+    """log_sigma crops filter (H,W,C) renders per channel, and blocks with
+    no mesh coverage come back as float32 zeros (a filtered constant block)
+    rather than raw uint8 fillval mixed into a zero-mean batch."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import StaticImageLoader
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.common import masked_dog_filter, imwrite
+    # ---- multichannel: 1 RGB tile
+    world = (rng.normal(0, 1, (120, 120, 3)) * 30 + 128).astype(np.uint8)
+    p = str(tmp_path / 'rgb.png')
+    imwrite(p, world)
+    loader = StaticImageLoader([p], [(0, 0, 120, 120)],
+                               number_of_channels=3)
+    m = Mesh.from_bbox((0, 0, 120, 120), cartesian=True, mesh_size=40)
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    bbox = (10, 10, 90, 90)
+    raw = r.crop(bbox)
+    assert raw.ndim == 3 and raw.shape[-1] == 3
+    filt = r.crop(bbox, log_sigma=2.0)
+    assert filt.shape == raw.shape
+    _, _, mask = r.crop_field(bbox)
+    want = np.moveaxis(masked_dog_filter(np.moveaxis(raw, -1, 0), 2.0,
+                                         mask=mask), 0, -1)
+    assert np.allclose(filt, want)
+    # ---- empty coverage: filtered fill is float32 zeros, consistent
+    # between crop() and crop_multiple()
+    far = (500, 500, 560, 560)
+    blk = r.crop(far, log_sigma=2.0, fillval=255)
+    assert blk.dtype == np.float32 and not blk.any()
+    multi = r.crop_multiple([far, bbox], log_sigma=2.0, fillval=255)
+    assert multi[0].dtype == np.float32 and not multi[0].any()
+    assert np.allclose(multi[1], want)
