@@ -250,10 +250,47 @@ class _ScaledLoader:
         return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
 
 
+def get_or_make_canvas(tform_dir, logger=None):
+    """Shared render canvas, persisted to ``<tform_dir>/canvas.json``
+    (reference: align_main.py:181-209,406). Computed ONCE from every tform
+    present and reused by later — possibly ``--filter``ed or sliced —
+    render/tsr runs so they all share one output grid."""
+    import json
+    from feabas_tpu.mesh import Mesh
+    cf = join_paths(tform_dir, 'canvas.json')
+    if storage.file_exists(cf):
+        with storage.File(cf, 'r') as f:
+            return json.load(f).get('mip0')
+    tforms = sorted(storage.list_folder_content(join_paths(tform_dir, '*.h5')))
+    if not tforms:
+        return None
+    boxes = np.asarray([Mesh.from_h5(t).bbox(gear='MOVING') for t in tforms])
+    bbox = [int(np.floor(boxes[:, 0].min())), int(np.floor(boxes[:, 1].min())),
+            int(np.ceil(boxes[:, 2].max())) + 1,
+            int(np.ceil(boxes[:, 3].max())) + 1]
+    with storage.File(cf, 'w') as f:
+        json.dump({'mip0': bbox}, f)
+    if logger is not None:
+        logger.info(f'canvas bbox {bbox} -> {cf}')
+    return bbox
+
+
 def optimize_main(args, conf, logger):
     from feabas_tpu.aligner import Aligner
     work_dir = config.get_work_dir()
-    oconf = conf.get('optimization', {})
+    oconf = dict(conf.get('optimization', {}))
+    if getattr(args, 'slurm_config', None):
+        # hand whole optimization windows to sbatch workers configured by
+        # the given YAML (reference: align_main.py:330-336)
+        if not storage.file_exists(args.slurm_config):
+            raise FileNotFoundError(args.slurm_config)
+        scfg = storage.load_yaml(args.slurm_config)
+        slide = dict(oconf.get('slide_window') or {})
+        slide['parallel_framework'] = 'slurm'
+        ds = dict(slide.get('dispatch_settings') or {})
+        ds.update(scfg or {})
+        slide['dispatch_settings'] = ds
+        oconf['slide_window'] = slide
     stack_conf = oconf.get('stack_config') or {}
     mip = int(stack_conf.get('mip_level', 0) or 0)
     al = Aligner(join_paths(work_dir, 'align', 'mesh'),
@@ -278,18 +315,13 @@ def render_main(args, conf, logger):
     out_root = join_paths(out_root, 'mip0')
     tform_dir = join_paths(work_dir, 'align', 'tform')
     sections = stitched_section_list(work_dir, args)
-    # shared canvas so all sections render on the same grid
+    if getattr(args, 'filter', None):
+        sections = [s for s in sections if args.filter in s[0]]
+    # shared canvas so all sections render on the same grid, persisted so
+    # filtered/sliced re-runs stay on it
     canvas = rconf.get('canvas_bbox', None)
     if canvas is None and rconf.get('offset_bbox', True):
-        boxes = []
-        for name, _ in sections:
-            t = join_paths(tform_dir, name + '.h5')
-            if storage.file_exists(t):
-                boxes.append(Mesh.from_h5(t).bbox(gear='MOVING'))
-        if boxes:
-            boxes = np.asarray(boxes)
-            canvas = (float(boxes[:, 0].min()), float(boxes[:, 1].min()),
-                      float(boxes[:, 2].max()), float(boxes[:, 3].max()))
+        canvas = get_or_make_canvas(tform_dir, logger)
     z_base = int(rconf.get('z_min', 0) or 0)
     for z0, (name, meta) in enumerate(sections):
         z = z0 + z_base
@@ -331,6 +363,11 @@ def tsr_main(args, conf, logger):
     out_dir = tconf.get('out_dir') or join_paths(work_dir, 'aligned_tensorstore')
     tform_dir = join_paths(work_dir, 'align', 'tform')
     sections = stitched_section_list(work_dir, None)
+    if getattr(args, 'filter', None):
+        # isolated sub-volume of the filtered sections, z renumbered from
+        # 0 (reference: align_main.py:419-423,497-500)
+        sections = [s for s in sections if args.filter in s[0]]
+        out_dir = join_paths(out_dir, args.filter)
     tform_list = []
     boxes = []
     loaders = {}
@@ -348,6 +385,8 @@ def tsr_main(args, conf, logger):
     z_lo = args.start or 0
     z_hi = args.stop if args.stop is not None else len(tform_list)
     canvas = tconf.get('canvas_bbox', None)
+    if canvas is None:
+        canvas = get_or_make_canvas(tform_dir, logger)
     if canvas is None:
         boxes = np.asarray(boxes)
         canvas = [int(np.floor(boxes[:, 0].min())), int(np.floor(boxes[:, 1].min())),
@@ -379,6 +418,8 @@ def tsd_main(args, conf, logger):
     tconf = conf.get('tensorstore_downsample', {}) or {}
     src_dir = conf.get('tensorstore_rendering', {}).get('out_dir') \
         or join_paths(work_dir, 'aligned_tensorstore')
+    if getattr(args, 'filter', None):
+        src_dir = join_paths(src_dir, args.filter)
     out_dir = tconf.get('out_dir') or src_dir
     mips = tconf.get('mip_levels', [1, 3, 5, 7])
     downsample_z = tconf.get('downsample_z', 'auto')
@@ -393,6 +434,15 @@ def parse_args(argv=None):
     p.add_argument('--mode', default='matching',
                    choices=['meshing', 'matching', 'optimization', 'rendering',
                             'tsr', 'tsd'])
+    p.add_argument('--filter', type=str, default=None,
+                   help='render only sections whose name contains this '
+                        'substring; tsr/tsd outputs go to an isolated '
+                        '<out_dir>/<filter> sub-volume with z renumbered '
+                        'from 0 (reference: align_main.py:310,419-423,497)')
+    p.add_argument('--slurm_config', type=str, default=None,
+                   help='YAML with slurm dispatch settings; optimization '
+                        'windows are then handed to sbatch workers '
+                        '(reference: align_main.py:330-336)')
     p.add_argument('--start', type=int, default=0)
     p.add_argument('--stop', type=int, default=None)
     p.add_argument('--step', type=int, default=1)

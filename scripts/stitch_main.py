@@ -28,6 +28,11 @@ def section_list(work_dir, slicing):
     names = [storage.base_name(f).rsplit('.', 1)[0] for f in files]
     order = slice(slicing.start, slicing.stop, slicing.step)
     pairs = list(zip(names, files))
+    filt = getattr(slicing, 'filter', '') or ''
+    if filt:
+        # substring filter on section names, applied before slicing
+        # (reference: stitch_main.py:275-296)
+        pairs = [pr for pr in pairs if filt in pr[0]]
     if slicing.reverse:
         pairs = pairs[::-1]
     return pairs[order]
@@ -160,6 +165,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description='stitching pipeline driver')
     p.add_argument('--mode', default='matching',
                    choices=['matching', 'optimization', 'rendering'])
+    p.add_argument('--filter', type=str, default='',
+                   help='only process sections whose name contains this '
+                        'substring (reference: stitch_main.py:222)')
     p.add_argument('--start', type=int, default=0)
     p.add_argument('--stop', type=int, default=None)
     p.add_argument('--step', type=int, default=1)

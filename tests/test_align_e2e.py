@@ -150,3 +150,67 @@ def test_align_tsr_tsd_modes(align_workdir):
     with open(os.path.join(out, 'info')) as f:
         info = json.load(f)
     assert len(info['scales']) >= 2
+    # --filter: isolated sub-volume of the filtered sections, z renumbered
+    # from 0 (reference: align_main.py:419-423,497-500)
+    align_main.main(['--mode', 'tsr', '--filter', names[2]])
+    sub = storage.join_paths(out, names[2])
+    d2 = ts.open({'driver': 'neuroglancer_precomputed',
+                  'kvstore': {'driver': 'file', 'path': sub}}).result()
+    assert d2.shape[2] == 1
+    full = np.asarray(d[80:240, 80:240, 2, 0].read().result())
+    filt = np.asarray(d2[80:240, 80:240, 0, 0].read().result())
+    assert np.array_equal(full, filt)
+
+
+def test_cli_filter_and_slurm_config(workdir, tmp_path, monkeypatch):
+    """--filter subsets section lists by substring; --slurm_config routes
+    optimization windows to the slurm backend with the YAML's settings
+    (reference: stitch_main.py:222,275-296; align_main.py:330-336)."""
+    import sys, os, logging
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import stitch_main
+    import align_main
+    from feabas_tpu import storage
+    for n in ('s0001', 's0002', 't0003'):
+        with storage.File(storage.join_paths(
+                str(workdir), 'stitch', 'stitch_coord', n + '.txt'), 'w') as f:
+            f.write('{ROOT_DIR}\t/x\n')
+    args = stitch_main.parse_args(['--filter', 's000'])
+    names = [n for n, _ in stitch_main.section_list(str(workdir), args)]
+    assert names == ['s0001', 's0002']
+    # --slurm_config lands in slide_window dispatch settings
+    scfg = str(tmp_path / 'slurm.yaml')
+    storage.save_yaml(scfg, {'sbatch_cmd': 'xbatch',
+                             'slurm_options': ['--partition=cpu']})
+    captured = {}
+
+    class FakeAligner:
+        def __init__(self, *a, **k):
+            pass
+
+        def run(self, **kw):
+            captured.update(kw)
+            return []
+
+        def write_residue_file(self, path):
+            pass
+
+    import feabas_tpu.aligner as alig
+    monkeypatch.setattr(alig, 'Aligner', FakeAligner)
+    align_main.optimize_main(
+        align_main.parse_args(['--mode', 'optimization',
+                               '--slurm_config', scfg]),
+        {'optimization': {'slide_window': {'window_size': 4}}},
+        logging.getLogger('test'))
+    sw = captured['slide_window']
+    assert sw['parallel_framework'] == 'slurm'
+    assert sw['window_size'] == 4
+    assert sw['dispatch_settings']['sbatch_cmd'] == 'xbatch'
+    # a missing config file is a hard error, not a silent local run
+    import pytest as _pytest
+    with _pytest.raises(FileNotFoundError):
+        align_main.optimize_main(
+            align_main.parse_args(['--mode', 'optimization',
+                                   '--slurm_config', scfg + '.nope']),
+            {'optimization': {}}, logging.getLogger('test'))
