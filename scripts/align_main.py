@@ -429,11 +429,23 @@ def tsd_main(args, conf, logger):
     logger.info(f'tsd: generated {n} mip level(s)')
 
 
+def _mode_type(choices):
+    """Unique-prefix mode names (reference drivers accept e.g. 'opt')."""
+    def parse(v):
+        lv = str(v).lower()
+        hits = [c for c in choices if c.startswith(lv)]
+        if len(hits) != 1:
+            raise argparse.ArgumentTypeError(
+                f'mode {v!r} does not uniquely match one of {choices}')
+        return hits[0]
+    return parse
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='alignment pipeline driver')
-    p.add_argument('--mode', default='matching',
-                   choices=['meshing', 'matching', 'optimization', 'rendering',
-                            'tsr', 'tsd'])
+    modes = ['meshing', 'matching', 'optimization', 'rendering', 'tsr', 'tsd']
+    p.add_argument('--mode', default='matching', type=_mode_type(modes),
+                   choices=modes)
     p.add_argument('--filter', type=str, default=None,
                    help='render only sections whose name contains this '
                         'substring; tsr/tsd outputs go to an isolated '

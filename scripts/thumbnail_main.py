@@ -277,10 +277,24 @@ def render_main(args, conf, logger):
         logger.info(f'{name}: aligned thumbnail rendered')
 
 
+def _mode_type(choices):
+    """Unique-prefix mode names, matching the reference drivers' behavior
+    (e.g. ``--mode opt``; reference: thumbnail_main.py:393-404)."""
+    def parse(v):
+        lv = str(v).lower()
+        hits = [c for c in choices if c.startswith(lv)]
+        if len(hits) != 1:
+            raise argparse.ArgumentTypeError(
+                f'mode {v!r} does not uniquely match one of {choices}')
+        return hits[0]
+    return parse
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='thumbnail pipeline driver')
-    p.add_argument('--mode', default='downsample',
-                   choices=['downsample', 'matching', 'optimization', 'render'])
+    modes = ['downsample', 'matching', 'optimization', 'render', 'alignment']
+    p.add_argument('--mode', default='downsample', type=_mode_type(modes),
+                   choices=modes)
     p.add_argument('--start', type=int, default=0)
     p.add_argument('--stop', type=int, default=None)
     p.add_argument('--step', type=int, default=1)
@@ -294,10 +308,14 @@ def main(argv=None):
     info, logger = initialize_main_logger(prefix=f'thumb_{args.mode}',
                                           mp_queue=False)
     from feabas_tpu.logging import stage_timer
+    # 'alignment' chains the three z-alignment stages in one run
+    # (reference: thumbnail_main.py:398,470-)
+    stages = {'downsample': [downsample_main], 'matching': [matching_main],
+              'optimization': [optimize_main], 'render': [render_main],
+              'alignment': [matching_main, optimize_main, render_main]}
     with stage_timer(logger, f'thumbnail.{args.mode}'):
-        {'downsample': downsample_main, 'matching': matching_main,
-         'optimization': optimize_main, 'render': render_main}[args.mode](
-            args, conf, logger)
+        for fn in stages[args.mode]:
+            fn(args, conf, logger)
     terminate_logger(info, logger)
 
 

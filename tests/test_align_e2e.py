@@ -214,3 +214,22 @@ def test_cli_filter_and_slurm_config(workdir, tmp_path, monkeypatch):
             align_main.parse_args(['--mode', 'optimization',
                                    '--slurm_config', scfg + '.nope']),
             {'optimization': {}}, logging.getLogger('test'))
+
+
+def test_cli_mode_prefix_parsing():
+    """Drivers accept unique mode prefixes like the reference (e.g.
+    --mode opt); ambiguous prefixes are rejected."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import pytest
+    import stitch_main
+    import align_main
+    import thumbnail_main
+    assert stitch_main.parse_args(['--mode', 'opt']).mode == 'optimization'
+    assert align_main.parse_args(['--mode', 'me']).mode == 'meshing'
+    assert thumbnail_main.parse_args(['--mode', 'a']).mode == 'alignment'
+    with pytest.raises(SystemExit):
+        align_main.parse_args(['--mode', 'm'])   # meshing vs matching
+    with pytest.raises(SystemExit):
+        align_main.parse_args(['--mode', 'ts'])  # tsr vs tsd

@@ -69,7 +69,10 @@ def test_thumbnail_pipeline(thumb_workdir):
                                    'thumbnails', names[0] + '.png'))
     assert abs(t0.shape[0] - 128) <= 2
 
-    thumbnail_main.main(['--mode', 'matching'])
+    # 'alignment' chains matching -> optimization -> render in one run
+    # (reference: thumbnail_main.py:398); assertions below check each
+    # stage's artifacts
+    thumbnail_main.main(['--mode', 'alignment'])
     from feabas_tpu.aligner import read_matches_from_h5, match_name
     scale = 4.0  # mip2
     m = read_matches_from_h5(storage.join_paths(
@@ -81,12 +84,10 @@ def test_thumbnail_pipeline(thumb_workdir):
     d = np.median(m.xy0 - m.xy1, axis=0)
     assert np.allclose(d, drift[1], atol=scale), (d, drift[1])
 
-    thumbnail_main.main(['--mode', 'optimization'])
     for n in names:
         assert storage.file_exists(storage.join_paths(
             str(workdir), 'thumbnail_align', 'tform', n + '.h5'))
 
-    thumbnail_main.main(['--mode', 'render'])
     imgs = []
     for n in names:
         p = storage.join_paths(str(workdir), 'thumbnail_align', 'aligned',
