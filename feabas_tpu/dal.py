@@ -36,8 +36,13 @@ class AbstractImageLoader:
         self.resolution = kwargs.get('resolution', None)
         cache_size = kwargs.get('cache_size', 0)
         cache_type = kwargs.get('cache_type', 'lru')
-        self._cache = generate_cache(cache_type if cache_size else 'none',
-                                     maxlen=cache_size or None)
+        # cache_capacity: byte cap in MiB (reference: dal.py:132,152)
+        cache_capacity = kwargs.get('cache_capacity', None)
+        self._cache = generate_cache(
+            cache_type if (cache_size or cache_capacity) else 'none',
+            maxlen=cache_size or None,
+            maxbytes=None if cache_capacity is None
+            else int(cache_capacity * 2 ** 20))
         self._preprocess = kwargs.get('preprocess', None)
         # per-image intensity transfer LUTs (reference tf_lut: dal.py:492):
         # a JSON path or dict {'__TYPE__': 'INTERP1D' |
@@ -514,6 +519,13 @@ class TensorStoreLoader(AbstractImageLoader):
     retries on transient failures (reference: dal.py:1156,1207)."""
 
     def __init__(self, spec=None, dataset=None, z=0, **kwargs):
+        # cache_capacity (MiB) caps the tensorstore cache pool
+        # (reference: dal.py:1182-1183)
+        cap = kwargs.get('cache_capacity', None)
+        if cap is not None and spec is not None and 'context' not in spec:
+            spec = dict(spec)
+            spec['context'] = {'cache_pool': {
+                'total_bytes_limit': int(cap * 1_000_000)}}
         super().__init__(**kwargs)
         self._spec = spec
         self._z = int(z)
@@ -635,18 +647,31 @@ class TensorStoreWriter:
             if not storage.is_cloud_path(str(out_dir)) else \
             {'driver': 'gcs', 'bucket': str(out_dir)[5:].split('/')[0],
              'path': '/'.join(str(out_dir)[5:].split('/')[1:])}
+        read_chunk = kwargs.get('read_chunk_shape', None)
         if driver == 'neuroglancer_precomputed':
             spec = {
                 'driver': driver, 'kvstore': kv,
                 'scale_metadata': {
                     'size': size,
                     'resolution': [resolution, resolution, thickness],
-                    'chunk_size': chunk_shape,
                     'encoding': 'jpeg' if jpeg else 'raw'},
                 'multiscale_metadata': {'data_type': dtype.name,
                                         'num_channels': 1, 'type': 'image'},
                 'create': True, 'open': True,
             }
+            if read_chunk and list(read_chunk) != list(chunk_shape):
+                # sharded format: small read chunks inside big write
+                # shards (reference schema: stitcher.py:1680-1686)
+                spec['schema'] = {'chunk_layout': {
+                    'grid_origin': [0, 0, 0, 0],
+                    'inner_order': [3, 2, 1, 0],
+                    'read_chunk': {'shape_soft_constraint':
+                                   [int(v) for v in read_chunk] + [1]},
+                    'write_chunk': {'shape_soft_constraint':
+                                    [int(v) for v in chunk_shape] + [1]},
+                }}
+            else:
+                spec['scale_metadata']['chunk_size'] = chunk_shape
         elif driver in ('zarr', 'n5'):
             spec = {
                 'driver': driver, 'kvstore': kv,

@@ -248,15 +248,25 @@ def generate_thumbnail_mask(tform_h5, out_file, thumbnail_mip=6,
 
 def mip_one_level_tensorstore_3d(src_dir, out_dir, mip_levels=(1, 3, 5, 7),
                                  downsample_z='auto', z_range=None,
-                                 logger=None, chunk=1024):
+                                 logger=None, chunk=1024,
+                                 keep_chunk_layout=True, cache_capacity=None,
+                                 jpeg_compression=False, **_ignored):
     """Generate lower-resolution scales of a 3D tensorstore volume
     (reference: mipmap.py:434). xy downsampling is mean-pooled; z follows
     'auto' (downsample z to keep voxels near-isotropic) or an explicit list.
-    Returns the number of scales written."""
+    ``keep_chunk_layout`` reuses the source volume's chunk shape for the
+    output scales (reference: mipmap.py:436,481); ``cache_capacity`` caps
+    the read-side tensorstore cache pool in MiB. Returns the number of
+    scales written."""
     import tensorstore as ts
     base_spec = {'driver': 'neuroglancer_precomputed',
                  'kvstore': {'driver': 'file', 'path': str(src_dir)}}
+    if cache_capacity:
+        base_spec = dict(base_spec)
+        base_spec['context'] = {'cache_pool': {
+            'total_bytes_limit': int(cache_capacity * 1_000_000)}}
     src = ts.open(base_spec).result()
+    src_chunk = list(src.chunk_layout.read_chunk.shape[:3])
     size = [int(d) for d in src.shape[:3]]
     dims = src.spec().to_json().get('scale_metadata', {})
     res = dims.get('resolution', [4, 4, 30])
@@ -277,16 +287,20 @@ def mip_one_level_tensorstore_3d(src_dir, out_dir, mip_levels=(1, 3, 5, 7),
                    'base': base_spec}
         ds = ts.open(ds_spec).result()
         out_size = [int(d) for d in ds.shape[:3]]
+        if keep_chunk_layout:
+            chunk_size = [min(int(c), int(s))
+                          for c, s in zip(src_chunk, out_size)]
+        else:
+            chunk_size = [min(chunk, out_size[0]), min(chunk, out_size[1]),
+                          min(16, out_size[2])]
         out_spec = {
             'driver': 'neuroglancer_precomputed',
             'kvstore': {'driver': 'file', 'path': str(out_dir)},
             'scale_metadata': {
                 'size': out_size,
                 'resolution': [res[0] * fxy, res[1] * fxy, res[2] * fz],
-                'chunk_size': [min(chunk, out_size[0]),
-                               min(chunk, out_size[1]),
-                               min(16, out_size[2])],
-                'encoding': 'raw'},
+                'chunk_size': chunk_size,
+                'encoding': 'jpeg' if jpeg_compression else 'raw'},
             'multiscale_metadata': {
                 'data_type': str(np.dtype(src.dtype.name)),
                 'num_channels': 1, 'type': 'image'},

@@ -954,13 +954,23 @@ class MontageRenderer:
         canvas = kwargs.pop('canvas_bbox', None) or [
             int(np.floor(bounds[0])), int(np.floor(bounds[1])),
             int(np.ceil(bounds[2])), int(np.ceil(bounds[3]))]
+        canvas = [int(v) for v in canvas]
+        chunk = list(kwargs.pop('read_chunk_size', (256, 256)))
+        jpeg = kwargs.pop('jpeg_compression', False)
+        if kwargs.pop('pad_to_tile_size', jpeg):
+            # pad the canvas to whole chunks so every (esp. jpeg-encoded)
+            # chunk is full-size (reference: stitcher.py:1635,1672-1674)
+            canvas[2] = canvas[0] + int(
+                np.ceil((canvas[2] - canvas[0]) / chunk[0])) * chunk[0]
+            canvas[3] = canvas[1] + int(
+                np.ceil((canvas[3] - canvas[1]) / chunk[1])) * chunk[1]
         writer = TensorStoreWriter.create(
             out_dir, canvas, 1,
             driver=kwargs.pop('driver', 'neuroglancer_precomputed'),
-            chunk_shape=list(kwargs.pop('read_chunk_size', (256, 256))) + [1],
+            chunk_shape=chunk + [1],
             resolution=self.loader.resolution or _config.montage_resolution(),
             thickness=_config.section_thickness(),
-            jpeg_compression=kwargs.pop('jpeg_compression', False))
+            jpeg_compression=jpeg)
         n = 0
         for bbox in writer.plan_chunks():
             blk = self.crop(bbox, return_empty=True, **kwargs)

@@ -250,6 +250,47 @@ class _ScaledLoader:
         return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
 
 
+def downsample_main(args, conf, logger):
+    """Mip pyramids of the rendered aligned stack (reference
+    generate_aligned_mipmaps: align_main.py:276-300, mode 'downsample'
+    :470). ``parallel_within_section`` keeps the section loop serial (the
+    per-section path owns the workers/device); False fans whole sections
+    across workers instead."""
+    from feabas_tpu.mipmap import mip_map_one_section
+    from feabas_tpu.concurrent import submit_to_workers
+    work_dir = config.get_work_dir()
+    dconf = dict(conf.get('downsample', {}) or {})
+    out_root = (conf.get('rendering', {}) or {}).get('out_dir') \
+        or join_paths(work_dir, 'aligned_stack')
+    max_mip = int(dconf.get('max_mip', 8))
+    fmt = dconf.get('format', 'jpg')
+    num_workers = int(dconf.get('num_workers', 1) or 1)
+    within = bool(dconf.get('parallel_within_section', True))
+    metas = sorted(storage.list_folder_content(
+        join_paths(out_root, 'mip0', '*', 'metadata.txt')))
+    pairs = [(m.rstrip('/').split('/')[-2], m) for m in metas]
+    if getattr(args, 'filter', None):
+        pairs = [p for p in pairs if args.filter in p[0]]
+    if args.reverse:
+        pairs = pairs[::-1]
+    pairs = pairs[slice(args.start, args.stop, args.step)]
+    loader_cfg = dict(dconf.get('loader_config') or {})
+    if within or num_workers <= 1:
+        for name, meta in pairs:
+            t0 = time.time()
+            mip_map_one_section(name, meta, out_root, max_mip=max_mip,
+                                fmt=fmt, **loader_cfg)
+            logger.info(f'{name}: mipmapped in {time.time() - t0:.1f}s')
+    else:
+        jobs = [(n, m, out_root) for n, m in pairs]
+        list(submit_to_workers(
+            mip_map_one_section, jobs,
+            kwargs_list=[dict(max_mip=max_mip, fmt=fmt, **loader_cfg)
+                         for _ in jobs],
+            num_workers=num_workers))
+        logger.info(f'downsample: mipmapped {len(jobs)} section(s)')
+
+
 def get_or_make_canvas(tform_dir, logger=None):
     """Shared render canvas, persisted to ``<tform_dir>/canvas.json``
     (reference: align_main.py:181-209,406). Computed ONCE from every tform
@@ -396,6 +437,7 @@ def tsr_main(args, conf, logger):
         out_dir, canvas, z_max,
         driver=tconf.get('driver', 'neuroglancer_precomputed'),
         chunk_shape=tconf.get('chunk_shape', [2048, 2048, 16]),
+        read_chunk_shape=tconf.get('read_chunk_shape'),
         resolution=config.montage_resolution(),
         thickness=config.section_thickness(),
         jpeg_compression=tconf.get('jpeg_compression', False))
@@ -425,7 +467,10 @@ def tsd_main(args, conf, logger):
     downsample_z = tconf.get('downsample_z', 'auto')
     n = mip_one_level_tensorstore_3d(
         src_dir, out_dir, mip_levels=mips, downsample_z=downsample_z,
-        z_range=tconf.get('z_range'), logger=logger)
+        z_range=tconf.get('z_range'), logger=logger,
+        keep_chunk_layout=tconf.get('keep_chunk_layout', True),
+        cache_capacity=tconf.get('cache_capacity'),
+        jpeg_compression=tconf.get('jpeg_compression', False))
     logger.info(f'tsd: generated {n} mip level(s)')
 
 
@@ -443,7 +488,8 @@ def _mode_type(choices):
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='alignment pipeline driver')
-    modes = ['meshing', 'matching', 'optimization', 'rendering', 'tsr', 'tsd']
+    modes = ['meshing', 'matching', 'optimization', 'rendering',
+             'downsample', 'tsr', 'tsd']
     p.add_argument('--mode', default='matching', type=_mode_type(modes),
                    choices=modes)
     p.add_argument('--filter', type=str, default=None,
@@ -470,6 +516,7 @@ def main(argv=None):
     with stage_timer(logger, f'align.{args.mode}'):
         {'meshing': meshing_main, 'matching': matching_main,
          'optimization': optimize_main, 'rendering': render_main,
+         'downsample': downsample_main,
          'tsr': tsr_main, 'tsd': tsd_main}[args.mode](args, conf, logger)
     terminate_logger(info, logger)
 

@@ -157,7 +157,10 @@ def render_main(sections, conf, logger):
         else:
             n_out = mr.render_series_to_tensorstore(
                 out_dir, driver=driver,
-                read_chunk_size=tuple(rconf.get('read_chunk_size', (256, 256))))
+                read_chunk_size=tuple(rconf.get('read_chunk_size', (256, 256))),
+                jpeg_compression=rconf.get('jpeg_compression', False),
+                pad_to_tile_size=rconf.get(
+                    'pad_to_tile_size', rconf.get('jpeg_compression', False)))
         logger.info(f'{name}: rendered {n_out} tiles in {time.time() - t0:.1f}s')
 
 

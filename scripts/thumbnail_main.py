@@ -50,44 +50,65 @@ def thumb_path(work_dir, name, fmt='png'):
                       f'{name}.{fmt}')
 
 
-def downsample_main(args, conf, logger):
+def _downsample_one_section(name, meta, work_dir, dconf, thumb_mip, fmt):
+    """Worker body for one section's mip chain + thumbnail + mask."""
     from feabas_tpu.mipmap import (create_thumbnail, mip_map_one_section,
                                    generate_thumbnail_mask)
+    max_mip = int(dconf.get('max_mip', thumb_mip))
+    out = thumb_path(work_dir, name, fmt)
+    if not str(meta).endswith('.txt'):
+        # tensorstore-rendered section: thumbnail straight from the
+        # volume via downsample drivers; mips are served virtually
+        # (get_tensorstore_spec) so no tile pyramid is materialized
+        from feabas_tpu.mipmap import create_thumbnail_tensorstore
+        create_thumbnail_tensorstore(
+            meta, out, thumbnail_mip=thumb_mip,
+            highpass=dconf.get('thumbnail_highpass', True),
+            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+    else:
+        mip_map_one_section(name, meta,
+                            join_paths(work_dir, 'stitched_sections'),
+                            max_mip=min(max_mip, 4),
+                            fmt=dconf.get('format', 'jpg'))
+        create_thumbnail(
+            meta, out, thumbnail_mip=thumb_mip,
+            highpass=dconf.get('thumbnail_highpass', True),
+            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+    tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
+    if storage.file_exists(tform):
+        generate_thumbnail_mask(
+            tform,
+            join_paths(work_dir, 'thumbnail_align', 'material_masks',
+                       name + '.png'),
+            thumbnail_mip=thumb_mip,
+            mask_erode=dconf.get('mask_erode', 2))
+    return name
+
+
+def downsample_main(args, conf, logger):
+    """``parallel_within_section`` (reference: thumbnail_main.py:14,21)
+    keeps the section loop serial — the per-section path owns the
+    workers/device; False fans whole sections across process workers."""
     work_dir = config.get_work_dir()
     dconf = conf.get('downsample', {})
     thumb_mip = int(conf.get('thumbnail_mip_level', 6))
-    max_mip = int(dconf.get('max_mip', thumb_mip))
     fmt = dconf.get('thumbnail_format', 'png')
-    for name, meta in stitched_sections(work_dir, args):
-        t0 = time.time()
-        out = thumb_path(work_dir, name, fmt)
-        if not str(meta).endswith('.txt'):
-            # tensorstore-rendered section: thumbnail straight from the
-            # volume via downsample drivers; mips are served virtually
-            # (get_tensorstore_spec) so no tile pyramid is materialized
-            from feabas_tpu.mipmap import create_thumbnail_tensorstore
-            create_thumbnail_tensorstore(
-                meta, out, thumbnail_mip=thumb_mip,
-                highpass=dconf.get('thumbnail_highpass', True),
-                highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
-        else:
-            mip_map_one_section(name, meta,
-                                join_paths(work_dir, 'stitched_sections'),
-                                max_mip=min(max_mip, 4),
-                                fmt=dconf.get('format', 'jpg'))
-            create_thumbnail(
-                meta, out, thumbnail_mip=thumb_mip,
-                highpass=dconf.get('thumbnail_highpass', True),
-                highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
-        tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
-        if storage.file_exists(tform):
-            generate_thumbnail_mask(
-                tform,
-                join_paths(work_dir, 'thumbnail_align', 'material_masks',
-                           name + '.png'),
-                thumbnail_mip=thumb_mip,
-                mask_erode=dconf.get('mask_erode', 2))
-        logger.info(f'{name}: downsampled in {time.time() - t0:.1f}s')
+    num_workers = int(dconf.get('num_workers', 1) or 1)
+    within = bool(dconf.get('parallel_within_section', True))
+    pairs = list(stitched_sections(work_dir, args))
+    if within or num_workers <= 1:
+        for name, meta in pairs:
+            t0 = time.time()
+            _downsample_one_section(name, meta, work_dir, dconf, thumb_mip,
+                                    fmt)
+            logger.info(f'{name}: downsampled in {time.time() - t0:.1f}s')
+    else:
+        from feabas_tpu.concurrent import submit_to_workers
+        jobs = [(n, m, work_dir, dict(dconf), thumb_mip, fmt)
+                for n, m in pairs]
+        for name in submit_to_workers(_downsample_one_section, jobs,
+                                      num_workers=num_workers):
+            logger.info(f'{name}: downsampled')
 
 
 def _pair_list(names, compare_distance, work_dir):
@@ -252,9 +273,12 @@ def render_main(args, conf, logger):
         # normalize_transforms: thumbnail_main.py:295). angle=0 +
         # offset=(0,0) is idempotent across re-runs.
         from feabas_tpu.aligner import normalize_transforms
-        offset = rconf.get('offset', (0.0, 0.0))
+        # reference key names (thumbnail_main.py:655-656): bbox_offset
+        # (null -> no shift) and rotation_angle in degrees (absent/null ->
+        # auto minimum-rectangle derotation)
+        offset = rconf.get('bbox_offset', rconf.get('offset', (0.0, 0.0)))
         canvas = normalize_transforms(
-            [t for _, t in avail], angle=rconf.get('rotation_angle', 0.0),
+            [t for _, t in avail], angle=rconf.get('rotation_angle', None),
             offset=None if offset is None else tuple(offset))
         storage.clear_exists_cache()
     meshes = {}

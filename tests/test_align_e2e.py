@@ -145,11 +145,15 @@ def test_align_tsr_tsd_modes(align_workdir):
     cc = np.corrcoef(a[ok].ravel(), b[ok].ravel())[0, 1]
     assert cc > 0.8, cc
     align_main.main(['--mode', 'tsd'])
-    # a second scale exists now
+    # a second scale exists now; keep_chunk_layout reuses the full-res
+    # chunk shape (clipped to the scale size)
     import json
     with open(os.path.join(out, 'info')) as f:
         info = json.load(f)
     assert len(info['scales']) >= 2
+    s1 = info['scales'][1]
+    want = [min(128, s) for s in s1['size'][:2]] + [min(2, s1['size'][2])]
+    assert list(s1['chunk_sizes'][0]) == want, (s1['chunk_sizes'], want)
     # --filter: isolated sub-volume of the filtered sections, z renumbered
     # from 0 (reference: align_main.py:419-423,497-500)
     align_main.main(['--mode', 'tsr', '--filter', names[2]])
@@ -160,6 +164,60 @@ def test_align_tsr_tsd_modes(align_workdir):
     full = np.asarray(d[80:240, 80:240, 2, 0].read().result())
     filt = np.asarray(d2[80:240, 80:240, 0, 0].read().result())
     assert np.array_equal(full, filt)
+
+
+def test_align_downsample_mode(align_workdir):
+    """--mode downsample builds mip pyramids of the rendered aligned stack
+    (reference generate_aligned_mipmaps: align_main.py:276-300,470)."""
+    workdir, names, sections, drift = align_workdir
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu import storage, config
+    for mode in ('meshing', 'matching', 'optimization', 'rendering'):
+        align_main.main(['--mode', mode])
+    aconf = storage.load_yaml(storage.join_paths(
+        str(workdir), 'configs', 'alignment_configs.yaml'))
+    aconf['downsample'] = {'max_mip': 2, 'format': 'png',
+                           'parallel_within_section': True}
+    storage.save_yaml(storage.join_paths(
+        str(workdir), 'configs', 'alignment_configs.yaml'), aconf)
+    config.clear_config_caches()
+    align_main.main(['--mode', 'downsample'])
+    from feabas_tpu.common import imread
+    root = storage.join_paths(str(workdir), 'aligned_stack')
+    for z, n in enumerate(names):
+        sec = f'{z:05d}_{n}'
+        for mip in (1, 2):
+            meta = storage.join_paths(root, f'mip{mip}', sec, 'metadata.txt')
+            assert storage.file_exists(meta), (sec, mip)
+        # mip2 is 4x smaller than the 320px mip0 render
+        from feabas_tpu.dal import StaticImageLoader
+        ld = StaticImageLoader.from_coordinate_file(
+            storage.join_paths(root, 'mip2', sec, 'metadata.txt'))
+        blk = ld.crop((0, 0, 80, 80))
+        assert blk is not None and blk.shape == (80, 80)
+
+
+def test_tensorstore_writer_sharded_read_chunks(tmp_path):
+    """read_chunk_shape != chunk_shape engages the sharded neuroglancer
+    format: big write shards, small read chunks (reference schema:
+    stitcher.py:1680-1686)."""
+    from feabas_tpu.dal import TensorStoreWriter
+    out = str(tmp_path / 'vol')
+    w = TensorStoreWriter.create(out, (0, 0, 512, 512), 4,
+                                 chunk_shape=[256, 256, 2],
+                                 read_chunk_shape=[64, 64, 1])
+    assert list(w.dataset.chunk_layout.write_chunk.shape[:3]) == [256, 256, 2]
+    assert list(w.dataset.chunk_layout.read_chunk.shape[:3]) == [64, 64, 1]
+    img = (np.arange(256 * 256) % 251).astype(np.uint8).reshape(256, 256)
+    w.write_single_chunk((0, 0, 256, 256), 0, img)
+    import tensorstore as ts
+    d = ts.open({'driver': 'neuroglancer_precomputed',
+                 'kvstore': {'driver': 'file', 'path': out}}).result()
+    back = np.asarray(d[0:256, 0:256, 0, 0].read().result())
+    assert np.array_equal(back.T, img)
 
 
 def test_cli_filter_and_slurm_config(workdir, tmp_path, monkeypatch):

@@ -122,7 +122,11 @@ def test_tensorstore_section_flow(ts_workdir):
         assert storage.file_exists(p), n
     t0 = imread(storage.join_paths(str(workdir), 'thumbnail_align',
                                    'thumbnails', names[0] + '.png'))
-    assert abs(t0.shape[1] - SEC_W // 2) <= 3, t0.shape
+    # the default pad_to_tile_size pads the volume canvas to whole
+    # 128px chunks (reference default config stitching:71), so the
+    # mip1 thumbnail is half the PADDED extent
+    pad_w = int(np.ceil(SEC_W / 128)) * 128
+    assert abs(t0.shape[1] - pad_w // 2) <= 3, t0.shape
     # no PNG mip pyramid was materialized for TS sections
     assert not storage.file_exists(storage.join_paths(
         str(workdir), 'stitched_sections', 'mip1', names[0], 'metadata.txt'))
