@@ -397,13 +397,20 @@ def parse_coordinate_files(filename, **kwargs):
 
 
 def rearrange_section_order(section_list, section_order_file):
-    """Reorder/filter sections by a `section_order.txt` (one name per line);
-    returns (ordered_list, z_indices) (reference: common.py:814)."""
+    """Reorder/filter sections by a `section_order.txt`: one name per line,
+    or an explicit ``z<TAB>name`` per line (reference: common.py:814-828).
+    Returns (ordered_list, z_indices)."""
     if (section_order_file is None) or (not storage.file_exists(section_order_file)):
         return section_list, np.arange(len(section_list))
     with storage.File(section_order_file, 'r') as f:
-        order = [ln.strip() for ln in f.readlines() if ln.strip()]
-    lut = {name: z for z, name in enumerate(order)}
+        lines = [ln.strip() for ln in f.readlines() if ln.strip()]
+    lut = {}
+    for k, ln in enumerate(lines):
+        if '\t' in ln:
+            z, name = ln.split('\t')[:2]
+            lut[name] = int(z)
+        else:
+            lut[ln] = k
     pairs = [(lut[s], s) for s in section_list if s in lut]
     pairs.sort()
     if not pairs:

@@ -134,6 +134,7 @@ def matching_main(args, conf, logger):
     mesh_dir = join_paths(work_dir, 'align', 'mesh')
     thumb_match_dir = join_paths(work_dir, 'thumbnail_align', 'matches')
     sections = stitched_section_list(work_dir, None)
+    sections, _ = _apply_section_order(work_dir, sections)
     names = [n for n, _ in sections]
     metas = dict(sections)
     res = config.align_resolution()
@@ -250,6 +251,19 @@ class _ScaledLoader:
         return cv2.resize(img, (w, h), interpolation=cv2.INTER_AREA)
 
 
+def _apply_section_order(work_dir, sections):
+    """Reorder/filter sections by ``<work_dir>/section_order.txt``
+    (reference: align_main.py:398,465,499; lines are names, or explicit
+    ``z<TAB>name``). Returns (ordered sections, {name: z})."""
+    from feabas_tpu.common import rearrange_section_order
+    names = [n for n, _ in sections]
+    onames, zidx = rearrange_section_order(
+        names, join_paths(work_dir, 'section_order.txt'))
+    metas = dict(sections)
+    return ([(n, metas[n]) for n in onames],
+            {n: int(z) for n, z in zip(onames, zidx)})
+
+
 def downsample_main(args, conf, logger):
     """Mip pyramids of the rendered aligned stack (reference
     generate_aligned_mipmaps: align_main.py:276-300, mode 'downsample'
@@ -338,6 +352,8 @@ def optimize_main(args, conf, logger):
                  join_paths(work_dir, 'align', 'tform'),
                  join_paths(work_dir, 'align', 'matches'),
                  resolution=config.montage_resolution() * (2 ** mip),
+                 section_order_file=join_paths(work_dir,
+                                               'section_order.txt'),
                  logger=logger)
     committed = al.run(chunk_settings=oconf.get('chunk_settings'),
                        slide_window=oconf.get('slide_window'),
@@ -355,17 +371,21 @@ def render_main(args, conf, logger):
     out_root = rconf.get('out_dir') or join_paths(work_dir, 'aligned_stack')
     out_root = join_paths(out_root, 'mip0')
     tform_dir = join_paths(work_dir, 'align', 'tform')
-    sections = stitched_section_list(work_dir, args)
+    sections = stitched_section_list(work_dir, None)
+    sections, zmap = _apply_section_order(work_dir, sections)
     if getattr(args, 'filter', None):
         sections = [s for s in sections if args.filter in s[0]]
+    if args.reverse:
+        sections = sections[::-1]
+    sections = sections[slice(args.start, args.stop, args.step)]
     # shared canvas so all sections render on the same grid, persisted so
     # filtered/sliced re-runs stay on it
     canvas = rconf.get('canvas_bbox', None)
     if canvas is None and rconf.get('offset_bbox', True):
         canvas = get_or_make_canvas(tform_dir, logger)
     z_base = int(rconf.get('z_min', 0) or 0)
-    for z0, (name, meta) in enumerate(sections):
-        z = z0 + z_base
+    for name, meta in sections:
+        z = zmap[name] + z_base
         t = join_paths(tform_dir, name + '.h5')
         if not storage.file_exists(t):
             continue
@@ -404,21 +424,25 @@ def tsr_main(args, conf, logger):
     out_dir = tconf.get('out_dir') or join_paths(work_dir, 'aligned_tensorstore')
     tform_dir = join_paths(work_dir, 'align', 'tform')
     sections = stitched_section_list(work_dir, None)
+    sections, zmap = _apply_section_order(work_dir, sections)
     if getattr(args, 'filter', None):
         # isolated sub-volume of the filtered sections, z renumbered from
         # 0 (reference: align_main.py:419-423,497-500)
         sections = [s for s in sections if args.filter in s[0]]
+        if sections:
+            zlo = min(zmap[n] for n, _ in sections)
+            zmap = {n: zmap[n] - zlo for n, _ in sections}
         out_dir = join_paths(out_dir, args.filter)
     tform_list = []
     boxes = []
     loaders = {}
-    for z, (name, meta) in enumerate(sections):
+    for name, meta in sections:
         t = join_paths(tform_dir, name + '.h5')
         if not storage.file_exists(t):
             continue
         mesh = Mesh.from_h5(t)
         boxes.append(mesh.bbox(gear='MOVING'))
-        tform_list.append((z, name, mesh))
+        tform_list.append((zmap[name], name, mesh))
         loaders[name] = meta
     if not tform_list:
         logger.warning('tsr: no aligned sections found')

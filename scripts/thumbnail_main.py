@@ -137,6 +137,11 @@ def matching_main(args, conf, logger):
     res = config.montage_resolution() * (2 ** thumb_mip)
     fmt = conf.get('downsample', {}).get('thumbnail_format', 'png')
     names = [n for n, _ in stitched_sections(work_dir, None)]
+    # section_order.txt defines z-neighborhood for pair generation
+    # (reference: thumbnail_main.py:444,513)
+    from feabas_tpu.common import rearrange_section_order
+    names, _ = rearrange_section_order(
+        names, join_paths(work_dir, 'section_order.txt'))
     pairs = _pair_list(names, aconf.get('compare_distance', 2), work_dir)
     if args.reverse:
         pairs = pairs[::-1]

@@ -291,3 +291,29 @@ def test_cli_mode_prefix_parsing():
         align_main.parse_args(['--mode', 'm'])   # meshing vs matching
     with pytest.raises(SystemExit):
         align_main.parse_args(['--mode', 'ts'])  # tsr vs tsd
+
+
+def test_section_order_file(align_workdir):
+    """section_order.txt (z<TAB>name lines) reorders/renumbers sections in
+    the rendering and tsr paths (reference: align_main.py:398,465,499;
+    common.rearrange_section_order:814)."""
+    workdir, names, sections, drift = align_workdir
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu import storage
+    for mode in ('meshing', 'matching', 'optimization'):
+        align_main.main(['--mode', mode])
+    # explicit z assignment, reversed relative to name order
+    with storage.File(storage.join_paths(str(workdir),
+                                         'section_order.txt'), 'w') as f:
+        f.write(f'2\t{names[0]}\n1\t{names[1]}\n0\t{names[2]}\n')
+    align_main.main(['--mode', 'rendering'])
+    root = storage.join_paths(str(workdir), 'aligned_stack', 'mip0')
+    assert storage.file_exists(storage.join_paths(
+        root, f'00002_{names[0]}', 'metadata.txt'))
+    assert storage.file_exists(storage.join_paths(
+        root, f'00000_{names[2]}', 'metadata.txt'))
+    assert not storage.file_exists(storage.join_paths(
+        root, f'00000_{names[0]}', 'metadata.txt'))
