@@ -6,6 +6,7 @@ Byte accounting uses numpy ``nbytes`` where available so image-tile caches
 can be capped in MiB.
 """
 
+import threading
 from collections import OrderedDict
 
 import numpy as np
@@ -63,6 +64,20 @@ class _CacheBase(CacheNull):
         super().__init__(maxlen, maxbytes)
         self._store = OrderedDict()
         self._bytes = 0
+        # caches are shared by thread consumers (loader block caches under
+        # the threaded mip/render fan-outs); an RLock keeps the eviction
+        # bookkeeping consistent. Re-created after pickling (locks don't
+        # pickle; worker processes get their own).
+        self._lock = threading.RLock()
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state.pop('_lock', None)
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._lock = threading.RLock()
 
     def __contains__(self, key):
         return key in self._store
@@ -74,11 +89,12 @@ class _CacheBase(CacheNull):
         raise NotImplementedError
 
     def trim(self):
-        while self._store and (
-            (self._maxlen is not None and len(self._store) > self._maxlen)
-            or (self._maxbytes is not None and self._bytes > self._maxbytes)
-        ):
-            self._evict_one()
+        with self._lock:
+            while self._store and (
+                (self._maxlen is not None and len(self._store) > self._maxlen)
+                or (self._maxbytes is not None and self._bytes > self._maxbytes)
+            ):
+                self._evict_one()
 
     def _pop(self, key):
         val, nb = self._store.pop(key)
@@ -89,28 +105,32 @@ class _CacheBase(CacheNull):
         """Remove and return a cached item (cache-invalidation hook for
         externally modified artifacts, e.g. tforms rewritten by a remote
         worker)."""
-        if key in self._store:
-            return self._pop(key)
-        return default
+        with self._lock:
+            if key in self._store:
+                return self._pop(key)
+            return default
 
     def __setitem__(self, key, value):
-        if key in self._store:
-            self._pop(key)
-        nb = _sizeof(value)
-        self._store[key] = (value, nb)
-        self._bytes += nb
-        self.trim()
+        with self._lock:
+            if key in self._store:
+                self._pop(key)
+            nb = _sizeof(value)
+            self._store[key] = (value, nb)
+            self._bytes += nb
+            self.trim()
 
     update_item = __setitem__
 
     def get(self, key, default=None):
-        if key in self._store:
-            return self[key]
-        return default
+        with self._lock:
+            if key in self._store:
+                return self[key]
+            return default
 
     def clear(self, instant_gc=False):
-        self._store.clear()
-        self._bytes = 0
+        with self._lock:
+            self._store.clear()
+            self._bytes = 0
         if instant_gc:
             import gc
             gc.collect()
@@ -127,8 +147,9 @@ class CacheFIFO(_CacheBase):
 
 class CacheLRU(_CacheBase):
     def __getitem__(self, key):
-        self._store.move_to_end(key)
-        return self._store[key][0]
+        with self._lock:
+            self._store.move_to_end(key)
+            return self._store[key][0]
 
     def _evict_one(self):
         key = next(iter(self._store))
@@ -143,8 +164,9 @@ class _FreqCache(_CacheBase):
         self._freq = {}
 
     def __getitem__(self, key):
-        self._freq[key] = self._freq.get(key, 0) + 1
-        return self._store[key][0]
+        with self._lock:
+            self._freq[key] = self._freq.get(key, 0) + 1
+            return self._store[key][0]
 
     def __setitem__(self, key, value):
         self._freq.setdefault(key, 0)

@@ -39,7 +39,7 @@ def get_image_loader(src_dir, pattern='_tr{ROW_IND}-tc{COL_IND}.png',
 
 
 def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
-                  pre_blur=0.75, **loader_config):
+                  pre_blur=0.75, num_workers=1, **loader_config):
     """Downsample one mip level by 2x (reference: mipmap.py:71).
 
     Reads the source mosaic via its metadata file, writes half-resolution
@@ -47,7 +47,9 @@ def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
     anti-alias filter before the 2x area average (the reference's render
     path pre-blurs; pure INTER_AREA on a 2x chain leaves measurable
     aliasing in the thumbnails that feed matching) — set 0 to disable.
-    Returns the new metadata path."""
+    ``num_workers`` > 1 processes output tiles on a thread pool (the
+    within-section parallelism of reference mip_map_one_section:131; cv2
+    and image IO release the GIL). Returns the new metadata path."""
     meta_out = join_paths(out_dir, 'metadata.txt')
     if storage.file_exists(meta_out, use_cache=True):
         return meta_out
@@ -62,25 +64,34 @@ def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
     ox0, oy0 = int(np.floor(x0 / 2)), int(np.floor(y0 / 2))
     ox1, oy1 = int(np.ceil(x1 / 2)), int(np.ceil(y1 / 2))
     th, tw = tile_size
-    rows = []
     prefix = storage.base_name(storage.dir_name(meta_out)) or 'mip'
-    for ty in range(oy0, oy1, th):
-        for tx in range(ox0, ox1, tw):
-            bx1 = min(tx + tw, ox1)
-            by1 = min(ty + th, oy1)
-            src = loader.crop((tx * 2, ty * 2, bx1 * 2, by1 * 2),
-                              return_empty=True)
-            if src is None:
-                continue
-            if pre_blur and pre_blur > 0:
-                src = cv2.GaussianBlur(src, (0, 0), float(pre_blur))
-            img = cv2.resize(src, (bx1 - tx, by1 - ty),
-                             interpolation=cv2.INTER_AREA)
-            r = (ty - oy0) // th + 1
-            c = (tx - ox0) // tw + 1
-            fname = f'{prefix}_tr{r}-tc{c}.{fmt}'
-            common.imwrite(join_paths(out_dir, fname), img)
-            rows.append((fname, tx, ty, bx1, by1))
+
+    def one_tile(tx, ty):
+        bx1 = min(tx + tw, ox1)
+        by1 = min(ty + th, oy1)
+        src = loader.crop((tx * 2, ty * 2, bx1 * 2, by1 * 2),
+                          return_empty=True)
+        if src is None:
+            return None
+        if pre_blur and pre_blur > 0:
+            src = cv2.GaussianBlur(src, (0, 0), float(pre_blur))
+        img = cv2.resize(src, (bx1 - tx, by1 - ty),
+                         interpolation=cv2.INTER_AREA)
+        r = (ty - oy0) // th + 1
+        c = (tx - ox0) // tw + 1
+        fname = f'{prefix}_tr{r}-tc{c}.{fmt}'
+        common.imwrite(join_paths(out_dir, fname), img)
+        return (fname, tx, ty, bx1, by1)
+
+    grid = [(tx, ty) for ty in range(oy0, oy1, th)
+            for tx in range(ox0, ox1, tw)]
+    if int(num_workers) > 1 and len(grid) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=int(num_workers)) as ex:
+            rows = list(ex.map(lambda a: one_tile(*a), grid))
+    else:
+        rows = [one_tile(*a) for a in grid]
+    rows = [r for r in rows if r is not None]
     res = (loader.resolution or 4) * 2
     with storage.File(meta_out, 'w') as f:
         f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')

@@ -293,7 +293,8 @@ def downsample_main(args, conf, logger):
         for name, meta in pairs:
             t0 = time.time()
             mip_map_one_section(name, meta, out_root, max_mip=max_mip,
-                                fmt=fmt, **loader_cfg)
+                                fmt=fmt, num_workers=num_workers,
+                                **loader_cfg)
             logger.info(f'{name}: mipmapped in {time.time() - t0:.1f}s')
     else:
         jobs = [(n, m, out_root) for n, m in pairs]

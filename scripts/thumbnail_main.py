@@ -66,10 +66,13 @@ def _downsample_one_section(name, meta, work_dir, dconf, thumb_mip, fmt):
             highpass=dconf.get('thumbnail_highpass', True),
             highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
     else:
+        nw = int(dconf.get('num_workers', 1) or 1) \
+            if dconf.get('parallel_within_section', True) else 1
         mip_map_one_section(name, meta,
                             join_paths(work_dir, 'stitched_sections'),
                             max_mip=min(max_mip, 4),
-                            fmt=dconf.get('format', 'jpg'))
+                            fmt=dconf.get('format', 'jpg'),
+                            num_workers=nw)
         create_thumbnail(
             meta, out, thumbnail_mip=thumb_mip,
             highpass=dconf.get('thumbnail_highpass', True),

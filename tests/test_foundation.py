@@ -176,3 +176,38 @@ def test_chain_segment_rings():
     edges = {tuple(sorted(e)) for e in segs[:4].tolist()}
     for a, b in zip(r, r[1:] + r[:1]):
         assert tuple(sorted((a, b))) in edges
+
+
+def test_cache_thread_safety():
+    """Caches are shared by threaded consumers (loader block caches under
+    the threaded mip fan-out): concurrent get/set/evict must not corrupt
+    the byte accounting or raise."""
+    import threading
+    import numpy as np
+    from feabas_tpu.caching import generate_cache
+    for policy in ('fifo', 'lru', 'lfu', 'mfu'):
+        cache = generate_cache(policy, maxlen=16)
+        errs = []
+
+        def worker(seed):
+            rng = np.random.default_rng(seed)
+            try:
+                for _ in range(300):
+                    k = int(rng.integers(0, 40))
+                    if rng.random() < 0.5:
+                        cache[k] = np.zeros(int(rng.integers(1, 64)))
+                    else:
+                        cache.get(k)
+                        cache.pop(k)
+            except Exception as e:  # pragma: no cover
+                errs.append(e)
+
+        threads = [threading.Thread(target=worker, args=(s,))
+                   for s in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        assert not errs, (policy, errs)
+        assert len(cache) <= 16
+        assert cache._bytes >= 0
