@@ -396,6 +396,22 @@ def parse_coordinate_files(filename, **kwargs):
     return imgpaths, bboxes, root_dir, resolution
 
 
+def unique_prefix_arg(choices):
+    """argparse ``type`` that expands a unique prefix of ``choices``
+    (reference drivers accept e.g. ``--mode opt``); ambiguous or unknown
+    prefixes raise with the choice list."""
+    import argparse
+
+    def parse(v):
+        lv = str(v).lower()
+        hits = [c for c in choices if c.startswith(lv)]
+        if len(hits) != 1:
+            raise argparse.ArgumentTypeError(
+                f'mode {v!r} does not uniquely match one of {choices}')
+        return hits[0]
+    return parse
+
+
 def rearrange_section_order(section_list, section_order_file):
     """Reorder/filter sections by a `section_order.txt`: one name per line,
     or an explicit ``z<TAB>name`` per line (reference: common.py:814-828).

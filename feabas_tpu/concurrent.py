@@ -60,10 +60,17 @@ def submit_to_workers(func, args_list=None, kwargs_list=None, **settings):
     args_list, kwargs_list = _normalize_jobs(args_list, kwargs_list)
     if not args_list:
         return
-    num_workers = settings.get('num_workers', 1) or 1
+    num_workers = settings.pop('num_workers', 1) or 1
     framework = settings.get('parallel_framework', None) or config.parallel_framework()
     max_tasks_per_child = settings.get('max_tasks_per_child', None)
-    if (num_workers <= 1) or (len(args_list) <= 1) or _in_daemon_process():
+    # local pools degrade to serial for tiny workloads; REMOTE frameworks
+    # do not — a single window handed to slurm must still run on the
+    # cluster node, not in this process (reference force_remote:
+    # concurrent.py:33,40). Daemon children always run serial.
+    if _in_daemon_process():
+        framework = 'serial'
+    elif framework not in REMOTE_FRAMEWORKS and (
+            (num_workers <= 1) or (len(args_list) <= 1)):
         framework = 'serial'
     num_workers = min(num_workers, len(args_list))
     if framework == 'serial':

@@ -151,8 +151,11 @@ class AbstractImageLoader:
         self._cache.clear()
 
     def _read_image(self, path):
-        if path in self._cache:
-            return self._cache[path]
+        # atomic get: a concurrent insert+trim may evict between a
+        # membership check and the indexing (threaded mip fan-out)
+        img = self._cache.get(path)
+        if img is not None:
+            return img
         img = common.imread(path, flag=cv2.IMREAD_UNCHANGED)
         if img is None:
             raise RuntimeError(f'failed to read {path}')
@@ -224,9 +227,9 @@ class StaticImageLoader(AbstractImageLoader):
         # fully inside cached bands? assemble from cache
         covering = []
         for bi, bb in enumerate(blocks):
-            key = (path, bi)
-            if key in self._cache:
-                covering.append((bb, self._cache[key]))
+            blk = self._cache.get((path, bi))  # atomic vs concurrent evict
+            if blk is not None:
+                covering.append((bb, blk))
         out = np.empty((lb[3] - lb[1], lb[2] - lb[0]), self.dtype) \
             if not self._number_of_channels or self._number_of_channels == 1 \
             else np.empty((lb[3] - lb[1], lb[2] - lb[0],
@@ -525,7 +528,7 @@ class TensorStoreLoader(AbstractImageLoader):
         if cap is not None and spec is not None and 'context' not in spec:
             spec = dict(spec)
             spec['context'] = {'cache_pool': {
-                'total_bytes_limit': int(cap * 1_000_000)}}
+                'total_bytes_limit': int(cap * 2 ** 20)}}
         super().__init__(**kwargs)
         self._spec = spec
         self._z = int(z)

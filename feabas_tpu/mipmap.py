@@ -101,6 +101,46 @@ def mip_one_level(meta_in, out_dir, tile_size=(4096, 4096), fmt='jpg',
     return meta_out
 
 
+def downsample_section_thumbnail(name, meta, work_dir, dconf, thumb_mip,
+                                 fmt='png'):
+    """One section's mip chain + thumbnail + material mask — the
+    thumbnail-stage downsample worker (reference: thumbnail_main.py:446-506).
+    Lives here (not in the driver script) so remote worker backends can
+    import it. Returns ``name``."""
+    out = join_paths(work_dir, 'thumbnail_align', 'thumbnails',
+                     f'{name}.{fmt}')
+    max_mip = int(dconf.get('max_mip', thumb_mip))
+    if not str(meta).endswith('.txt'):
+        # tensorstore-rendered section: thumbnail straight from the
+        # volume via downsample drivers; mips are served virtually
+        # (get_tensorstore_spec) so no tile pyramid is materialized
+        create_thumbnail_tensorstore(
+            meta, out, thumbnail_mip=thumb_mip,
+            highpass=dconf.get('thumbnail_highpass', True),
+            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+    else:
+        nw = int(dconf.get('num_workers', 1) or 1) \
+            if dconf.get('parallel_within_section', True) else 1
+        mip_map_one_section(name, meta,
+                            join_paths(work_dir, 'stitched_sections'),
+                            max_mip=min(max_mip, 4),
+                            fmt=dconf.get('format', 'jpg'),
+                            num_workers=nw)
+        create_thumbnail(
+            meta, out, thumbnail_mip=thumb_mip,
+            highpass=dconf.get('thumbnail_highpass', True),
+            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+    tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
+    if storage.file_exists(tform):
+        generate_thumbnail_mask(
+            tform,
+            join_paths(work_dir, 'thumbnail_align', 'material_masks',
+                       name + '.png'),
+            thumbnail_mip=thumb_mip,
+            mask_erode=dconf.get('mask_erode', 2))
+    return name
+
+
 def mip_map_one_section(sec_name, src_meta, out_root, max_mip=7, fmt='jpg',
                         **loader_config):
     """Chain mip levels 1..max_mip for one section
@@ -261,7 +301,7 @@ def mip_one_level_tensorstore_3d(src_dir, out_dir, mip_levels=(1, 3, 5, 7),
                                  downsample_z='auto', z_range=None,
                                  logger=None, chunk=1024,
                                  keep_chunk_layout=True, cache_capacity=None,
-                                 jpeg_compression=False, **_ignored):
+                                 jpeg_compression=None, **_ignored):
     """Generate lower-resolution scales of a 3D tensorstore volume
     (reference: mipmap.py:434). xy downsampling is mean-pooled; z follows
     'auto' (downsample z to keep voxels near-isotropic) or an explicit list.
@@ -275,9 +315,14 @@ def mip_one_level_tensorstore_3d(src_dir, out_dir, mip_levels=(1, 3, 5, 7),
     if cache_capacity:
         base_spec = dict(base_spec)
         base_spec['context'] = {'cache_pool': {
-            'total_bytes_limit': int(cache_capacity * 1_000_000)}}
+            'total_bytes_limit': int(cache_capacity * 2 ** 20)}}
     src = ts.open(base_spec).result()
     src_chunk = list(src.chunk_layout.read_chunk.shape[:3])
+    if jpeg_compression is None:
+        # None -> inherit the source volume's encoding so one multiscale
+        # volume stays consistently encoded
+        enc = src.spec().to_json().get('scale_metadata', {}).get('encoding')
+        jpeg_compression = (enc == 'jpeg')
     size = [int(d) for d in src.shape[:3]]
     dims = src.spec().to_json().get('scale_metadata', {})
     res = dims.get('resolution', [4, 4, 30])

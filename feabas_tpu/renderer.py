@@ -373,6 +373,9 @@ class MeshRenderer:
         return out
 
     def _filled(self, shape, loader, kwargs):
+        nc = getattr(loader, 'number_of_channels', None)
+        if nc and nc > 1 and len(shape) == 2:
+            shape = tuple(shape) + (int(nc),)  # match covered-crop rank
         if kwargs.get('log_sigma', 0):
             # a filtered constant block is identically zero; returning the
             # raw fillval here would mix unfiltered uint8 blocks into a

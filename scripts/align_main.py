@@ -22,6 +22,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feabas_tpu import config, storage
+from feabas_tpu.common import unique_prefix_arg
 from feabas_tpu.logging import initialize_main_logger, terminate_logger
 from feabas_tpu.storage import join_paths
 
@@ -314,10 +315,27 @@ def get_or_make_canvas(tform_dir, logger=None):
     import json
     from feabas_tpu.mesh import Mesh
     cf = join_paths(tform_dir, 'canvas.json')
+    tforms = sorted(storage.list_folder_content(join_paths(tform_dir, '*.h5')))
     if storage.file_exists(cf):
         with storage.File(cf, 'r') as f:
-            return json.load(f).get('mip0')
-    tforms = sorted(storage.list_folder_content(join_paths(tform_dir, '*.h5')))
+            saved = json.load(f)
+        bbox = saved.get('mip0')
+        # the canvas freezes the output grid; if tforms committed AFTER it
+        # was written fall outside, warn loudly instead of silently
+        # clipping them (delete canvas.json + rendered outputs to regrow)
+        new = [t for t in tforms
+               if storage.base_name(t) not in set(saved.get('sections', []))]
+        if new and bbox is not None and logger is not None:
+            for t in new:
+                b = Mesh.from_h5(t).bbox(gear='MOVING')
+                if (b[0] < bbox[0] or b[1] < bbox[1]
+                        or b[2] > bbox[2] or b[3] > bbox[3]):
+                    logger.warning(
+                        f'{storage.base_name(t)} extends beyond the saved '
+                        f'render canvas {bbox} ({cf} was written before '
+                        f'this tform existed) and will be clipped; delete '
+                        f'{cf} and re-render to regrow the canvas')
+        return bbox
     if not tforms:
         return None
     boxes = np.asarray([Mesh.from_h5(t).bbox(gear='MOVING') for t in tforms])
@@ -325,7 +343,8 @@ def get_or_make_canvas(tform_dir, logger=None):
             int(np.ceil(boxes[:, 2].max())) + 1,
             int(np.ceil(boxes[:, 3].max())) + 1]
     with storage.File(cf, 'w') as f:
-        json.dump({'mip0': bbox}, f)
+        json.dump({'mip0': bbox,
+                   'sections': [storage.base_name(t) for t in tforms]}, f)
     if logger is not None:
         logger.info(f'canvas bbox {bbox} -> {cf}')
     return bbox
@@ -485,9 +504,15 @@ def tsd_main(args, conf, logger):
     tconf = conf.get('tensorstore_downsample', {}) or {}
     src_dir = conf.get('tensorstore_rendering', {}).get('out_dir') \
         or join_paths(work_dir, 'aligned_tensorstore')
+    out_dir = tconf.get('out_dir')
     if getattr(args, 'filter', None):
+        # the filtered sub-volume lives under <dir>/<filter>; an explicit
+        # out_dir is isolated the same way so its scales never land in
+        # the full volume's multiscale metadata
         src_dir = join_paths(src_dir, args.filter)
-    out_dir = tconf.get('out_dir') or src_dir
+        if out_dir:
+            out_dir = join_paths(out_dir, args.filter)
+    out_dir = out_dir or src_dir
     mips = tconf.get('mip_levels', [1, 3, 5, 7])
     downsample_z = tconf.get('downsample_z', 'auto')
     n = mip_one_level_tensorstore_3d(
@@ -495,27 +520,15 @@ def tsd_main(args, conf, logger):
         z_range=tconf.get('z_range'), logger=logger,
         keep_chunk_layout=tconf.get('keep_chunk_layout', True),
         cache_capacity=tconf.get('cache_capacity'),
-        jpeg_compression=tconf.get('jpeg_compression', False))
+        jpeg_compression=tconf.get('jpeg_compression'))
     logger.info(f'tsd: generated {n} mip level(s)')
-
-
-def _mode_type(choices):
-    """Unique-prefix mode names (reference drivers accept e.g. 'opt')."""
-    def parse(v):
-        lv = str(v).lower()
-        hits = [c for c in choices if c.startswith(lv)]
-        if len(hits) != 1:
-            raise argparse.ArgumentTypeError(
-                f'mode {v!r} does not uniquely match one of {choices}')
-        return hits[0]
-    return parse
 
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='alignment pipeline driver')
     modes = ['meshing', 'matching', 'optimization', 'rendering',
              'downsample', 'tsr', 'tsd']
-    p.add_argument('--mode', default='matching', type=_mode_type(modes),
+    p.add_argument('--mode', default='matching', type=unique_prefix_arg(modes),
                    choices=modes)
     p.add_argument('--filter', type=str, default=None,
                    help='render only sections whose name contains this '

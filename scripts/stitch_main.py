@@ -19,6 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feabas_tpu import config, storage
+from feabas_tpu.common import unique_prefix_arg
 from feabas_tpu.logging import initialize_main_logger, terminate_logger
 
 
@@ -164,22 +165,10 @@ def render_main(sections, conf, logger):
         logger.info(f'{name}: rendered {n_out} tiles in {time.time() - t0:.1f}s')
 
 
-def _mode_type(choices):
-    """Unique-prefix mode names (reference drivers accept e.g. 'opt')."""
-    def parse(v):
-        lv = str(v).lower()
-        hits = [c for c in choices if c.startswith(lv)]
-        if len(hits) != 1:
-            raise argparse.ArgumentTypeError(
-                f'mode {v!r} does not uniquely match one of {choices}')
-        return hits[0]
-    return parse
-
-
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='stitching pipeline driver')
     modes = ['matching', 'optimization', 'rendering']
-    p.add_argument('--mode', default='matching', type=_mode_type(modes),
+    p.add_argument('--mode', default='matching', type=unique_prefix_arg(modes),
                    choices=modes)
     p.add_argument('--filter', type=str, default='',
                    help='only process sections whose name contains this '

@@ -21,6 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from feabas_tpu import config, storage
+from feabas_tpu.common import unique_prefix_arg
 from feabas_tpu.logging import initialize_main_logger, terminate_logger
 from feabas_tpu.storage import join_paths
 
@@ -50,44 +51,6 @@ def thumb_path(work_dir, name, fmt='png'):
                       f'{name}.{fmt}')
 
 
-def _downsample_one_section(name, meta, work_dir, dconf, thumb_mip, fmt):
-    """Worker body for one section's mip chain + thumbnail + mask."""
-    from feabas_tpu.mipmap import (create_thumbnail, mip_map_one_section,
-                                   generate_thumbnail_mask)
-    max_mip = int(dconf.get('max_mip', thumb_mip))
-    out = thumb_path(work_dir, name, fmt)
-    if not str(meta).endswith('.txt'):
-        # tensorstore-rendered section: thumbnail straight from the
-        # volume via downsample drivers; mips are served virtually
-        # (get_tensorstore_spec) so no tile pyramid is materialized
-        from feabas_tpu.mipmap import create_thumbnail_tensorstore
-        create_thumbnail_tensorstore(
-            meta, out, thumbnail_mip=thumb_mip,
-            highpass=dconf.get('thumbnail_highpass', True),
-            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
-    else:
-        nw = int(dconf.get('num_workers', 1) or 1) \
-            if dconf.get('parallel_within_section', True) else 1
-        mip_map_one_section(name, meta,
-                            join_paths(work_dir, 'stitched_sections'),
-                            max_mip=min(max_mip, 4),
-                            fmt=dconf.get('format', 'jpg'),
-                            num_workers=nw)
-        create_thumbnail(
-            meta, out, thumbnail_mip=thumb_mip,
-            highpass=dconf.get('thumbnail_highpass', True),
-            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
-    tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
-    if storage.file_exists(tform):
-        generate_thumbnail_mask(
-            tform,
-            join_paths(work_dir, 'thumbnail_align', 'material_masks',
-                       name + '.png'),
-            thumbnail_mip=thumb_mip,
-            mask_erode=dconf.get('mask_erode', 2))
-    return name
-
-
 def downsample_main(args, conf, logger):
     """``parallel_within_section`` (reference: thumbnail_main.py:14,21)
     keeps the section loop serial — the per-section path owns the
@@ -98,18 +61,21 @@ def downsample_main(args, conf, logger):
     fmt = dconf.get('thumbnail_format', 'png')
     num_workers = int(dconf.get('num_workers', 1) or 1)
     within = bool(dconf.get('parallel_within_section', True))
+    from feabas_tpu.mipmap import downsample_section_thumbnail
     pairs = list(stitched_sections(work_dir, args))
     if within or num_workers <= 1:
         for name, meta in pairs:
             t0 = time.time()
-            _downsample_one_section(name, meta, work_dir, dconf, thumb_mip,
-                                    fmt)
+            downsample_section_thumbnail(name, meta, work_dir, dconf,
+                                         thumb_mip, fmt)
             logger.info(f'{name}: downsampled in {time.time() - t0:.1f}s')
     else:
+        # worker lives in feabas_tpu.mipmap so remote backends (slurm
+        # spool) can import it — script-local functions are rejected
         from feabas_tpu.concurrent import submit_to_workers
         jobs = [(n, m, work_dir, dict(dconf), thumb_mip, fmt)
                 for n, m in pairs]
-        for name in submit_to_workers(_downsample_one_section, jobs,
+        for name in submit_to_workers(downsample_section_thumbnail, jobs,
                                       num_workers=num_workers):
             logger.info(f'{name}: downsampled')
 
@@ -309,23 +275,10 @@ def render_main(args, conf, logger):
         logger.info(f'{name}: aligned thumbnail rendered')
 
 
-def _mode_type(choices):
-    """Unique-prefix mode names, matching the reference drivers' behavior
-    (e.g. ``--mode opt``; reference: thumbnail_main.py:393-404)."""
-    def parse(v):
-        lv = str(v).lower()
-        hits = [c for c in choices if c.startswith(lv)]
-        if len(hits) != 1:
-            raise argparse.ArgumentTypeError(
-                f'mode {v!r} does not uniquely match one of {choices}')
-        return hits[0]
-    return parse
-
-
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description='thumbnail pipeline driver')
     modes = ['downsample', 'matching', 'optimization', 'render', 'alignment']
-    p.add_argument('--mode', default='downsample', type=_mode_type(modes),
+    p.add_argument('--mode', default='downsample', type=unique_prefix_arg(modes),
                    choices=modes)
     p.add_argument('--start', type=int, default=0)
     p.add_argument('--stop', type=int, default=None)

@@ -173,3 +173,25 @@ def test_multihost_2proc_matches_single_process(workdir, tmp_path):
     assert got.shape == np.asarray(ref).shape
     assert np.allclose(got, np.asarray(ref), atol=1e-4), \
         np.abs(got - np.asarray(ref)).max()
+
+
+def test_single_job_slurm_never_degrades_to_serial(tmp_path):
+    """A single job with num_workers=1 on the slurm framework MUST still
+    go through sbatch (reference force_remote: concurrent.py:33,40) — the
+    local-pool serial downgrade must not capture remote frameworks."""
+    import stat as _stat
+    from feabas_tpu.concurrent import submit_to_workers
+    marker = tmp_path / 'sbatch_ran'
+    shim = tmp_path / 'sbatch'
+    shim.write_text(f'#!/bin/bash\ntouch "{marker}"\n'
+                    'nohup bash "$1" >/dev/null 2>&1 &\n'
+                    'echo "Submitted batch job 1"\n')
+    shim.chmod(shim.stat().st_mode | _stat.S_IEXEC)
+    from feabas_tpu.storage import base_name
+    out = list(submit_to_workers(
+        base_name, [('/a/b/c.txt',)], num_workers=1,
+        parallel_framework='slurm', sbatch_cmd=str(shim),
+        spool_dir=str(tmp_path / 'spool'),
+        poll_interval=0.2, job_timeout=120))
+    assert out == ['c.txt']
+    assert marker.exists(), 'sbatch was never invoked: job ran in-process'
