@@ -582,19 +582,42 @@ _FUSED_ARRAY_KEYS = ('src0', 'src1', 'pos1', 'verts0_1', 'shape1', 'tris1',
 
 def _fused_execute_batch(preps):
     """Run same-signature preps as ONE vmapped device dispatch; returns
-    the per-pair packed arrays (host)."""
+    the per-pair packed arrays (host).
+
+    On a multi-device host the pair axis is sharded across the mesh
+    (inputs land with a NamedSharding over 'b'; XLA partitions the
+    vmapped program with no collectives — pairs are independent), so a
+    pod slice matches a whole section's overlap batch data-parallel."""
+    import jax
     import jax.numpy as jnp
     from feabas_tpu.ops import match_loop
     p0 = preps[0]
-    args = [jnp.asarray(np.stack([np.asarray(p[k]) for p in preps]))
-            for k in _FUSED_ARRAY_KEYS]
+    n = len(preps)
+    devs = jax.devices()
+    n_dev = min(len(devs), n) if n > 1 else 1
+    pad = (-n) % n_dev
+
+    def stack(vals):
+        a = np.stack([np.asarray(v) for v in vals])
+        if pad:
+            a = np.concatenate([a] + [a[:1]] * pad, axis=0)
+        return a
+
+    if n_dev > 1:
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+        mesh = Mesh(np.asarray(devs[:n_dev]), ('b',))
+        sh = NamedSharding(mesh, P('b'))
+
+        def put(a):
+            return jax.device_put(a, sh)
+    else:
+        put = jnp.asarray
+    args = [put(stack([p[k] for p in preps])) for k in _FUSED_ARRAY_KEYS]
     rounds = tuple(
-        {k: jnp.asarray(np.stack([np.asarray(p['rounds'][r][k])
-                                  for p in preps]))
+        {k: put(stack([p['rounds'][r][k] for p in preps]))
          for k in p0['rounds'][r]}
         for r in range(len(p0['rounds'])))
-    coarse = {k: jnp.asarray(np.stack([np.asarray(p['coarse'][k])
-                                       for p in preps]))
+    coarse = {k: put(stack([p['coarse'][k] for p in preps]))
               for k in p0['coarse']} if p0['coarse'] is not None else None
     (src0, src1, pos1, verts0_1, shape1, tris1, mult, poisson,
      shape0, tris0, mult0, poisson0, pos0) = args
@@ -604,7 +627,7 @@ def _fused_execute_batch(preps):
         lam_ratio=p0['lam_ratio'], sigma=p0['sigma'],
         conf_thresh=p0['conf_thresh'], coarse=coarse,
         coarse_meta=p0['coarse_meta'], env_norm=p0['env_norm'])
-    return np.asarray(packed)  # ONE fetch for the whole batch
+    return np.asarray(packed)[:n]  # ONE fetch for the whole batch
 
 
 def _fused_fine_matcher(mesh0, mesh1, loader0, loader1, spacings, **kwargs):
@@ -1118,7 +1141,7 @@ def stitching_matcher(img0, img1, **kwargs):
                         match.strain)
 
 
-def match_pairs_batched(jobs, max_batch=8):
+def match_pairs_batched(jobs, max_batch=None):
     """Match many tile pairs with batched one-dispatch device programs.
 
     Args:
@@ -1126,11 +1149,18 @@ def match_pairs_batched(jobs, max_batch=8):
             ``stitching_matcher`` takes; pairs with a ``stage_prior``
             and compatible shapes batch together (one vmapped dispatch
             + one fetch per shape group, the Stitcher dispatch flow).
+        max_batch: pairs per dispatch; default 8 on one device, else a
+            device-mesh multiple so the batch-sharded dispatch keeps
+            every chip busy.
     Returns:
         list of Match|None aligned with ``jobs``. Pairs that cannot
         batch (no prior, odd shapes, failed coarse) fall back to the
         serial ``stitching_matcher`` path automatically.
     """
+    if max_batch is None:
+        import jax
+        nd = jax.device_count()
+        max_batch = 8 if nd <= 1 else max(8, 2 * nd)
     results = [None] * len(jobs)
     preps = []
     fallback = []

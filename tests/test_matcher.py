@@ -370,3 +370,34 @@ def test_env_interior_flags():
     ok3 = _env_interior(np.array([[60.0, 60.0]]), bs, K, A2,
                         np.zeros((1, 2)), (300, 300))
     assert ok2.tolist() == [False] and ok3.tolist() == [True]
+
+
+def test_match_pairs_batched_shards_over_devices(workdir, monkeypatch):
+    """On a multi-device host the batched dispatch's pair axis lands
+    sharded across the mesh (data-parallel stitch matching)."""
+    import jax
+    from feabas_tpu import matcher
+    from feabas_tpu.ops import match_loop
+    from synthutil import texture
+    assert jax.device_count() >= 8  # conftest provides 8 virtual devices
+    captured = {}
+    orig = match_loop.fused_rounds_batched
+
+    def spy(src0, *a, **k):
+        captured['ndev'] = len(src0.sharding.device_set)
+        return orig(src0, *a, **k)
+
+    monkeypatch.setattr(match_loop, 'fused_rounds_batched', spy)
+    h, w = 384, 420
+    jobs = []
+    for k in range(8):
+        img0 = texture(np.random.default_rng(k), h, w)
+        sh = (5 + (k % 3), -3 - (k % 2))
+        img1 = np.roll(np.roll(img0, -sh[1], axis=0), -sh[0], axis=1)
+        jobs.append((img0, img1,
+                     dict(stage_prior=(sh[0] + 1.0, sh[1] - 1.0),
+                          conf_thresh=0.25, coarse_downsample=0.5,
+                          spacings=[100, 50], min_boundary_distance=20)))
+    res = matcher.match_pairs_batched(jobs)
+    assert all(m is not None for m in res)
+    assert captured.get('ndev') == 8, captured
