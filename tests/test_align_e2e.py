@@ -317,3 +317,37 @@ def test_section_order_file(align_workdir):
         root, f'00000_{names[2]}', 'metadata.txt'))
     assert not storage.file_exists(storage.join_paths(
         root, f'00000_{names[0]}', 'metadata.txt'))
+
+
+def test_canvas_freeze_warns_on_outlying_tforms(workdir, tmp_path):
+    """canvas.json freezes the render grid; tforms committed later that
+    fall outside must trigger a loud warning, not silent clipping."""
+    import sys, os, logging
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu.mesh import Mesh
+    tdir = str(tmp_path / 'tform')
+    m = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=50)
+    m.set_translation((0, 0))
+    m.save_to_h5(os.path.join(tdir, 'a.h5'))
+    logger = logging.getLogger('canvas-test')
+    bbox = align_main.get_or_make_canvas(tdir, logger)
+    assert bbox is not None and bbox[2] >= 100
+    # a later tform outside the frozen canvas
+    m2 = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=50)
+    m2.set_translation((500, 500))
+    m2.save_to_h5(os.path.join(tdir, 'b.h5'))
+    from feabas_tpu import storage
+    storage.clear_exists_cache()
+    records = []
+
+    class Capture(logging.Handler):
+        def emit(self, record):
+            records.append(record.getMessage())
+
+    logger.addHandler(Capture())
+    logger.setLevel(logging.WARNING)
+    bbox2 = align_main.get_or_make_canvas(tdir, logger)
+    assert bbox2 == bbox  # frozen
+    assert any('extends beyond' in r for r in records), records
