@@ -5,3 +5,7 @@ A ground-up JAX/XLA/Pallas rebuild of the capabilities of FEABAS
 """
 
 __version__ = '0.2.0'
+
+# package-level constants, like the reference's `import feabas;
+# feabas.MESH_GEAR_FIXED` idiom (reference: feabas/__init__.py)
+from feabas_tpu.constant import *  # noqa: F401,F403
