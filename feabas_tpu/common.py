@@ -396,6 +396,26 @@ def parse_coordinate_files(filename, **kwargs):
     return imgpaths, bboxes, root_dir, resolution
 
 
+def get_canvas_bbox(canvas_file, target_mip=0):
+    """Canvas bbox from a ``{'mipN': [x0, y0, x1, y1]}`` JSON, rescaled
+    from the nearest stored mip to ``target_mip`` (reference:
+    common.py:799)."""
+    import json
+    if isinstance(canvas_file, dict):
+        data = canvas_file
+    else:
+        with storage.File(canvas_file, 'r') as f:
+            data = json.load(f)
+    mips = {float(k.replace('mip', '')): v for k, v in data.items()
+            if k.startswith('mip')}
+    if not mips:
+        return None
+    src = min(mips, key=lambda m: abs(m - target_mip))
+    bbox = np.asarray(mips[src], np.float64).ravel() * 2.0 ** (src - target_mip)
+    return [int(np.floor(bbox[0])), int(np.floor(bbox[1])),
+            int(np.ceil(bbox[2])), int(np.ceil(bbox[3]))]
+
+
 def unique_prefix_arg(choices):
     """argparse ``type`` that expands a unique prefix of ``choices``
     (reference drivers accept e.g. ``--mode opt``); ambiguous or unknown

@@ -319,7 +319,8 @@ def get_or_make_canvas(tform_dir, logger=None):
     if storage.file_exists(cf):
         with storage.File(cf, 'r') as f:
             saved = json.load(f)
-        bbox = saved.get('mip0')
+        from feabas_tpu.common import get_canvas_bbox
+        bbox = get_canvas_bbox(saved, target_mip=0)
         # the canvas freezes the output grid; if tforms committed AFTER it
         # was written fall outside, warn loudly instead of silently
         # clipping them (delete canvas.json + rendered outputs to regrow)
