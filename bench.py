@@ -144,9 +144,13 @@ def main():
     thumb_s, thumb_err = _bench_thumbnail()
     align_sph, align_p90 = _bench_align_stack()
 
+    import os
+    backend = os.environ.get('FEABAS_TPU_BENCH_BACKEND') \
+        or jax.devices()[0].platform
     vs = (cpu_pair_dt / pipe_pair_dt) if cpu_pair_dt else None
     print(json.dumps({
         'metric': 'stitch_tile_pair_match',
+        'backend': backend,
         'value': round(pipe_rate, 1),
         'unit': ('matches/sec per 3000x4000 tile pair, end-to-end incl '
                  'host->device ingest; 6 distinct pairs as stage-prior '
@@ -599,5 +603,39 @@ def _bench_window_solve():
     return min(dts), dof
 
 
+def _accelerator_alive(timeout=240):
+    """Probe backend init in a SUBPROCESS: a wedged TPU tunnel hangs
+    ``jax.devices()`` indefinitely, which would hang the whole bench."""
+    import subprocess
+    import sys
+    try:
+        p = subprocess.run(
+            [sys.executable, '-c', 'import jax; jax.devices(); print("OK")'],
+            timeout=timeout, capture_output=True, text=True)
+        return p.returncode == 0 and 'OK' in p.stdout
+    except Exception:
+        return False
+
+
+def _reexec_cpu():
+    """Re-run the bench on the CPU backend with the TPU plugin stripped;
+    the printed JSON carries backend=cpu-fallback so the number is never
+    mistaken for a TPU result."""
+    import os
+    import sys
+    env = dict(os.environ)
+    env['FEABAS_TPU_BENCH_REEXEC'] = '1'
+    env['FEABAS_TPU_BENCH_BACKEND'] = 'cpu-fallback (accelerator unavailable)'
+    env['JAX_PLATFORMS'] = 'cpu'
+    pyp = [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+           if p and 'axon_site' not in p]
+    env['PYTHONPATH'] = os.pathsep.join(pyp) if pyp else ''
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)], env)
+
+
 if __name__ == '__main__':
+    import os
+    if (os.environ.get('FEABAS_TPU_BENCH_REEXEC') != '1'
+            and not _accelerator_alive()):
+        _reexec_cpu()
     main()
