@@ -117,3 +117,93 @@ def save_figure(ax, path, dpi=150):
     import matplotlib.pyplot as plt
     plt.close(fig)
     return path
+
+
+# ---------------- generic plotting helpers (reference: :155-212) -------- #
+
+def rgb2hex(rgb):
+    """(r, g, b) in 0..1 or 0..255 -> '#rrggbb' (reference:
+    visualization.py:23)."""
+    rgb = np.asarray(rgb, np.float64).ravel()[:3]
+    if rgb.max() <= 1.0:
+        rgb = rgb * 255.0
+    r, g, b = (int(round(v)) for v in rgb)
+    return f'#{r:02x}{g:02x}{b:02x}'
+
+
+def hex2rgb(hx):
+    """'#rrggbb' -> (r, g, b) floats in 0..1 (reference:
+    visualization.py:29)."""
+    hx = hx.lstrip('#')
+    return tuple(int(hx[i:i + 2], 16) / 255.0 for i in (0, 2, 4))
+
+
+def random_color(seed=None, lightness=None):
+    """A random saturated color (reference: visualization.py:35)."""
+    rng = np.random.default_rng(seed)
+    c = rng.random(3)
+    if lightness is not None:
+        c = c * (1 - lightness) + lightness
+    return tuple(c)
+
+
+def plot_points(xy, ax=None, **kwargs):
+    """Scatter a (N, 2) point set (reference: visualization.py:155)."""
+    ax = _get_ax(ax)
+    xy = np.asarray(xy, np.float64).reshape(-1, 2)
+    kwargs.setdefault('s', 4)
+    ax.scatter(xy[:, 0], xy[:, 1], **kwargs)
+    ax.set_aspect('equal')
+    return ax
+
+
+def plot_lines(lines, ax=None, **kwargs):
+    """Plot polylines: one (N, 2) array or a list of them (reference:
+    visualization.py:168)."""
+    ax = _get_ax(ax)
+    if isinstance(lines, np.ndarray) and lines.ndim == 2:
+        lines = [lines]
+    from matplotlib.collections import LineCollection
+    segs = [np.asarray(ln, np.float64).reshape(-1, 2) for ln in lines]
+    ax.add_collection(LineCollection(segs, **kwargs))
+    ax.autoscale_view()
+    ax.set_aspect('equal')
+    return ax
+
+
+def plot_polygons(rings, ax=None, facecolor=None, edgecolor='k', alpha=0.5,
+                  **kwargs):
+    """Fill closed rings: one (N, 2) ring or a list (reference PolygonPatch
+    role: visualization.py:185-212)."""
+    ax = _get_ax(ax)
+    if isinstance(rings, np.ndarray) and rings.ndim == 2:
+        rings = [rings]
+    from matplotlib.patches import Polygon as MplPolygon
+    for k, r in enumerate(rings):
+        r = np.asarray(r, np.float64).reshape(-1, 2)
+        fc = facecolor if facecolor is not None else random_color(k)
+        ax.add_patch(MplPolygon(r, closed=True, facecolor=fc,
+                                edgecolor=edgecolor, alpha=alpha, **kwargs))
+    ax.autoscale_view()
+    ax.set_aspect('equal')
+    return ax
+
+
+def plot_geometry(geom, ax=None, simplify_tol=2.0, **kwargs):
+    """Plot a :class:`feabas_tpu.spatial.Geometry`: every material
+    region's shared boundary arcs, colored by the material label on the
+    arc's interior side (reference plot_geometries role:
+    visualization.py:200)."""
+    ax = _get_ax(ax)
+    arcs = geom.boundary_arcs(simplify_tol=simplify_tol)
+    # each arc separates exactly two labels; color by the pair
+    pairs = sorted({tuple(np.sort(a['labels'])) for a in arcs})
+    import matplotlib.pyplot as plt
+    cmap = plt.get_cmap('tab10')
+    for a in arcs:
+        key = tuple(np.sort(a['labels']))
+        c = cmap(pairs.index(key) % 10)
+        p = a['pts']
+        ax.plot(p[:, 0], p[:, 1], color=c, **kwargs)
+    ax.set_aspect('equal')
+    return ax

@@ -112,3 +112,32 @@ def test_visualization_smoke(workdir, tmp_path):
     vis.save_figure(ax, str(tmp_path / 'cover.png'))
     for f in ('mesh.png', 'montage.png', 'link.png', 'cover.png'):
         assert (tmp_path / f).stat().st_size > 1000
+
+
+def test_generic_plotting_helpers(tmp_path):
+    """Color helpers round-trip; point/line/polygon/geometry plots render
+    without error (reference: visualization.py:23-44,155-212)."""
+    import numpy as np
+    from feabas_tpu.visualization import (rgb2hex, hex2rgb, random_color,
+                                          plot_points, plot_lines,
+                                          plot_polygons, plot_geometry,
+                                          save_figure)
+    assert rgb2hex((1.0, 0, 0)) == '#ff0000'
+    assert hex2rgb('#00ff00') == (0.0, 1.0, 0.0)
+    assert np.allclose(hex2rgb(rgb2hex((0.2, 0.4, 0.6))), (0.2, 0.4, 0.6),
+                       atol=1 / 255)
+    c = random_color(seed=0)
+    assert len(c) == 3 and all(0 <= v <= 1 for v in c)
+    ax = plot_points(np.random.default_rng(0).random((20, 2)) * 100)
+    plot_lines([np.array([[0, 0], [50, 50], [100, 0]])], ax=ax)
+    plot_polygons(np.array([[10, 10], [90, 10], [50, 80]]), ax=ax)
+    # geometry arcs from a 2-material label mask
+    from feabas_tpu.spatial import Geometry
+    mask = np.ones((60, 60), np.uint8) * 100
+    mask[20:40, 20:40] = 200
+    geom = Geometry(mask)
+    ax2 = plot_geometry(geom)
+    out = str(tmp_path / 'plot.png')
+    save_figure(ax, out)
+    import os
+    assert os.path.exists(out)
