@@ -211,3 +211,51 @@ def test_cache_thread_safety():
         assert not errs, (policy, errs)
         assert len(cache) <= 16
         assert cache._bytes >= 0
+
+
+def test_reference_default_configs_drop_in(workdir):
+    """The reference's OWN default YAMLs drop into a work dir as project
+    overrides and every driver-facing key resolves with the expected
+    type — config interchange, not just schema similarity."""
+    import os
+    import shutil
+    import pytest
+    ref = '/root/reference/configs'
+    if not os.path.isdir(ref):
+        pytest.skip('reference tree not available')
+    from feabas_tpu import config, storage
+    pairs = {'default_stitching_configs.yaml': 'stitching_configs.yaml',
+             'default_alignment_configs.yaml': 'alignment_configs.yaml',
+             'default_thumbnail_configs.yaml': 'thumbnail_configs.yaml'}
+    os.makedirs(os.path.join(str(workdir), 'configs'), exist_ok=True)
+    for src, dst in pairs.items():
+        shutil.copy(os.path.join(ref, src),
+                    os.path.join(str(workdir), 'configs', dst))
+    config.clear_config_caches()
+    s = config.stitch_configs()
+    mc = s['matching']['matcher_config']
+    assert mc['spacings'] is None or isinstance(mc['spacings'], list)
+    assert mc['conf_thresh'] > 0
+    r = s['rendering']
+    assert isinstance(r['tile_size'], list) and isinstance(
+        r['pad_to_tile_size'], bool)
+    assert isinstance(r['loader_settings'], dict)
+    a = config.align_configs()
+    assert a['meshing']['mesh_size'] > 0
+    assert isinstance(a['matching']['matcher_config']['spacings'], list)
+    sw = a['optimization']['slide_window']
+    assert sw['window_size'] > 0 and sw['buffer_size'] >= 0
+    tsr = a['tensorstore_rendering']
+    assert isinstance(tsr['chunk_shape'], list)
+    assert isinstance(tsr['read_chunk_shape'], list)
+    tsd = a['tensorstore_downsample']
+    assert isinstance(tsd['mip_levels'], list)
+    assert isinstance(tsd['keep_chunk_layout'], bool)
+    t = config.thumbnail_configs()
+    assert t['thumbnail_mip_level'] >= 0
+    d = t['downsample']
+    assert isinstance(d['parallel_within_section'], bool)
+    al = t['alignment']
+    assert isinstance(al['render']['bbox_offset'], list)
+    assert 'rotation_angle' in al['render']
+    config.clear_config_caches()
