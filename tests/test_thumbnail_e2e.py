@@ -101,3 +101,23 @@ def test_thumbnail_pipeline(thumb_workdir):
         ok = (a > 0) & (b > 0)
         cc = np.corrcoef(a[ok], b[ok])[0, 1]
         assert cc > 0.9, (z, cc)
+
+
+def test_match_name_anchor_pairs(workdir):
+    """thumbnail_align/match_name.txt adds long-range anchor pairs to the
+    neighbor pair list (reference: README:305-311,
+    thumbnail_main.py:533-546)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import thumbnail_main
+    from feabas_tpu import storage
+    names = [f's{z:02d}' for z in range(6)]
+    with storage.File(storage.join_paths(
+            str(workdir), 'thumbnail_align', 'match_name.txt'), 'w') as f:
+        f.write('s00 s05\n')        # long-range anchor
+        f.write('s00 s01\n')        # duplicate of a neighbor pair: ignored
+    pairs = thumbnail_main._pair_list(names, 1, str(workdir))
+    assert ('s00', 's05') in pairs
+    assert pairs.count(('s00', 's01')) == 1
+    assert len(pairs) == 6  # 5 distance-1 neighbors + 1 anchor
