@@ -5,6 +5,15 @@ HDF5 artifacts written by either framework are interchangeable.
 """
 
 # simplification strategies for spatial.Geometry
+# Boundary-simplification strategies (reference: spatial.py:864-897).
+# This package's raster Geometry decomposes region boundaries into a
+# SHARED arc graph and simplifies each arc once (spatial.label_boundary_
+# arcs + simplify_arcs) — i.e. every strategy resolves to the topology-
+# sharing behavior the reference's SEGMENT/GEOM_COLLECTION modes exist
+# to guarantee: adjacent regions can never disagree about a common
+# border, and no sliver gaps appear. The constants are kept for config/
+# API compatibility; they select nothing because the non-sharing modes
+# (REGION) would only reintroduce the slivers.
 SPATIAL_SIMPLIFY_REGION = 0
 SPATIAL_SIMPLIFY_GROUP = 1
 SPATIAL_SIMPLIFY_SEGMENT = 2
