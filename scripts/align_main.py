@@ -149,6 +149,21 @@ def matching_main(args, conf, logger):
     pairs = []
     for d in range(1, compare_distance + 1):
         pairs += [(names[i], names[i + d]) for i in range(len(names) - d)]
+    # every existing thumbnail match defines a fine-matching pair too —
+    # that is how long-range anchors (match_name.txt at the thumbnail
+    # stage) reach the elastic solve and bound the drift random walk
+    # (reference derives its whole list from these files:
+    # align_main.py:102,72; README:305-311)
+    from feabas_tpu.aligner import parse_match_name
+    known = set(names)
+    have = set(pairs) | {(b, a) for a, b in pairs}
+    for f in storage.list_folder_content(
+            join_paths(thumb_match_dir, '*.h5')):
+        a, b = parse_match_name(f)
+        if a in known and b in known and (a, b) not in have:
+            pairs.append((a, b))
+            have.add((a, b))
+            have.add((b, a))
     if args.reverse:
         pairs = pairs[::-1]
     pairs = pairs[slice(args.start, args.stop, args.step)]

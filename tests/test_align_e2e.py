@@ -351,3 +351,38 @@ def test_canvas_freeze_warns_on_outlying_tforms(workdir, tmp_path):
     bbox2 = align_main.get_or_make_canvas(tdir, logger)
     assert bbox2 == bbox  # frozen
     assert any('extends beyond' in r for r in records), records
+
+
+def test_align_matching_includes_anchor_pairs(align_workdir):
+    """A long-range thumbnail match (e.g. from match_name.txt anchors)
+    defines a fine-matching pair beyond compare_distance — the anchor
+    route that bounds the drift random walk (reference:
+    align_main.py:72,102; README:305-311)."""
+    workdir, names, sections, drift = align_workdir
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), 'scripts'))
+    import align_main
+    from feabas_tpu import storage
+    from feabas_tpu.aligner import save_matches_to_h5, match_name
+    from feabas_tpu.common import Match
+    align_main.main(['--mode', 'meshing'])
+    # fabricate the sec0 <-> sec2 coarse anchor (drift-only seed; the
+    # fine matcher refines the warp residual)
+    cum = drift[:3].sum(axis=0)
+    xs, ys = np.meshgrid(np.linspace(60, 260, 4), np.linspace(60, 260, 4))
+    xy1 = np.stack([xs.ravel(), ys.ravel()], -1)
+    anchor = Match(xy1 + cum, xy1, np.ones(len(xy1)), 0.01)
+    save_matches_to_h5(
+        storage.join_paths(str(workdir), 'thumbnail_align', 'matches',
+                           match_name(names[0], names[2])), anchor, 4)
+    align_main.main(['--mode', 'matching'])
+    out = storage.join_paths(str(workdir), 'align', 'matches',
+                             match_name(names[0], names[2]))
+    assert storage.file_exists(out), 'anchor pair was not fine-matched'
+    from feabas_tpu.aligner import read_matches_from_h5
+    m = read_matches_from_h5(out)
+    assert m.xy0.shape[0] >= 6
+    # recovered displacement must reflect the cumulative drift
+    d = np.median(m.xy0 - m.xy1, axis=0)
+    assert np.linalg.norm(d - cum) < 3.0, (d, cum)
