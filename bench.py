@@ -603,9 +603,12 @@ def _bench_window_solve():
     return min(dts), dof
 
 
-def _accelerator_alive(timeout=240):
+def _accelerator_alive(timeout=540):
     """Probe backend init in a SUBPROCESS: a wedged TPU tunnel hangs
-    ``jax.devices()`` indefinitely, which would hang the whole bench."""
+    ``jax.devices()`` indefinitely, which would hang the whole bench.
+    The budget is generous (9 min) because killing a probe mid-init can
+    itself wedge a slow-but-recovering tunnel — only a truly dead
+    backend should fall through to the CPU re-exec."""
     import subprocess
     import sys
     try:

@@ -593,7 +593,10 @@ def _fused_execute_batch(preps):
     from feabas_tpu.ops import match_loop
     p0 = preps[0]
     n = len(preps)
-    devs = jax.devices()
+    # LOCAL devices only: under multi-host jax.distributed the global
+    # device list contains non-addressable devices that device_put of
+    # host arrays cannot target — each host shards its own batch
+    devs = jax.local_devices()
     n_dev = min(len(devs), n) if n > 1 else 1
     pad = (-n) % n_dev
 
@@ -1159,7 +1162,7 @@ def match_pairs_batched(jobs, max_batch=None):
     """
     if max_batch is None:
         import jax
-        nd = jax.device_count()
+        nd = jax.local_device_count()
         max_batch = 8 if nd <= 1 else max(8, 2 * nd)
     results = [None] * len(jobs)
     preps = []

@@ -157,12 +157,23 @@ def plot_points(xy, ax=None, **kwargs):
     return ax
 
 
+def _as_ring_list(obj):
+    """Coerce one (N, 2) point array (ndarray OR plain nested list) or a
+    list of such arrays into a list of (N, 2) arrays."""
+    try:
+        arr = np.asarray(obj, np.float64)
+        if arr.ndim == 2 and arr.shape[1] == 2:
+            return [arr]
+    except (ValueError, TypeError):
+        pass  # ragged list of rings
+    return [np.asarray(r, np.float64).reshape(-1, 2) for r in obj]
+
+
 def plot_lines(lines, ax=None, **kwargs):
     """Plot polylines: one (N, 2) array or a list of them (reference:
     visualization.py:168)."""
     ax = _get_ax(ax)
-    if isinstance(lines, np.ndarray) and lines.ndim == 2:
-        lines = [lines]
+    lines = _as_ring_list(lines)
     from matplotlib.collections import LineCollection
     segs = [np.asarray(ln, np.float64).reshape(-1, 2) for ln in lines]
     ax.add_collection(LineCollection(segs, **kwargs))
@@ -176,8 +187,7 @@ def plot_polygons(rings, ax=None, facecolor=None, edgecolor='k', alpha=0.5,
     """Fill closed rings: one (N, 2) ring or a list (reference PolygonPatch
     role: visualization.py:185-212)."""
     ax = _get_ax(ax)
-    if isinstance(rings, np.ndarray) and rings.ndim == 2:
-        rings = [rings]
+    rings = _as_ring_list(rings)
     from matplotlib.patches import Polygon as MplPolygon
     for k, r in enumerate(rings):
         r = np.asarray(r, np.float64).reshape(-1, 2)

@@ -154,16 +154,23 @@ def matching_main(args, conf, logger):
     # stage) reach the elastic solve and bound the drift random walk
     # (reference derives its whole list from these files:
     # align_main.py:102,72; README:305-311)
-    from feabas_tpu.aligner import parse_match_name
-    known = set(names)
-    have = set(pairs) | {(b, a) for a, b in pairs}
-    for f in storage.list_folder_content(
-            join_paths(thumb_match_dir, '*.h5')):
-        a, b = parse_match_name(f)
-        if a in known and b in known and (a, b) not in have:
-            pairs.append((a, b))
-            have.add((a, b))
-            have.add((b, a))
+    if mconf.get('include_thumbnail_pairs', True):
+        from feabas_tpu.aligner import parse_match_name
+        known = set(names)
+        have = set(pairs) | {(b, a) for a, b in pairs}
+        extra = []
+        for f in storage.list_folder_content(
+                join_paths(thumb_match_dir, '*.h5')):
+            a, b = parse_match_name(f)
+            if a in known and b in known and (a, b) not in have:
+                extra.append((a, b))
+                have.add((a, b))
+                have.add((b, a))
+        if extra:
+            logger.info(f'matching: +{len(extra)} pair(s) from thumbnail '
+                        'matches beyond compare_distance (set '
+                        'include_thumbnail_pairs: false to disable)')
+            pairs += extra
     if args.reverse:
         pairs = pairs[::-1]
     pairs = pairs[slice(args.start, args.stop, args.step)]

@@ -5,9 +5,8 @@ from scipy.ndimage import gaussian_filter
 
 
 def texture(rng, h, w, blur=2.0, contrast=40.0):
-    img = gaussian_filter(rng.normal(0, 1, (h, w)), blur)
-    img = img / max(img.std(), 1e-6) * contrast + 128.0
-    return np.clip(img, 0, 255).astype(np.uint8)
+    from feabas_tpu.utils.synthetic import texture as _texture
+    return _texture(rng, h, w, blur=blur, contrast=contrast)
 
 
 def tile_grid(rng, rows, cols, tile_h, tile_w, overlap, jitter=3.0,

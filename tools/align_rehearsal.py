@@ -41,12 +41,11 @@ def _warp_field(z, xy):
 
 def build_stack(root, n_sections, seed=7):
     import cv2
-    from scipy.ndimage import gaussian_filter
     from feabas_tpu import storage
     from feabas_tpu.common import imwrite
+    from feabas_tpu.utils.synthetic import texture
     rng = np.random.default_rng(seed)
-    base = gaussian_filter(rng.normal(0, 1, (H + 120, W + 120)), 2)
-    base = (base / base.std() * 40 + 128).clip(0, 255).astype(np.float32)
+    base = texture(rng, H + 120, W + 120).astype(np.float32)
     drift = np.cumsum(rng.normal(0, 1.5, (n_sections, 2)), axis=0)
     drift -= drift[0]
     names = [f'sec{z:04d}' for z in range(n_sections)]
@@ -113,14 +112,13 @@ rendering:
 
 def run_mode(root, mode, env):
     t0 = time.time()
-    r0 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, 'scripts', 'align_main.py'),
          '--mode', mode], cwd=root, env=env)
-    r1 = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss
+    # ru_maxrss over children is a CUMULATIVE high-water mark — report it
+    # once at the end (per-stage attribution is not possible via rusage)
     return {'mode': mode, 'rc': proc.returncode,
-            'wall_s': round(time.time() - t0, 1),
-            'peak_child_rss_mb': round(max(r0, r1) / 1024, 1)}
+            'wall_s': round(time.time() - t0, 1)}
 
 
 def check_match_accuracy(root, names):
@@ -151,7 +149,7 @@ def check_overlay(root, names):
     for z, n in enumerate(names):
         meta = os.path.join(out_root, f'{z:05d}_{n}', 'metadata.txt')
         if not os.path.exists(meta):
-            return None, None, 0
+            return None, z
         ld = StaticImageLoader.from_coordinate_file(meta)
         imgs.append(ld.crop((0, 0, W, H)).astype(np.float64)[90:-90, 90:-90])
     ccs = []
@@ -221,7 +219,9 @@ def main():
     t0 = time.time()
     stages = [run_mode(root, m, env)
               for m in ('meshing', 'matching', 'optimization', 'rendering')]
-    out = {'sections': len(names), 'stages': stages}
+    out = {'sections': len(names), 'stages': stages,
+           'peak_child_rss_mb': round(resource.getrusage(
+               resource.RUSAGE_CHILDREN).ru_maxrss / 1024, 1)}
     if all(s['rc'] == 0 for s in stages):
         match_err, n_matches = check_match_accuracy(root, names)
         ncc, n_rendered = check_overlay(root, names)
