@@ -505,6 +505,33 @@ class Mesh:
     def triangle_centers(self, gear=const.MESH_GEAR_MOVING):
         return self.vertices_w_offset(gear)[self.triangles].mean(axis=1)
 
+    def set_stiffness_multiplier_from_image(self, img,
+                                            gear=const.MESH_GEAR_INITIAL,
+                                            scale=1.0, composite=False):
+        """Per-triangle stiffness multipliers sampled from an image at the
+        triangle centers — the wrinkle/damage softening workflow
+        (reference: mesh.py:1104). Integer images normalize to 0..1;
+        ``scale`` maps mesh coordinates to image pixels; ``composite``
+        multiplies into an existing per-triangle multiplier."""
+        if isinstance(img, str):
+            from feabas_tpu import common
+            img = common.imread(img)
+        img = np.asarray(img)
+        if img.ndim == 3:
+            img = img[..., 0]
+        pts = np.round(self.triangle_centers(gear=gear) * scale)
+        iy = np.clip(pts[:, 1], 0, img.shape[0] - 1).astype(np.int64)
+        ix = np.clip(pts[:, 0], 0, img.shape[1] - 1).astype(np.int64)
+        mult = img[iy, ix]
+        if np.issubdtype(mult.dtype, np.integer):
+            mult = mult.astype(np.float64) / np.iinfo(mult.dtype).max
+        mult = mult.astype(np.float32)
+        if composite and isinstance(self._stiffness_multiplier, np.ndarray):
+            mult = mult * self._stiffness_multiplier
+        elif composite and self._stiffness_multiplier is not None:
+            mult = mult * float(self._stiffness_multiplier)
+        self._stiffness_multiplier = mult
+
     def triangle_bboxes(self, gear=const.MESH_GEAR_MOVING):
         p = self.vertices_w_offset(gear)[self.triangles]
         return np.concatenate([p.min(axis=1), p.max(axis=1)], axis=1)

@@ -207,3 +207,27 @@ def test_triangulate_geometry_conforms_to_internal_boundary():
     x = v[t][:, :, 0]
     straddle = (x.min(1) < 31.5 - 1e-6) & (x.max(1) > 31.5 + 1e-6)
     assert straddle.sum() == 0, int(straddle.sum())
+
+
+def test_stiffness_multiplier_from_image():
+    """Image-sampled per-triangle softening (reference: mesh.py:1104):
+    triangles under dark pixels get small multipliers, and the values
+    flow into the element arrays the solver consumes."""
+    import numpy as np
+    from feabas_tpu.mesh import Mesh
+    m = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=25)
+    img = np.full((100, 100), 255, np.uint8)
+    img[:, :50] = 51  # soften the left half to 0.2
+    m.set_stiffness_multiplier_from_image(img)
+    centers = m.triangle_centers(gear=-1)
+    mult = m._stiffness_multiplier
+    left = centers[:, 0] < 48
+    right = centers[:, 0] > 52
+    assert np.allclose(mult[left], 0.2, atol=0.01)
+    assert np.allclose(mult[right], 1.0, atol=0.01)
+    groups = m.element_arrays()
+    all_mult = np.concatenate([np.asarray(g['multiplier']) for g in groups])
+    assert all_mult.min() < 0.25 and all_mult.max() > 0.9
+    # composite multiplies into the existing field
+    m.set_stiffness_multiplier_from_image(img, composite=True)
+    assert np.allclose(m._stiffness_multiplier[left], 0.04, atol=0.005)
