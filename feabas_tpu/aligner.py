@@ -383,17 +383,17 @@ class Stack:
         from feabas_tpu.parallel.window import (
             slm_window_to_stack, shard_stack_system, stack_solve,
             stack_rigid_modes, _stack_lambda_balance, stack_positions,
-            JMesh)
+            pad_stack_sections, JMesh)
         import jax
         import jax.numpy as jnp
         system = slm_window_to_stack(slm)
         if system is None:
             return False
-        S = system['u'].shape[0]
         devices = jax.devices()
-        # largest device count that divides S (sharding needs even shards)
-        n_dev = max(d for d in range(1, len(devices) + 1) if S % d == 0)
-        jmesh = JMesh(np.array(devices[:n_dev]), ('z',))
+        # inert-section padding lets ANY window size span every device
+        system = pad_stack_sections(system, len(devices))
+        S = system['u'].shape[0]   # padded section count
+        jmesh = JMesh(np.array(devices), ('z',))
         base_weight = system['links'][4].copy()
         u = system['u']
         for _pass in range(max(int(max_passes), 1)):

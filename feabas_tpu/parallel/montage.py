@@ -77,8 +77,9 @@ def slm_montage_to_tiles(slm, shape_gear=None, start_gear=None):
     weight = np.concatenate(wl).astype(np.float32)
     # pow2 bucket so the jitted solve is reused across sections (padding
     # rows have weight 0 and are inert)
+    from feabas_tpu.parallel.window import _pow2
     L = weight.shape[0]
-    Lb = max(8, 1 << int(L - 1).bit_length())
+    Lb = _pow2(L)  # shared bucketing rule keeps jit caches in sync
     if Lb > L:
         pad = Lb - L
         m0 = np.concatenate([m0, np.zeros(pad, np.int32)])

@@ -179,6 +179,12 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
     scatter-adds (TPU scatters serialize on duplicates)."""
     x = x * free
     shared = tris.ndim == 2          # one topology for every section
+    if inc is not None and (inc.ndim == 2) != shared:
+        # a 2D (shared) incidence table cannot pair with ragged
+        # per-section tris, nor a 3D table with a shared topology —
+        # silent fallback would mis-gather or drop the optimization
+        raise ValueError(f'incidence table rank {inc.ndim} does not match '
+                         f'{"shared" if shared else "per-section"} tris')
     if inc is not None and inc.ndim == 2 and shared:
         # shared incidence table: the per-section vmapped variant
         # kernel-faults the TPU worker, the shared-table closure does
@@ -321,6 +327,45 @@ def _put_global(arr, sharding):
                                         lambda idx: arr[idx])
 
 
+def pad_stack_sections(system, multiple):
+    """Append INERT sections so the section count divides the device
+    mesh: repeated geometry with multiplier 0 (zero stiffness), no free
+    DOFs, and zero-weight links — exact no-ops through matvec, rhs,
+    preconditioner, and rigid-mode construction (padded components have
+    no free vertices, so no modes). Lets the z-sharded solve run on ANY
+    device count instead of requiring S %% n_devices == 0."""
+    S = system['u'].shape[0]
+    pad = (-S) % int(multiple)
+    if pad == 0:
+        return system
+    out = dict(system)
+
+    def rep_last(a):
+        a = np.asarray(a)
+        return np.concatenate([a] + [a[-1:]] * pad, axis=0)
+
+    def zeros_like_rows(a):
+        a = np.asarray(a)
+        return np.concatenate(
+            [a, np.zeros((pad,) + a.shape[1:], a.dtype)], axis=0)
+
+    out['verts0'] = rep_last(system['verts0'])
+    out['u'] = rep_last(system['u'])
+    out['poisson'] = rep_last(system['poisson'])
+    out['multiplier'] = zeros_like_rows(system['multiplier'])
+    out['free'] = zeros_like_rows(system['free'])
+    if np.asarray(system['tris']).ndim == 3:
+        out['tris'] = rep_last(system['tris'])
+    # link slot k couples sections (k, k+1): grow to S'-1 slots; the new
+    # slots carry weight 0 so pad sections never couple to anything
+    out['links'] = tuple(zeros_like_rows(a) for a in system['links'])
+    out['r_rest'] = zeros_like_rows(system['r_rest'])
+    out['num_vertices'] = list(system['num_vertices']) + [0] * pad
+    out['verts0_host'] = (list(system['verts0_host'])
+                          + [system['verts0_host'][-1]] * pad)
+    return out
+
+
 def shard_stack_system(system, device_mesh):
     """Place the batched arrays on a 1-D device mesh along z.
 
@@ -329,6 +374,8 @@ def shard_stack_system(system, device_mesh):
     with ``make_array_from_callback`` so only addressable shards
     materialize locally; the z-neighbor crosslink slicing in
     ``_stack_matvec`` then lowers to ICI/DCN halo collectives.
+    Requires S %% n_devices == 0 — call :func:`pad_stack_sections`
+    first for arbitrary section counts.
     """
     z = NamedSharding(device_mesh, P('z'))
     rep = NamedSharding(device_mesh, P())
@@ -338,15 +385,11 @@ def shard_stack_system(system, device_mesh):
     out['tris'] = _put_global(system['tris'],
                               z if np.asarray(system['tris']).ndim == 3
                               else rep)
-    # links live on the left-neighbor shard; S-1 entries shard like z when
-    # divisible, else replicate (tiny)
-    links = system['links']
-    if links[4].shape[0] % device_mesh.devices.size == 0:
-        out['links'] = tuple(_put_global(a, z) for a in links)
-        out['r_rest'] = _put_global(system['r_rest'], z)
-    else:
-        out['links'] = tuple(_put_global(a, rep) for a in links)
-        out['r_rest'] = _put_global(system['r_rest'], rep)
+    # links always replicate: their S-1 leading dim can never divide the
+    # mesh when S does (they are tiny next to the vertex arrays, and the
+    # matvec's x[:-1]/x[1:] halo slices already ride the collectives)
+    out['links'] = tuple(_put_global(a, rep) for a in system['links'])
+    out['r_rest'] = _put_global(system['r_rest'], rep)
     return out
 
 
@@ -473,13 +516,17 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
                            maxiter=500):
     """Solve one window across every device of a (multi-host) cluster.
 
-    Builds the stacked system on host, shards it over the global 'z'
-    mesh, runs the jitted CG (collectives ride ICI within a host and DCN
+    Builds the stacked system on host, pads the section axis to the
+    global device count (inert sections), shards it over the 'z' mesh,
+    runs the jitted CG (collectives ride ICI within a host and DCN
     across hosts), and returns (positions, n_it, res) with the full
     world-frame f64 solution on every process.
     """
+    if len(meshes) < 2:
+        raise ValueError('multihost_window_solve needs >= 2 sections')
     system = build_stack_system(meshes, links_per_pair)
     jmesh = global_stack_mesh()
+    system = pad_stack_sections(system, jmesh.devices.size)
     sharded = shard_stack_system(system, jmesh)
     modes = stack_rigid_modes(system)
     if modes is not None:
@@ -491,7 +538,7 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
         sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
         maxiter=maxiter, modes=modes)
     u_all = gather_stack_result(u_new)
-    pos = stack_positions(system, u_all)
+    pos = stack_positions(system, u_all)[:len(meshes)]  # drop pad sections
     return pos, int(n_it), float(res)
 
 
@@ -501,5 +548,5 @@ def stack_positions(system, u):
     out = []
     for k, v0 in enumerate(system['verts0_host']):
         nv = system['num_vertices'][k]
-        out.append(v0 + np.asarray(u[k, :nv], np.float64))
+        out.append(v0[:nv] + np.asarray(u[k, :nv], np.float64))
     return out

@@ -222,3 +222,52 @@ def test_stack_rigid_modes_deflate_free_window(workdir):
         got = off[z] - off[z - 1]
         want = -(drift[z] - drift[z - 1])
         np.testing.assert_allclose(got, want, atol=0.05)
+
+
+def test_non_divisible_window_spans_all_devices(workdir, rng):
+    """A window whose section count does NOT divide the device count
+    (5 sections, 8 devices) pads with inert sections and still routes
+    through the sharded solve, matching the single-device general solve
+    to 1e-3 px."""
+    import jax
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.common import Match
+    from feabas_tpu import constant as const
+
+    assert jax.device_count() == 8
+    S = 5
+    xs, ys = np.meshgrid(np.linspace(10, 110, 4), np.linspace(10, 110, 4))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+    drift = np.cumsum(rng.normal(0, 1.5, (S, 2)), axis=0)
+    drift -= drift[0]
+    sizes = [28, 35, 40, 31, 26]
+
+    def _build():
+        meshes, names = {}, []
+        for z in range(S):
+            n = f's{z}'
+            names.append(n)
+            meshes[n] = Mesh.from_bbox((0, 0, 120, 120), cartesian=True,
+                                       mesh_size=sizes[z], name=n,
+                                       resolution=4)
+        matches = {}
+        for z in range(S - 1):
+            delta = drift[z + 1] - drift[z]
+            matches[(names[z], names[z + 1])] = Match(
+                pts, pts + delta, np.ones(len(pts)), 0.01)
+        return Stack(meshes=meshes, matches=matches, resolution=4), names
+
+    stack_a, names = _build()
+    stack_a.optimize_section_list(names, use_sharded_solve=True,
+                                  elastic_params={'tol': 1e-10,
+                                                  'maxiter': 3000})
+    assert getattr(stack_a, 'last_window_sharded', False)
+    stack_b, _ = _build()
+    stack_b.optimize_section_list(names, use_sharded_solve=False,
+                                  elastic_params={'tol': 1e-10,
+                                                  'maxiter': 3000})
+    for n in names:
+        va = stack_a.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
+        vb = stack_b.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
+        np.testing.assert_allclose(va, vb, atol=1e-3)
