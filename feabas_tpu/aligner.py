@@ -382,8 +382,7 @@ class Stack:
         ragged stacks, not just uniform synthetic ones."""
         from feabas_tpu.parallel.window import (
             slm_window_to_stack, shard_stack_system, stack_solve,
-            stack_rigid_modes, _stack_lambda_balance, stack_positions,
-            pad_stack_sections, JMesh)
+            stack_rigid_modes, stack_positions, pad_stack_sections, JMesh)
         import jax
         import jax.numpy as jnp
         system = slm_window_to_stack(slm)
@@ -404,15 +403,12 @@ class Stack:
             if modes is not None:
                 modes = jnp.asarray(modes, jnp.float32)
             sharded = shard_stack_system(system, jmesh)
-            lam_s = float(_stack_lambda_balance(
-                sharded['verts0'], sharded['tris'], sharded['multiplier'],
-                sharded['poisson'], sharded['links'],
-                float(lam_ratio))) * 1.0
+            # trace balance runs IN the solve program (one dispatch)
             out, n_it, res = stack_solve(
                 sharded['verts0'], sharded['u'], sharded['tris'],
                 sharded['multiplier'], sharded['poisson'], sharded['links'],
-                sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
-                maxiter=maxiter, modes=modes)
+                sharded['r_rest'], sharded['free'], tol=tol,
+                maxiter=maxiter, modes=modes, lam_ratio=float(lam_ratio))
             u = np.asarray(out, np.float64)
             system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:

@@ -224,13 +224,16 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
 @functools.partial(jax.jit, static_argnames=('maxiter',))
 def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                 lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None,
-                modes=None):
+                modes=None, lam_ratio=None):
     """One window relaxation in displacement form.
 
     Returns (new_u (S, V, 2), n_it, res). Minimizes
     lam_s/2 u'Ku + 1/2 |W C p|^2 over free dofs (``free`` is a per-VERTEX
     mask (S, V, 1), so padded vertices of ragged stacks stay inert), CG
     under while_loop; all arrays may be sharded along the leading z axis.
+    With ``lam_ratio`` given, ``lam_s`` is computed IN-PROGRAM from the
+    stiffness/crosslink diagonal trace ratio (SLM._balance_lambdas
+    semantics) — one dispatch instead of a separate balance program.
     """
     # per-section element matrices (local work); ``tris`` is a shared
     # (T,3) table for uniform stacks or (S,T,3) per-section tables
@@ -253,6 +256,25 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
     idx0, bary0, idx1, bary1, weight = links
+    V = u.shape[1]
+    if shared:
+        dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(Ke)
+    else:
+        dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
+    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), dt)))(idx0, bary0, weight)
+    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
+                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
+                                * jnp.ones((1, 1, 2), dt)))(idx1, bary1, weight)
+    dC = jnp.zeros_like(dK).at[:-1].add(dC0).at[1:].add(dC1)
+    if lam_ratio is not None:
+        # in-program trace balance (matches _stack_lambda_balance)
+        tr_c = jnp.sum(dC)
+        tr_k = jnp.sum(jnp.where(dC != 0, dK, 0.0))
+        ok = (tr_c > 0) & (tr_k > 0)
+        lam_s = jnp.where(ok, lam_ratio * tr_c
+                          / jnp.where(tr_k > 0, tr_k, 1.0), 1.0).astype(dt)
     if shared:
         b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(
             u, Ke) * lam_s
@@ -270,20 +292,7 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
             -bb[:, :, None] * rr[:, None, :]))(u[1:], idx1, bary1, r0))
     b = b * free
 
-    V = u.shape[1]
-    if shared:
-        diag = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(
-            Ke) * lam_s
-    else:
-        diag = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(
-            Ke, tris) * lam_s
-    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
-                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), dt)))(idx0, bary0, weight)
-    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
-                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), dt)))(idx1, bary1, weight)
-    diag = diag.at[:-1].add(dC0).at[1:].add(dC1)
+    diag = dK * lam_s + dC
     diag = jnp.where(free > 0, diag, 1.0)
 
     # two-level preconditioner: the stiffness annihilates uniform
@@ -476,40 +485,6 @@ def slm_window_to_stack(slm, shape_gear=None):
     from feabas_tpu import constant as const
     return _build_system(meshes, links_per_pair, shape_gear=shape_gear,
                          start_gear=const.MESH_GEAR_MOVING)
-
-
-@functools.partial(jax.jit)
-def _stack_lambda_balance(verts0, tris, multiplier, poisson, links, ratio):
-    """Trace-ratio stiffness balance for the stacked system (matches
-    SLM._balance_lambdas semantics)."""
-    shared = tris.ndim == 2
-    if shared:
-        B, area2 = jax.vmap(lambda v0: fem.shape_matrices(v0[tris]))(verts0)
-    else:
-        B, area2 = jax.vmap(
-            lambda v0, tr: fem.shape_matrices(v0[tr]))(verts0, tris)
-    Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
-    dt = verts0.dtype
-    V = verts0.shape[1]
-    if shared:
-        dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(Ke)
-    else:
-        dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
-    idx0, bary0, idx1, bary1, weight = links
-    dC = jnp.zeros_like(dK)
-    dC0 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
-                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), dt)))(
-        idx0, bary0, weight)
-    dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
-                   .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
-                                * jnp.ones((1, 1, 2), dt)))(
-        idx1, bary1, weight)
-    dC = dC.at[:-1].add(dC0).at[1:].add(dC1)
-    tr_c = jnp.sum(dC)
-    tr_k = jnp.sum(jnp.where(dC != 0, dK, 0.0))
-    ok = (tr_c > 0) & (tr_k > 0)
-    return jnp.where(ok, ratio * tr_c / jnp.where(tr_k > 0, tr_k, 1.0), 1.0)
 
 
 def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
