@@ -519,7 +519,10 @@ class Mesh:
         img = np.asarray(img)
         if img.ndim == 3:
             img = img[..., 0]
-        pts = np.round(self.triangle_centers(gear=gear) * scale)
+        # pixel-center-aligned rescale, matching the reference's
+        # scale_coordinates convention: (p + 0.5) * scale - 0.5
+        pts = np.round((self.triangle_centers(gear=gear) + 0.5) * scale
+                       - 0.5)
         iy = np.clip(pts[:, 1], 0, img.shape[0] - 1).astype(np.int64)
         ix = np.clip(pts[:, 0], 0, img.shape[1] - 1).astype(np.int64)
         mult = img[iy, ix]
@@ -531,6 +534,10 @@ class Mesh:
         elif composite and self._stiffness_multiplier is not None:
             mult = mult * float(self._stiffness_multiplier)
         self._stiffness_multiplier = mult
+        # memoized derived quantities (incl. the solver's device element
+        # groups) bake the multiplier in — drop them all (reference
+        # invalidation: mesh.py:1099)
+        self._cache.clear()
 
     def triangle_bboxes(self, gear=const.MESH_GEAR_MOVING):
         p = self.vertices_w_offset(gear)[self.triangles]

@@ -231,3 +231,22 @@ def test_stiffness_multiplier_from_image():
     # composite multiplies into the existing field
     m.set_stiffness_multiplier_from_image(img, composite=True)
     assert np.allclose(m._stiffness_multiplier[left], 0.04, atol=0.005)
+    # MEMOIZED consumers must see the new multipliers: populate the
+    # solver's cached device element groups, soften, and re-read
+    m2 = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=25)
+    cached = m2._memo(-1, 'device_element_groups_float32',
+                      lambda: m2.element_arrays(gear=-1))
+    assert np.concatenate([np.asarray(g['multiplier'])
+                           for g in cached]).min() > 0.9
+    m2.set_stiffness_multiplier_from_image(img)
+    cached = m2._memo(-1, 'device_element_groups_float32',
+                      lambda: m2.element_arrays(gear=-1))
+    assert np.concatenate([np.asarray(g['multiplier'])
+                           for g in cached]).min() < 0.25
+    # downsampled mask: pixel-center-aligned scaling (reference
+    # scale_coordinates convention) keeps the soft band in place
+    small = img[::4, ::4]
+    m3 = Mesh.from_bbox((0, 0, 100, 100), cartesian=True, mesh_size=25)
+    m3.set_stiffness_multiplier_from_image(small, scale=0.25)
+    assert np.allclose(m3._stiffness_multiplier[left], 0.2, atol=0.01)
+    assert np.allclose(m3._stiffness_multiplier[right], 1.0, atol=0.01)
