@@ -259,3 +259,18 @@ def test_reference_default_configs_drop_in(workdir):
     assert isinstance(al['render']['bbox_offset'], list)
     assert 'rotation_angle' in al['render']
     config.clear_config_caches()
+
+
+def test_get_canvas_bbox_mip_scaling(tmp_path):
+    """{'mipN': bbox} canvas files rescale from the nearest stored mip
+    (reference: common.py:799)."""
+    import json
+    from feabas_tpu.common import get_canvas_bbox
+    p = str(tmp_path / 'canvas.json')
+    with open(p, 'w') as f:
+        json.dump({'mip2': [10, 20, 110, 220]}, f)
+    assert get_canvas_bbox(p, target_mip=2) == [10, 20, 110, 220]
+    assert get_canvas_bbox(p, target_mip=0) == [40, 80, 440, 880]
+    assert get_canvas_bbox(p, target_mip=3) == [5, 10, 55, 110]
+    assert get_canvas_bbox({'mip0': [0, 0, 100, 100]}, 1) == [0, 0, 50, 50]
+    assert get_canvas_bbox({'notes': 1}) is None
