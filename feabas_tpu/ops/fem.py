@@ -366,10 +366,14 @@ def crosslink_diag(nv, idx0, bary0, idx1, bary1, weight, dtype=jnp.float32):
     (a triangle's corners) and the two sides index disjoint vertex ranges
     (two different meshes) — both always true for real links; used only as
     a Jacobi preconditioner otherwise."""
-    w2 = (weight ** 2)[:, None]
+    # cast up front: scattering f64 values into an f32 buffer is a
+    # FutureWarning today and an error in future JAX releases
+    w2 = (weight.astype(dtype) ** 2)[:, None]
+    b0 = bary0.astype(dtype)
+    b1 = bary1.astype(dtype)
     d = jnp.zeros((nv, 2), dtype=dtype)
-    d = d.at[idx1].add((bary1 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
-    d = d.at[idx0].add((bary0 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
+    d = d.at[idx1].add((b1 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
+    d = d.at[idx0].add((b0 ** 2 * w2)[:, :, None] * jnp.ones((1, 1, 2), dtype))
     return d
 
 
