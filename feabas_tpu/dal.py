@@ -240,9 +240,14 @@ class StaticImageLoader(AbstractImageLoader):
             cy0, cy1 = max(lb[1], bb[1]), min(lb[3], bb[3])
             if cx0 >= cx1 or cy0 >= cy1:
                 continue
-            out[cy0 - lb[1]:cy1 - lb[1], cx0 - lb[0]:cx1 - lb[0]] = \
-                blk[cy0 - bb[1]:cy1 - bb[1], cx0 - bb[0]:cx1 - bb[0]]
-            filled[cy0 - lb[1]:cy1 - lb[1], cx0 - lb[0]:cx1 - lb[0]] = True
+            sblk = blk[cy0 - bb[1]:cy1 - bb[1], cx0 - bb[0]:cx1 - bb[0]]
+            # cached bands cut from a short (ragged-edge) image can be
+            # smaller than their nominal bbox: copy what exists
+            sh, sw = sblk.shape[:2]
+            out[cy0 - lb[1]:cy0 - lb[1] + sh,
+                cx0 - lb[0]:cx0 - lb[0] + sw] = sblk
+            filled[cy0 - lb[1]:cy0 - lb[1] + sh,
+                   cx0 - lb[0]:cx0 - lb[0] + sw] = True
         if filled.all():
             return out
         # cache miss: read the file once, populate the border bands, but
@@ -359,7 +364,13 @@ class StaticImageLoader(AbstractImageLoader):
             return None if return_empty else out
         blk = self._crop_tile_local(
             int(fileid), (cx0 - ix0, cy0 - iy0, cx1 - ix0, cy1 - iy0))
-        out[cy0 - y0:cy1 - y0, cx0 - x0:cx1 - x0] = blk
+        # the image on disk may be smaller than the recorded tile bbox
+        # (ragged edge tiles): paste only what was actually read, leave
+        # the rest at the blank fill value
+        if blk.size == 0:
+            return None if return_empty else out
+        bh, bw = blk.shape[:2]
+        out[cy0 - y0:cy0 - y0 + bh, cx0 - x0:cx0 - x0 + bw] = blk
         return out
 
     def crop(self, bbox, fileid=None, return_empty=False, **kwargs):

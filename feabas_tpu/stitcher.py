@@ -742,18 +742,20 @@ class MontageRenderer:
         blend = str(kwargs.pop('blend', self._blend)).upper()
         fillval = kwargs.pop('fillval', self.loader.default_fillval)
         hits = self._index.query(bbox)
-        H = int(np.ceil(bbox[3])) - int(np.floor(bbox[1]))
-        W = int(np.ceil(bbox[2])) - int(np.floor(bbox[0]))
+        xbase = int(np.floor(bbox[0]))
+        ybase = int(np.floor(bbox[1]))
+        H = int(np.ceil(bbox[3])) - ybase
+        W = int(np.ceil(bbox[2])) - xbase
         if hits.size == 0:
             if kwargs.get('return_empty', False):
                 return None
             return np.full((H, W), fillval, dtype=self.loader.dtype)
-        acc = np.zeros((H, W), np.float64)
-        wacc = np.zeros((H, W), np.float64)
-        best_w = np.full((H, W), -np.inf)
-        best_img = np.zeros((H, W), np.float64)
-        mn = np.full((H, W), np.inf)
-        mx = np.full((H, W), -np.inf)
+        acc = np.zeros((H, W), np.float32)
+        wacc = np.zeros((H, W), np.float32)
+        best_w = np.full((H, W), -np.inf, np.float32)
+        best_img = np.zeros((H, W), np.float32)
+        mn = np.full((H, W), np.inf, np.float32)
+        mx = np.full((H, W), -np.inf, np.float32)
         any_mask = np.zeros((H, W), bool)
         pyramid = blend == 'PYRAMID'
         if pyramid:
@@ -761,14 +763,29 @@ class MontageRenderer:
             # frequencies come from the dominant tile -> seams vanish
             # without ghosting (reference blend modes: stitcher.py:1484)
             import cv2
-            acc_low = np.zeros((H, W), np.float64)
-            best_high = np.zeros((H, W), np.float64)
+            acc_low = np.zeros((H, W), np.float32)
+            best_high = np.zeros((H, W), np.float32)
+        # pyramid's mask-normalized blur must see the same zero apron it
+        # would on the full block; everything else is pixel-local
+        sub_pad = int(np.ceil(4 * self._pyramid_sigma)) + 1 if pyramid else 1
+        from feabas_tpu.dal import TileView
         for t in hits:
+            # each tile touches only its own sub-rectangle of the output
+            # block: clip all per-tile work to it (a MultiSEM beam covers
+            # a few % of a 2048 output tile; full-block math dominated the
+            # render profile before this)
+            tb = self._bounds[int(t)]
+            ix0 = max(xbase, int(np.floor(tb[0])) - sub_pad)
+            iy0 = max(ybase, int(np.floor(tb[1])) - sub_pad)
+            ix1 = min(xbase + W, int(np.ceil(tb[2])) + sub_pad)
+            iy1 = min(ybase + H, int(np.ceil(tb[3])) + sub_pad)
+            if ix1 <= ix0 or iy1 <= iy0:
+                continue
+            sl = np.s_[iy0 - ybase:iy1 - ybase, ix0 - xbase:ix1 - xbase]
             r = self._renderers[int(t)]
-            map_x, map_y, mask = r.crop_field(bbox)
+            map_x, map_y, mask = r.crop_field((ix0, iy0, ix1, iy1))
             if not mask.any():
                 continue
-            from feabas_tpu.dal import TileView
             img = common.render_by_subregions(
                 map_x, map_y, mask, TileView(self.loader, int(t)),
                 dtype_out=np.float32, **kwargs)
@@ -776,7 +793,7 @@ class MontageRenderer:
                 continue
             if self._transfers is not None:
                 g, o = self._transfers[int(t)]
-                img = img * g + o
+                img = img * np.float32(g) + np.float32(o)
             tw, th = self._tile_sizes[int(t)]
             margin = self._blend_margin
             if margin is None:
@@ -784,7 +801,7 @@ class MontageRenderer:
             # blending weight: distance to the source-tile border
             d = np.minimum.reduce([map_x, tw - map_x, map_y, th - map_y])
             w = np.clip(np.nan_to_num(d, nan=0.0) / margin, 0, 1.0)
-            w = np.where(mask, w, 0.0)
+            w = np.where(mask, w, 0.0).astype(np.float32)
             if self._maskouts is not None and int(t) in self._maskouts:
                 # damp by distance to the tile's maskout: weight reaches
                 # zero inside the defect, full strength maskout_margin
@@ -799,30 +816,30 @@ class MontageRenderer:
                     from scipy.ndimage import distance_transform_edt
                     dmo = distance_transform_edt(~hit)
                     w = w * np.clip(dmo / max(self._maskout_margin, 1.0),
-                                    0.0, 1.0)
+                                    0.0, 1.0).astype(np.float32)
             m = mask & (w > 0)
-            any_mask |= m
-            imgf = img.astype(np.float64)
-            acc[m] += imgf[m] * w[m]
-            wacc[m] += w[m]
-            upd = m & (w > best_w)
+            any_mask[sl] |= m
+            imgf = img.astype(np.float32)
+            acc[sl][m] += imgf[m] * w[m]
+            wacc[sl][m] += w[m]
+            upd = m & (w > best_w[sl])
             if pyramid:
                 sigma = self._pyramid_sigma
                 # mask-normalized blur so fill values outside the tile do
                 # not bleed into the low band near mask edges
-                mf = m.astype(np.float64)
+                mf = m.astype(np.float32)
                 low = cv2.GaussianBlur(imgf * mf, (0, 0), sigma)
                 den = cv2.GaussianBlur(mf, (0, 0), sigma)
                 low = np.where(den > 1e-6, low / np.clip(den, 1e-6, None), imgf)
-                acc_low[m] += low[m] * w[m]
-                best_high[upd] = (imgf - low)[upd]
-            best_w[upd] = w[upd]
-            best_img[upd] = imgf[upd]
-            mn[m] = np.minimum(mn[m], imgf[m])
-            mx[m] = np.maximum(mx[m], imgf[m])
+                acc_low[sl][m] += low[m] * w[m]
+                best_high[sl][upd] = (imgf - low)[upd]
+            best_w[sl][upd] = w[upd]
+            best_img[sl][upd] = imgf[upd]
+            mn[sl][m] = np.minimum(mn[sl][m], imgf[m])
+            mx[sl][m] = np.maximum(mx[sl][m], imgf[m])
         if not any_mask.any() and kwargs.get('return_empty', False):
             return None
-        out = np.full((H, W), float(fillval), np.float64)
+        out = np.full((H, W), np.float32(fillval), np.float32)
         if blend == 'PYRAMID':
             nz = wacc > 0
             out[nz] = acc_low[nz] / wacc[nz] + best_high[nz]
