@@ -988,13 +988,30 @@ class MontageRenderer:
             resolution=self.loader.resolution or _config.montage_resolution(),
             thickness=_config.section_thickness(),
             jpeg_compression=jpeg)
-        n = 0
+        # render SUPERBLOCKS of read chunks, then slice chunk writes out of
+        # each: per-crop overhead (tile-hit query + per-tile rasterize) is
+        # amortized ~superblock_chunks^2 times vs cropping per 256px chunk
+        sb = max(int(kwargs.pop('superblock_chunks', 8)), 1)
+        fv = kwargs.get('fillval', self.loader.default_fillval)
+        groups = {}
         for bbox in writer.plan_chunks():
-            blk = self.crop(bbox, return_empty=True, **kwargs)
+            key = ((bbox[0] - canvas[0]) // (chunk[0] * sb),
+                   (bbox[1] - canvas[1]) // (chunk[1] * sb))
+            groups.setdefault(key, []).append(bbox)
+        n = 0
+        for grp in groups.values():
+            g = (min(b[0] for b in grp), min(b[1] for b in grp),
+                 max(b[2] for b in grp), max(b[3] for b in grp))
+            blk = self.crop(g, return_empty=True, **kwargs)
             if blk is None:
                 continue
-            writer.write_single_chunk(bbox, 0, blk)
-            n += 1
+            for bbox in grp:
+                sub = blk[bbox[1] - g[1]:bbox[3] - g[1],
+                          bbox[0] - g[0]:bbox[2] - g[0]]
+                if not (sub != fv).any():
+                    continue   # keep all-fill chunks sparse (unwritten)
+                writer.write_single_chunk(bbox, 0, sub)
+                n += 1
         return n
 
 
