@@ -84,6 +84,7 @@ def clear_config_caches():
     _general_settings_cached.cache_clear()
     _pipeline_configs_cached.cache_clear()
     _data_resolution_cached.cache_clear()
+    _material_table_cached.cache_clear()
     storage.clear_exists_cache()
 
 
@@ -201,9 +202,9 @@ def material_table_file():
     return mt_default, mt_user
 
 
-def material_table():
+@lru_cache(maxsize=None)
+def _material_table_cached(mt_default, mt_user):
     from feabas_tpu.material import MaterialTable
-    mt_default, mt_user = material_table_file()
     if mt_default is None and mt_user is None:
         return MaterialTable()
     if mt_user is None:
@@ -212,6 +213,14 @@ def material_table():
     if mt_default is not None:
         mt.combine_material_table(MaterialTable.from_pickleable(mt_default), force_update=False)
     return mt
+
+
+def material_table():
+    # parsed once per (default, user) file pair: every Mesh construction
+    # asks for this, and uncached YAML parsing was ~20% of the stitch
+    # matching profile. Callers get a COPY so local mutation stays local.
+    mt = _material_table_cached(*material_table_file())
+    return mt.copy()
 
 
 # ------------------------- resolution bookkeeping ------------------------- #

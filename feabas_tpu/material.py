@@ -188,6 +188,14 @@ class MaterialTable:
                 tbl.add(name, Material(**(mdef or {})))
         return tbl
 
+    def copy(self):
+        """Deep copy preserving uids (to_dict round-trips reassign them)."""
+        import copy as _copy
+        new = MaterialTable.__new__(MaterialTable)
+        new._table = {n: _copy.deepcopy(m) for n, m in self._table.items()}
+        new._next_uid = self._next_uid
+        return new
+
     def to_pickleable(self):
         return {name: m.to_dict() for name, m in self._table.items()}
 
