@@ -362,3 +362,73 @@ def test_normalize_derotates_per_subsystem(rng, workdir):
             return_rigid=True)
         ang = abs(np.degrees(np.arctan2(Rm[0, 1], Rm[0, 0])))
         assert ang < 0.1, (i, ang)
+
+
+def _montage_from_files(rng, tmp_path, blend='LINEAR'):
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    world, tiles, true_bboxes, stage_bboxes = tile_grid(
+        rng, rows=2, cols=2, tile_h=150, tile_w=180, overlap=50, jitter=0.0)
+    paths = []
+    for i, t in enumerate(tiles):
+        p = str(tmp_path / f'm{i}.png')
+        imwrite(p, t)
+        paths.append(p)
+    st = Stitcher(paths, stage_bboxes)
+    st.initialize_meshes(mesh_sizes=[80], border_width=40)
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+    return MontageRenderer.from_stitcher(st, blend=blend), world
+
+
+def test_montage_crop_window_independent(rng, tmp_path, workdir):
+    """A LINEAR-blend crop must not depend on the crop window: rendering a
+    sub-window equals slicing the same region out of a bigger crop (the
+    sub-rectangle fast path clips per-tile work to tile bounds -- this
+    pins that the clipping is invisible)."""
+    mr, world = _montage_from_files(rng, tmp_path)
+    big = mr.crop((40, 40, 400, 340))
+    # a window that cuts through tiles and overlap zones mid-way
+    small = mr.crop((120, 90, 300, 260))
+    np.testing.assert_array_equal(small, big[50:220, 80:260])
+    # content correctness: the montage reproduces the source texture
+    inner = big[40:240, 40:240].astype(np.float64)
+    ref = world[80:280, 80:280].astype(np.float64)
+    cc = np.corrcoef(inner.ravel(), ref.ravel())[0, 1]
+    assert cc > 0.99, cc
+
+
+def test_ragged_edge_tile_renders(rng, tmp_path, workdir):
+    """A tile whose image on disk is SHORTER than its recorded bbox
+    (ragged section edge) must render its real content and blank-fill the
+    missing band instead of crashing (regression: broadcast error in
+    _paste_tile)."""
+    import cv2
+    from feabas_tpu.dal import StaticImageLoader
+    full = texture(rng, 100, 120)
+    p = str(tmp_path / 'ragged.png')
+    cv2.imwrite(p, full[:70])        # 30 rows missing at the bottom
+    loader = StaticImageLoader([p], [(0, 0, 120, 100)], fillval=0)
+    out = loader.crop((0, 0, 120, 100))
+    np.testing.assert_array_equal(out[:70], full[:70])
+    assert (out[70:] == 0).all()
+    # the border-band cache path must tolerate it too
+    loader2 = StaticImageLoader([p], [(0, 0, 120, 100)], fillval=0,
+                                cache_border_margin=20)
+    out2 = loader2.crop((0, 0, 120, 100))
+    out2b = loader2.crop((0, 0, 120, 100))   # served from bands
+    np.testing.assert_array_equal(out2[:70], full[:70])
+    np.testing.assert_array_equal(out2b[:70], full[:70])
+
+
+def test_material_table_cache_isolated(workdir):
+    """config.material_table() is cached, but callers get a copy: local
+    mutation must not leak into later calls, and uids must be stable."""
+    from feabas_tpu import config
+    from feabas_tpu.material import Material
+    mt1 = config.material_table()
+    uids1 = mt1.name_to_uid()
+    mt1.add('scratch', Material(uid=None, mask_label=77))
+    mt2 = config.material_table()
+    assert 'scratch' not in mt2
+    assert mt2.name_to_uid() == uids1
