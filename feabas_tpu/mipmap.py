@@ -121,15 +121,21 @@ def downsample_section_thumbnail(name, meta, work_dir, dconf, thumb_mip,
     else:
         nw = int(dconf.get('num_workers', 1) or 1) \
             if dconf.get('parallel_within_section', True) else 1
-        mip_map_one_section(name, meta,
-                            join_paths(work_dir, 'stitched_sections'),
-                            max_mip=min(max_mip, 4),
-                            fmt=dconf.get('format', 'jpg'),
-                            num_workers=nw)
+        mips = mip_map_one_section(name, meta,
+                                   join_paths(work_dir, 'stitched_sections'),
+                                   max_mip=min(max_mip, 4),
+                                   fmt=dconf.get('format', 'jpg'),
+                                   num_workers=nw)
+        # thumbnail from the deepest useful mip of the pyramid just built,
+        # not mip0: create_thumbnail loads its source whole, and a full-res
+        # MultiSEM section is tens of GB (reference chains thumbnails off
+        # the mip pyramid too, mipmap.py:161-231)
+        hp = dconf.get('thumbnail_highpass', True)
+        hp_mip = int(dconf.get('highpass_inter_mip_lvl', 4))
+        src_lvl = min(max(mips), hp_mip if hp else thumb_mip, thumb_mip)
         create_thumbnail(
-            meta, out, thumbnail_mip=thumb_mip,
-            highpass=dconf.get('thumbnail_highpass', True),
-            highpass_inter_mip=dconf.get('highpass_inter_mip_lvl', 4))
+            mips[src_lvl], out, thumbnail_mip=thumb_mip, src_mip=src_lvl,
+            highpass=hp, highpass_inter_mip=hp_mip)
     tform = join_paths(work_dir, 'stitch', 'tform', name + '.h5')
     if storage.file_exists(tform):
         generate_thumbnail_mask(
