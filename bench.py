@@ -494,9 +494,14 @@ def _bench_thumbnail():
 
 
 def _bench_align_stack():
-    """End-to-end align-stage throughput (BASELINE config 3): sliding-
-    window elastic optimization over a synthetic 16-section stack with
-    production-sized meshes. Returns (sections_per_hour, residue_p90_px)."""
+    """Align OPTIMIZATION-stage throughput (BASELINE config 3): sliding-
+    window elastic optimization over a synthetic 16-section stack (the
+    matching/rendering stages are benchmarked separately; the end-to-end
+    CLI number lives in tools/align_rehearsal.py). The matches carry a
+    z-varying smooth elastic warp on top of cumulative drift, so the
+    system is NOT trivially consistent and residue_p90 measures real
+    elastic-equilibrium quality. Returns (sections_per_hour,
+    residue_p90_px)."""
     from feabas_tpu.aligner import Stack
     from feabas_tpu.mesh import Mesh
     from feabas_tpu.common import Match
@@ -509,6 +514,13 @@ def _bench_align_stack():
                          np.linspace(100, 2900, 10))
     pts = np.stack([xs.ravel(), ys.ravel()], -1)
 
+    def warp(z):
+        # smooth per-section field, ~1.5 px amplitude, z-varying phase
+        ph = 2 * np.pi * z / S
+        wx = 1.5 * np.sin(pts[:, 0] / 900 + ph) * np.cos(pts[:, 1] / 1100)
+        wy = 1.5 * np.cos(pts[:, 0] / 1000 - ph) * np.sin(pts[:, 1] / 800)
+        return np.stack([wx, wy], -1)
+
     def build():
         meshes = {n: Mesh.from_bbox((0, 0, 3000, 3000), cartesian=True,
                                     mesh_size=150, name=n, resolution=4)
@@ -517,7 +529,8 @@ def _bench_align_stack():
         for z in range(S - 1):
             delta = drift[z + 1] - drift[z]
             matches[(names[z], names[z + 1])] = Match(
-                pts, pts + delta, np.ones(len(pts)), 0.01)
+                pts + warp(z), pts + warp(z + 1) + delta,
+                np.ones(len(pts)), 0.01)
         return Stack(meshes=meshes, matches=matches, resolution=4)
 
     build().optimize_slide_window(window_size=8, buffer_size=2,

@@ -141,6 +141,7 @@ class Mesh:
             mask_geom, mesh_size,
             area_thresh=kwargs.pop('area_thresh', 0),
             simplify_tol=kwargs.pop('simplify_tol', 2.0),
+            roi_tol=kwargs.pop('roi_tol', None),
             min_angle=kwargs.pop('min_mesh_angle', 0.0))
         kwargs.setdefault('material_table', mask_geom.material_table)
         return cls(v, t, material_ids=uids, **kwargs)

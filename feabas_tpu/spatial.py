@@ -264,22 +264,34 @@ def label_boundary_arcs(label_mask, outside_label=-1):
     return arcs
 
 
-def simplify_arcs(arcs, tol):
+def simplify_arcs(arcs, tol, default_tol=0.1):
     """Douglas-Peucker each arc ONCE (endpoints pinned, so the junction
     topology and the adjacency between regions survive simplification).
-    Closed loops split at their farthest point so they keep shape."""
+    Closed loops split at their farthest point so they keep shape.
+
+    ``tol`` is a scalar, or a dict mapping mask labels (int) to per-region
+    tolerances (missing labels get ``default_tol``); an arc separates two
+    regions, so its tolerance is the MIN of the two sides — the per-region
+    tolerance role of the reference's ``simplify_by_segments``
+    (feabas/spatial.py:900-1030)."""
+    per_label = isinstance(tol, dict)
     out = []
     for a in arcs:
+        if per_label:
+            t = min(float(tol.get(int(lb), default_tol))
+                    for lb in a['labels'])
+        else:
+            t = float(tol)
         pts = a['pts']
         if a['closed'] and pts.shape[0] > 3:
             d = np.linalg.norm(pts - pts[0], axis=1)
             m = int(np.argmax(d))
             if m > 0:
-                s0 = douglas_peucker(pts[:m + 1], tol)
-                s1 = douglas_peucker(pts[m:], tol)
+                s0 = douglas_peucker(pts[:m + 1], t)
+                s1 = douglas_peucker(pts[m:], t)
                 pts = np.concatenate([s0[:-1], s1], axis=0)
         else:
-            pts = douglas_peucker(pts, tol)
+            pts = douglas_peucker(pts, t)
         if pts.shape[0] >= 2:
             out.append({**a, 'pts': pts})
     return out
@@ -374,26 +386,53 @@ class Geometry:
         return {lut.get(int(lb), f'label{int(lb)}'): int(ct) * px_area
                 for lb, ct in zip(labels, counts)}
 
-    def boundary_arcs(self, simplify_tol=2.0):
+    def boundary_arcs(self, simplify_tol=2.0, roi_tol=None):
         """Topology-shared boundary arcs in WORLD coordinates: every
         region boundary (outer ROI and internal material-material
         borders) as polylines simplified once per shared arc, so adjacent
         regions keep identical borders (reference's topology-sharing
-        simplification, feabas/spatial.py:900-1260)."""
+        simplification, feabas/spatial.py:900-1260).
+
+        ``simplify_tol`` is a scalar, or a dict mapping MATERIAL NAMES to
+        per-region tolerances (reference ``region_tols``,
+        feabas/mesh.py:3394-3400; unnamed materials default to 0.1 px so
+        special regions keep tight boundaries). ``roi_tol`` overrides the
+        tolerance of arcs against the exclude/outside region."""
         arcs = label_boundary_arcs(self.label_mask,
                                    outside_label=int(self.exclude_label))
-        arcs = simplify_arcs(arcs, simplify_tol)
+        if isinstance(simplify_tol, dict) or roi_tol is not None:
+            if isinstance(simplify_tol, dict):
+                default_tol = float(simplify_tol.get('default', 0.1))
+                lut = {}
+                for name, t in simplify_tol.items():
+                    try:
+                        lb = self.material_table[name].mask_label
+                    except KeyError:
+                        continue
+                    if lb is not None:
+                        lut[int(lb)] = float(t)
+            else:
+                default_tol = float(simplify_tol)
+                lut = {}
+            rt = default_tol if roi_tol is None else float(roi_tol)
+            # arcs against the outside/exclude region are ROI boundary
+            lut[int(self.exclude_label)] = rt
+            lut[-1] = rt
+            arcs = simplify_arcs(arcs, lut, default_tol=default_tol)
+        else:
+            arcs = simplify_arcs(arcs, simplify_tol)
         out = []
         for a in arcs:
             out.append({**a, 'pts': a['pts'] * self.scale + self.offset})
         return out
 
-    def region_PSLG(self, simplify_tol=2.0):
+    def region_PSLG(self, simplify_tol=2.0, roi_tol=None):
         """Multi-material PSLG: vertices + segments of EVERY region
         boundary (shared arcs), plus per-region seed points labeled by
         material. Conforming triangulations over this PSLG have exact
         per-material regions instead of centroid-quantized ones."""
-        arcs = self.boundary_arcs(simplify_tol=simplify_tol)
+        arcs = self.boundary_arcs(simplify_tol=simplify_tol,
+                                  roi_tol=roi_tol)
         vertices, segments = [], []
         base = 0
         for a in arcs:

@@ -59,6 +59,15 @@ def _min_angles_deg(pts, T):
     return np.min(np.stack(angs, -1), axis=-1)
 
 
+def _min_seg_len(pts, segs):
+    """Shortest non-degenerate PSLG segment length (inf when no segments)."""
+    if segs.shape[0] == 0 or pts.shape[0] == 0:
+        return np.inf
+    d = np.linalg.norm(pts[segs[:, 0]] - pts[segs[:, 1]], axis=1)
+    d = d[d > 1e-9]
+    return float(d.min()) if d.size else np.inf
+
+
 def _resample_path(path, spacing):
     """Insert vertices on an OPEN polyline so no segment exceeds
     ``spacing`` (keeps the original corners and endpoints)."""
@@ -137,8 +146,16 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
         tree = cKDTree(b_pts)
         d, _ = tree.query(grid, k=1)
         grid = grid[d > 0.5 * mesh_size]
-    pts = np.concatenate([b_pts, grid], axis=0)
-    pts, idx_map = _dedupe(pts, min_edge_ratio * mesh_size, return_map=True)
+    # Boundary/constraint vertices are PSLG input: merge only (near-)exact
+    # duplicates (shared arc junctions), never thin them against mesh_size —
+    # their density is controlled by the simplification tolerance upstream,
+    # exactly like the reference's enforced PSLG segments
+    # (feabas/mesh.py:296-385). min_edge_ratio still guards ring-resample
+    # points crowding each other at corners.
+    b_pts2, idx_map = _dedupe(b_pts, min(min_edge_ratio * mesh_size,
+                                         _min_seg_len(b_pts, ring_segs) / 2),
+                              return_map=True)
+    pts = np.concatenate([b_pts2, grid], axis=0)
     if pts.shape[0] < 3:
         raise ValueError('region too small to mesh')
     # TRUE constrained Delaunay when the native helper is available: the
@@ -181,7 +198,8 @@ def compact_vertices(vertices, triangles):
 
 
 def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
-                         min_angle=0.0, shared_boundaries=True):
+                         min_angle=0.0, shared_boundaries=True,
+                         roi_tol=None):
     """Mesh a :class:`feabas_tpu.spatial.Geometry` (all mesh-enabled
     materials as one region), assigning per-triangle material uids by
     centroid label. With ``shared_boundaries`` (and the native CDT
@@ -189,10 +207,20 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
     triangulation as topology-shared simplified arcs, so triangles
     conform exactly to region boundaries instead of material assignment
     quantizing to the mask resolution (reference polygon simplification
-    role: spatial.py:900-1260). Returns
+    role: spatial.py:900-1260).
+
+    ``simplify_tol`` is a scalar or a {material_name: tol} dict
+    (reference region_tols, feabas/mesh.py:3394-3400); ``roi_tol``
+    controls the outer-ROI ring simplification (defaults to the scalar
+    tol, or the dict's 'default' entry). Returns
     (vertices, triangles, material_uids)."""
+    if isinstance(simplify_tol, dict):
+        rt = float(simplify_tol.get('default', 2.0)) if roi_tol is None \
+            else float(roi_tol)
+    else:
+        rt = float(simplify_tol) if roi_tol is None else float(roi_tol)
     roi = geom.roi_mask()
-    rings = sp.mask_to_contours(roi, simplify_tol=simplify_tol)
+    rings = sp.mask_to_contours(roi, simplify_tol=rt)
     world_rings = []
     for ring, is_hole in rings:
         if area_thresh > 0 and sp.ring_area(ring) * geom.scale ** 2 < area_thresh:
@@ -208,7 +236,7 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
             ex = int(exclude)
             constraint_paths = [
                 a['pts'] for a in geom.boundary_arcs(
-                    simplify_tol=simplify_tol)
+                    simplify_tol=simplify_tol, roi_tol=rt)
                 if ex not in a['labels'] and -1 not in a['labels']]
 
     def inside(pts):

@@ -250,3 +250,51 @@ def test_stiffness_multiplier_from_image():
     m3.set_stiffness_multiplier_from_image(small, scale=0.25)
     assert np.allclose(m3._stiffness_multiplier[left], 0.2, atol=0.01)
     assert np.allclose(m3._stiffness_multiplier[right], 1.0, atol=0.01)
+
+
+def test_per_material_simplify_tolerances():
+    """Dict simplify_tol maps material names to per-region tolerances
+    (reference region_tols: feabas/mesh.py:3394); an arc's tolerance is
+    the MIN of its two sides, and roi_tol controls the outer boundary."""
+    from feabas_tpu import spatial as sp
+    from feabas_tpu.material import MaterialTable, Material
+    mt = MaterialTable()
+    mt.add('wrinkle', Material(mask_label=7))
+    rng = np.random.default_rng(3)
+    lm = np.full((80, 120), 255, np.uint8)          # 255 = exclude
+    lm[10:70, 10:110] = mt['default'].mask_label if 'default' in mt else 0
+    # a jagged wrinkle band through the middle
+    edges = 40 + (rng.integers(0, 3, size=100))
+    for c in range(10, 110):
+        lm[edges[c - 10]:edges[c - 10] + 6, c] = 7
+    g = sp.Geometry(lm, material_table=mt)
+    loose = g.boundary_arcs(simplify_tol=4.0)
+    tight = g.boundary_arcs(simplify_tol={'default': 4.0, 'wrinkle': 0.0})
+
+    def n_wrinkle_pts(arcs):
+        return sum(a['pts'].shape[0] for a in arcs
+                   if 7 in [int(x) for x in a['labels']])
+
+    # zero tolerance on the wrinkle keeps every jagged boundary vertex
+    assert n_wrinkle_pts(tight) > 2 * n_wrinkle_pts(loose)
+    # roi_tol=0 keeps the (rectangular) outer boundary corners exactly
+    ex = int(g.exclude_label)
+    outer = [a for a in g.boundary_arcs(simplify_tol={'default': 4.0},
+                                        roi_tol=0.0)
+             if ex in [int(x) for x in a['labels']]]
+    outer_pts = np.concatenate([a['pts'] for a in outer])
+    assert outer_pts.shape[0] >= 4
+    # dict tol flows through meshing, and the tight-tolerance region's
+    # boundary is ENFORCED: wrinkle triangles conform to the band even at
+    # a mesh_size much larger than the band (PSLG vertices are never
+    # thinned against mesh_size, reference feabas/mesh.py:296-385)
+    from feabas_tpu.triangulation import triangulate_geometry
+    v, t, uids = triangulate_geometry(
+        g, mesh_size=40.0, simplify_tol={'default': 4.0, 'wrinkle': 0.0})
+    wr_uid = g.material_table['wrinkle'].uid
+    w = uids == wr_uid
+    assert w.sum() > 50
+    cent = v[t].mean(axis=1)
+    assert cent[w, 1].min() > 39.0 and cent[w, 1].max() < 49.0
+    # non-wrinkle centroids stay out of the band interior
+    assert not ((cent[~w, 1] > 43) & (cent[~w, 1] < 45)).any()
