@@ -118,11 +118,12 @@ def generate_equilat_grid_mask(mask, side_len, offset=(0, 0), scale=1.0):
 
 # ------------------------- mask <-> contours ------------------------- #
 
-def mask_to_contours(mask, simplify_tol=2.0):
+def mask_to_contours(mask, simplify_tol=2.0, zigzag_tol=0.5):
     """Extract (outer, holes) contour rings from a boolean mask.
 
     Returns list of (ring, is_hole) where ring is (K,2) float64 in pixel
-    coordinates, simplified with Douglas-Peucker at ``simplify_tol``.
+    coordinates, staircase-smoothed at ``zigzag_tol`` then simplified
+    with Douglas-Peucker at ``simplify_tol``.
     """
     m = (np.asarray(mask) > 0).astype(np.uint8)
     contours, hierarchy = cv2.findContours(m, cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE)
@@ -130,9 +131,14 @@ def mask_to_contours(mask, simplify_tol=2.0):
     if hierarchy is None:
         return rings
     for c, h in zip(contours, hierarchy[0]):
-        if simplify_tol > 0:
-            c = cv2.approxPolyDP(c, simplify_tol, closed=True)
         ring = c.reshape(-1, 2).astype(np.float64)
+        if zigzag_tol and zigzag_tol > 0 and ring.shape[0] > 3:
+            ring = smooth_zigzag(ring, tol=zigzag_tol, closed=True)
+        if simplify_tol > 0 and ring.shape[0] > 3:
+            ring = cv2.approxPolyDP(ring.astype(np.float32),
+                                    float(simplify_tol),
+                                    closed=True).reshape(-1, 2)
+            ring = ring.astype(np.float64)
         if ring.shape[0] < 3:
             continue
         is_hole = h[3] >= 0
@@ -169,6 +175,76 @@ def douglas_peucker(pts, tol):
             stack.append((i0, j))
             stack.append((j, i1))
     return pts[keep]
+
+
+def _point_chord_dist(v, a, b):
+    """Distance of points v to the (infinite) chords a->b, elementwise."""
+    seg = b - a
+    L = np.hypot(seg[:, 0], seg[:, 1])
+    d = np.abs(seg[:, 0] * (v[:, 1] - a[:, 1])
+               - seg[:, 1] * (v[:, 0] - a[:, 0]))
+    near = L < 1e-12
+    out = np.where(near, np.linalg.norm(v - a, axis=1),
+                   d / np.maximum(L, 1e-12))
+    return out
+
+
+def smooth_zigzag(pts, tol=0.5, closed=False):
+    """Bitmap staircase anti-aliasing (reference smooth_zigzag role,
+    feabas/spatial.py:342-395): rebuild the polyline from its segment
+    midpoints, keeping only original vertices that deviate >= ``tol``
+    from the midpoint chain (true corners). Staircase corners from mask
+    rasterization sit ~0.35-0.5 px from the midpoint chain, so the
+    smoothed line runs through the stair midpoints — the unbiased
+    estimate of the underlying boundary — instead of the pixel corners.
+    Open polylines keep their endpoints (arc junctions stay shared)."""
+    pts = np.asarray(pts, np.float64)
+    if tol <= 0 or pts.shape[0] < 3:
+        return pts
+    dup_end = closed and bool(np.all(pts[0] == pts[-1]))
+    # collapse collinear runs first (reference: simplify(1e-3*tol) before
+    # the midpoint pass) so true corners get LONG adjacent segments and
+    # survive the midpoint criterion; staircase jogs are never collinear
+    # and stay for smoothing
+    core = pts[:-1] if dup_end else pts
+    if core.shape[0] > 2:
+        prev = np.roll(core, 1, axis=0)
+        nxt = np.roll(core, -1, axis=0)
+        dev = _point_chord_dist(core, prev, nxt)
+        keep = dev >= 1e-3 * tol
+        if not closed:
+            keep[0] = keep[-1] = True
+        if keep.sum() >= (3 if closed else 2):
+            core = core[keep]
+    pts = (np.concatenate([core, core[:1]], axis=0) if dup_end else core)
+    n = pts.shape[0]
+    if n < 3:
+        return pts
+    if closed:
+        r = pts[:-1] if dup_end else pts
+        if r.shape[0] < 3:
+            return pts
+        mids = (r + np.roll(r, -1, axis=0)) / 2
+        keep = _point_chord_dist(r, np.roll(mids, 1, axis=0), mids) >= tol
+        out = []
+        for i in range(r.shape[0]):
+            if keep[i]:
+                out.append(r[i])
+            out.append(mids[i])
+        out = np.asarray(out)
+        if dup_end:
+            out = np.concatenate([out, out[:1]], axis=0)
+        return out
+    mids = (pts[:-1] + pts[1:]) / 2
+    keep = _point_chord_dist(pts[1:-1], mids[:-1], mids[1:]) >= tol
+    out = [pts[0]]
+    for i in range(1, n - 1):
+        out.append(mids[i - 1])
+        if keep[i - 1]:
+            out.append(pts[i])
+    out.append(mids[-1])
+    out.append(pts[-1])
+    return np.asarray(out)
 
 
 def label_boundary_arcs(label_mask, outside_label=-1):
@@ -264,7 +340,7 @@ def label_boundary_arcs(label_mask, outside_label=-1):
     return arcs
 
 
-def simplify_arcs(arcs, tol, default_tol=0.1):
+def simplify_arcs(arcs, tol, default_tol=0.1, zigzag_tol=0.5):
     """Douglas-Peucker each arc ONCE (endpoints pinned, so the junction
     topology and the adjacency between regions survive simplification).
     Closed loops split at their farthest point so they keep shape.
@@ -273,7 +349,9 @@ def simplify_arcs(arcs, tol, default_tol=0.1):
     tolerances (missing labels get ``default_tol``); an arc separates two
     regions, so its tolerance is the MIN of the two sides — the per-region
     tolerance role of the reference's ``simplify_by_segments``
-    (feabas/spatial.py:900-1030)."""
+    (feabas/spatial.py:900-1030). Arcs are staircase-smoothed at
+    ``zigzag_tol`` first (reference: spatial.py:986) so the simplified
+    line tracks the unbiased boundary instead of the pixel corners."""
     per_label = isinstance(tol, dict)
     out = []
     for a in arcs:
@@ -283,6 +361,8 @@ def simplify_arcs(arcs, tol, default_tol=0.1):
         else:
             t = float(tol)
         pts = a['pts']
+        if zigzag_tol and zigzag_tol > 0:
+            pts = smooth_zigzag(pts, tol=zigzag_tol, closed=a['closed'])
         if a['closed'] and pts.shape[0] > 3:
             d = np.linalg.norm(pts - pts[0], axis=1)
             m = int(np.argmax(d))

@@ -298,3 +298,44 @@ def test_per_material_simplify_tolerances():
     assert cent[w, 1].min() > 39.0 and cent[w, 1].max() < 49.0
     # non-wrinkle centroids stay out of the band interior
     assert not ((cent[~w, 1] > 43) & (cent[~w, 1] < 45)).any()
+
+
+def test_smooth_zigzag_staircase():
+    """Staircase anti-aliasing: a rasterized diagonal boundary smooths
+    onto the true line (reference smooth_zigzag, spatial.py:342), while
+    genuine corners and arc-junction endpoints survive."""
+    from feabas_tpu import spatial as sp
+    H, W = 120, 160
+    xx, yy = np.meshgrid(np.arange(W), np.arange(H))
+    lm = (yy > 0.4 * xx + 15.2).astype(np.int64)
+    arcs = sp.label_boundary_arcs(lm, outside_label=-1)
+    diag = [a for a in arcs if set(a['labels']) == {0, 1}][0]
+
+    def path_err(pts):
+        segs = pts[1:] - pts[:-1]
+        L = np.hypot(segs[:, 0], segs[:, 1])
+        smp = [pts[0]]
+        for i in range(len(segs)):
+            k = max(int(np.ceil(L[i] / 0.25)), 1)
+            smp.extend(pts[i] + segs[i] * (t / k) for t in range(1, k + 1))
+        s = np.asarray(smp)
+        return np.mean(np.abs(s[:, 1] - (0.4 * s[:, 0] + 15.2))
+                       / np.sqrt(1 + 0.4 ** 2))
+
+    smoothed = sp.simplify_arcs([diag], 1.0)[0]['pts']
+    corners = sp.simplify_arcs([diag], 1.0, zigzag_tol=0)[0]['pts']
+    assert path_err(smoothed) < path_err(corners)
+    # junction endpoints are pinned exactly
+    assert np.allclose(smoothed[0], diag['pts'][0])
+    assert np.allclose(smoothed[-1], diag['pts'][-1])
+    # a genuine right-angle corner with long sides survives smoothing
+    bent = np.array([[0., 40.], [0., 0.], [40., 0.]])
+    stair = []
+    for i in range(len(bent) - 1):   # rasterize into unit steps
+        p0, p1 = bent[i], bent[i + 1]
+        n = int(np.hypot(*(p1 - p0)))
+        stair.extend(p0 + (p1 - p0) * (t / n) for t in range(n))
+    stair.append(bent[-1])
+    out = sp.smooth_zigzag(np.asarray(stair), tol=0.5)
+    d_corner = np.linalg.norm(out - bent[1], axis=1).min()
+    assert d_corner < 1e-9
