@@ -411,8 +411,9 @@ class Geometry:
     """
 
     def __init__(self, label_mask, material_table=None, offset=(0, 0),
-                 scale=1.0, resolution=None):
-        self.label_mask = np.asarray(label_mask)
+                 scale=1.0, resolution=None, roi_erosion=0.0, dilate=0.0,
+                 oor_label=None):
+        self.label_mask = np.array(label_mask)
         if self.label_mask.ndim == 3:
             self.label_mask = self.label_mask[..., 0]
         self.offset = np.asarray(offset, dtype=np.float64)
@@ -422,6 +423,14 @@ class Geometry:
             from feabas_tpu.config import material_table as default_table
             material_table = default_table()
         self.material_table = material_table
+        if oor_label is not None:
+            # out-of-roi label folds into exclude (reference oor_label,
+            # feabas/spatial.py:606)
+            self.label_mask[self.label_mask == oor_label] = self.exclude_label
+        if dilate and dilate > 0:
+            self._dilate_regions(dilate)
+        if roi_erosion and roi_erosion > 0:
+            self._erode_roi(roi_erosion)
 
     @classmethod
     def from_image(cls, path, material_table=None, **kwargs):
@@ -465,6 +474,265 @@ class Geometry:
         px_area = self.scale ** 2
         return {lut.get(int(lb), f'label{int(lb)}'): int(ct) * px_area
                 for lb, ct in zip(labels, counts)}
+
+    # ---------------- mutation / persistence / comparison ------------- #
+    # Mask-backed equivalents of the reference Geometry's polygon API
+    # (feabas/spatial.py:642-863): the label mask is the source of truth,
+    # so region algebra is pixel paint with latest-wins z-order, and
+    # buffering is morphology. All distances/areas are WORLD units.
+
+    @property
+    def default_label(self):
+        try:
+            lb = self.material_table['default'].mask_label
+        except KeyError:
+            lb = 0
+        return 0 if lb is None else int(lb)
+
+    def _label_for(self, key):
+        """Material name or integer label -> integer mask label."""
+        if isinstance(key, (int, np.integer)):
+            return int(key)
+        mat = self.material_table[key]
+        if mat.mask_label is None:
+            raise ValueError(f'material {key!r} has no mask_label')
+        return int(mat.mask_label)
+
+    def _kernel(self, dist):
+        k = int(round(float(dist) / self.scale))
+        if k < 1:
+            return None
+        return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (2 * k + 1,) * 2)
+
+    def _dilate_regions(self, dist):
+        """Grow every non-default, non-exclude region by ``dist`` world
+        units (reference ``dilate`` kwarg, feabas/spatial.py:633-637)."""
+        ker = self._kernel(dist)
+        if ker is None:
+            return
+        ex, de = self.exclude_label, self.default_label
+        for lb in np.unique(self.label_mask):
+            if lb in (ex, de):
+                continue
+            m = (self.label_mask == lb).astype(np.uint8)
+            grown = cv2.dilate(m, ker) > 0
+            # growth only claims default pixels: exclude stays out-of-roi
+            # and later-painted regions keep their z-order
+            self.label_mask[grown & (self.label_mask == de)] = lb
+
+    def _erode_roi(self, dist):
+        """Shrink the ROI inward by ``dist`` world units (reference
+        ``roi_erosion``, feabas/spatial.py:629-631)."""
+        ker = self._kernel(dist)
+        if ker is None:
+            return
+        roi = (self.label_mask != self.exclude_label).astype(np.uint8)
+        eroded = cv2.erode(roi, ker, borderType=cv2.BORDER_CONSTANT,
+                           borderValue=0) > 0
+        self.label_mask[~eroded] = self.exclude_label
+
+    def save_to_h5(self, path):
+        """Persist mask + grid + name->label LUT (role of reference
+        Geometry.save_to_h5, feabas/spatial.py:660; stores the raster
+        source of truth instead of polygon WKBs)."""
+        from feabas_tpu.storage import H5File
+        names, labels = [], []
+        for name, mat in self.material_table:
+            if mat.mask_label is not None:
+                names.append(name)
+                labels.append(int(mat.mask_label))
+        with H5File(path, 'w') as f:
+            f.create_dataset('label_mask', data=self.label_mask,
+                             compression='gzip')
+            f.create_dataset('offset', data=self.offset)
+            f.create_dataset('scale', data=self.scale)
+            if self.resolution is not None:
+                f.create_dataset('resolution', data=float(self.resolution))
+            f.create_dataset('label_names',
+                             data='\n'.join(names).encode('ascii'))
+            f.create_dataset('label_values',
+                             data=np.asarray(labels, np.int64))
+
+    @classmethod
+    def from_h5(cls, path, material_table=None):
+        """Load a Geometry saved by :meth:`save_to_h5` (reference
+        Geometry.from_h5, feabas/spatial.py:642)."""
+        from feabas_tpu.storage import H5File
+        with H5File(path, 'r') as f:
+            mask = f['label_mask'][()]
+            offset = f['offset'][()]
+            scale = float(f['scale'][()])
+            resolution = (float(f['resolution'][()])
+                          if 'resolution' in f else None)
+        return cls(mask, material_table=material_table, offset=offset,
+                   scale=scale, resolution=resolution)
+
+    def add_regions(self, regions, mode='u'):
+        """Paint regions into the label mask (reference add_regions,
+        feabas/spatial.py:675-696).
+
+        Args:
+            regions: {material name or label: (H,W) boolean mask on this
+                geometry's grid}.
+            mode: 'u' union with the label's existing pixels; 'r' replace
+                them (the label's old pixels revert to default first).
+        Later entries trump earlier ones (z-order = paint order)."""
+        h, w = self.label_mask.shape
+        de = self.default_label
+        for key, m in regions.items():
+            lb = self._label_for(key)
+            m = np.asarray(m) > 0
+            if m.shape != (h, w):
+                raise ValueError(f'region mask shape {m.shape} != grid {(h, w)}')
+            if mode == 'r':
+                self.label_mask[self.label_mask == lb] = de
+            self.label_mask[m] = lb
+
+    def add_regions_from_image(self, image, material_table=None,
+                               region_names=None, dilate=0.0, mode='u'):
+        """Paint regions from a label image on the same grid (reference
+        add_regions_from_image, feabas/spatial.py:697-718). ``image`` is a
+        path or (H,W) label array; labels translate through
+        ``material_table`` (default: this geometry's) plus optional
+        ``region_names`` {name: label} additions."""
+        if isinstance(image, str):
+            image = imread(image, flag=cv2.IMREAD_GRAYSCALE)
+        image = np.asarray(image)
+        if image.ndim == 3:
+            image = image[..., 0]
+        table = self.material_table if material_table is None else material_table
+        name2label = {}
+        for name, mat in table:
+            if mat.mask_label is not None and name not in ('default', 'exclude'):
+                name2label[name] = int(mat.mask_label)
+        if region_names:
+            name2label.update({k: int(v) for k, v in region_names.items()})
+        ker = self._kernel(dilate) if dilate and dilate > 0 else None
+        regions = {}
+        for name, lb in name2label.items():
+            m = image == lb
+            if not m.any():
+                continue
+            if ker is not None:
+                m = cv2.dilate(m.astype(np.uint8), ker) > 0
+            regions[self._label_for(lb)] = m
+        self.add_regions(regions, mode=mode)
+
+    def modify_roi(self, roi_mask, mode='r'):
+        """Reshape the ROI (reference modify_roi, feabas/spatial.py:721).
+
+        Args:
+            roi_mask: (H,W) boolean mask of in-ROI pixels on this grid.
+            mode: 'r' replace (outside -> exclude, newly inside -> default);
+                'u' union; 'i' intersect (outside the given mask -> exclude).
+        """
+        roi_mask = np.asarray(roi_mask) > 0
+        if roi_mask.shape != self.label_mask.shape:
+            raise ValueError('roi mask shape mismatch')
+        ex, de = self.exclude_label, self.default_label
+        cur = self.label_mask != ex
+        if mode == 'r':
+            new = roi_mask
+        elif mode == 'i':
+            new = cur & roi_mask
+        elif mode == 'u':
+            new = cur | roi_mask
+        else:
+            raise ValueError(f'unknown mode {mode!r}')
+        self.label_mask[~new] = ex
+        self.label_mask[new & ~cur] = de
+
+    def modify_roi_from_image(self, image, roi_label=0, roi_erosion=0.0,
+                              mode='r'):
+        """ROI from a label image: pixels equal to ``roi_label`` are in-ROI
+        (reference modify_roi_from_image, feabas/spatial.py:738)."""
+        if isinstance(image, str):
+            image = imread(image, flag=cv2.IMREAD_GRAYSCALE)
+        image = np.asarray(image)
+        if image.ndim == 3:
+            image = image[..., 0]
+        roi = image == roi_label
+        if roi_erosion and roi_erosion > 0:
+            ker = self._kernel(roi_erosion)
+            if ker is not None:
+                roi = cv2.erode(roi.astype(np.uint8), ker,
+                                borderType=cv2.BORDER_CONSTANT,
+                                borderValue=0) > 0
+        self.modify_roi(roi, mode=mode)
+
+    def commit(self, area_thresh=0):
+        """Rectify the mask: drop sub-threshold connected components
+        (reference commit + polygon_area_filter, feabas/spatial.py:759-810).
+        Small non-default region islands revert to the default material;
+        small disconnected ROI islands become exclude. Interior holes are
+        already exclude pixels in the raster representation. ``area_thresh``
+        is in world units squared. Returns self."""
+        if area_thresh and area_thresh > 0:
+            min_px = float(area_thresh) / (self.scale ** 2)
+            ex, de = self.exclude_label, self.default_label
+            for lb in np.unique(self.label_mask):
+                if lb in (ex, de):
+                    continue
+                m = (self.label_mask == lb).astype(np.uint8)
+                n, comp, stats, _ = cv2.connectedComponentsWithStats(m)
+                for k in range(1, n):
+                    if stats[k, cv2.CC_STAT_AREA] < min_px:
+                        self.label_mask[comp == k] = de
+            roi = (self.label_mask != ex).astype(np.uint8)
+            n, comp, stats, _ = cv2.connectedComponentsWithStats(roi)
+            for k in range(1, n):
+                if stats[k, cv2.CC_STAT_AREA] < min_px:
+                    self.label_mask[comp == k] = ex
+        return self
+
+    def collect_region_markers(self):
+        """One representative world point per connected component, keyed by
+        material name (reference collect_region_markers,
+        feabas/spatial.py:824)."""
+        lut = {m.mask_label: n for n, m in self.material_table
+               if m.mask_label is not None}
+        out = {}
+        ex = self.exclude_label
+        for lb in np.unique(self.label_mask):
+            if lb == ex:
+                continue
+            name = lut.get(int(lb), f'label{int(lb)}')
+            num, comp = cv2.connectedComponents(
+                (self.label_mask == lb).astype(np.uint8))
+            pts = []
+            for k in range(1, num):
+                rr, cc = np.nonzero(comp == k)
+                j = rr.shape[0] // 2
+                pts.append(np.array([cc[j], rr[j]], np.float64)
+                           * self.scale + self.offset)
+            if pts:
+                out[name] = np.stack(pts)
+        return out
+
+    def compare(self, other):
+        """Per-material IOU between two geometries (reference compare,
+        feabas/spatial.py:835-862). ``other`` resamples onto this grid by
+        nearest neighbor if the grids differ."""
+        om = other.label_mask
+        if (om.shape != self.label_mask.shape or other.scale != self.scale
+                or np.any(other.offset != self.offset)):
+            h, w = self.label_mask.shape
+            cc, rr = np.meshgrid(np.arange(w), np.arange(h))
+            pts = (np.stack([cc.ravel(), rr.ravel()], -1) * self.scale
+                   + self.offset)
+            om = other.label_at(pts).reshape(h, w)
+        ious = {}
+        lut = {m.mask_label: n for n, m in self.material_table
+               if m.mask_label is not None}
+        labels = set(np.unique(self.label_mask)) | set(np.unique(om))
+        labels.discard(self.exclude_label)
+        for lb in labels:
+            a = self.label_mask == lb
+            b = om == lb
+            union = (a | b).sum()
+            name = lut.get(int(lb), f'label{int(lb)}')
+            ious[name] = float((a & b).sum() / union) if union else 0.0
+        return ious
 
     def boundary_arcs(self, simplify_tol=2.0, roi_tol=None):
         """Topology-shared boundary arcs in WORLD coordinates: every
