@@ -556,14 +556,38 @@ class Geometry:
     @classmethod
     def from_h5(cls, path, material_table=None):
         """Load a Geometry saved by :meth:`save_to_h5` (reference
-        Geometry.from_h5, feabas/spatial.py:642)."""
+        Geometry.from_h5, feabas/spatial.py:642). The file's stored
+        name->label LUT is AUTHORITATIVE: if it disagrees with (or names
+        materials missing from) the supplied/default table, the table is
+        cloned and patched, so a geometry saved under a custom material
+        table round-trips without the caller re-supplying it."""
         from feabas_tpu.storage import H5File
+        stored = []
         with H5File(path, 'r') as f:
             mask = f['label_mask'][()]
             offset = f['offset'][()]
             scale = float(f['scale'][()])
             resolution = (float(f['resolution'][()])
                           if 'resolution' in f else None)
+            if 'label_names' in f and 'label_values' in f:
+                raw = f['label_names'][()]
+                names = (raw.decode('ascii') if isinstance(raw, bytes)
+                         else str(raw)).split('\n')
+                vals = np.asarray(f['label_values'][()], np.int64)
+                stored = [(n, int(v)) for n, v in zip(names, vals) if n]
+        if material_table is None:
+            from feabas_tpu.config import material_table as default_table
+            material_table = default_table()
+        if stored and any(
+                (n not in material_table)
+                or material_table[n].mask_label != lb for n, lb in stored):
+            from feabas_tpu.material import Material
+            material_table = material_table.copy()
+            for n, lb in stored:
+                if n in material_table:
+                    material_table[n].mask_label = lb
+                else:
+                    material_table.add(n, Material(mask_label=lb))
         return cls(mask, material_table=material_table, offset=offset,
                    scale=scale, resolution=resolution)
 
@@ -716,11 +740,20 @@ class Geometry:
         om = other.label_mask
         if (om.shape != self.label_mask.shape or other.scale != self.scale
                 or np.any(other.offset != self.offset)):
+            # the self-pixel -> other-pixel map is a separable affine:
+            # two 1-D index vectors instead of an (H*W,2) float64 point
+            # cloud (which is gigabytes at section-mask scale)
             h, w = self.label_mask.shape
-            cc, rr = np.meshgrid(np.arange(w), np.arange(h))
-            pts = (np.stack([cc.ravel(), rr.ravel()], -1) * self.scale
-                   + self.offset)
-            om = other.label_at(pts).reshape(h, w)
+            oh, ow = om.shape
+            ci = np.round((np.arange(w) * self.scale + self.offset[0]
+                           - other.offset[0]) / other.scale).astype(np.int64)
+            ri = np.round((np.arange(h) * self.scale + self.offset[1]
+                           - other.offset[1]) / other.scale).astype(np.int64)
+            ok_c = (ci >= 0) & (ci < ow)
+            ok_r = (ri >= 0) & (ri < oh)
+            res = np.full((h, w), other.exclude_label, dtype=om.dtype)
+            res[np.ix_(ok_r, ok_c)] = om[np.ix_(ri[ok_r], ci[ok_c])]
+            om = res
         ious = {}
         lut = {m.mask_label: n for n, m in self.material_table
                if m.mask_label is not None}
@@ -766,7 +799,20 @@ class Geometry:
             # arcs against the outside/exclude region are ROI boundary
             lut[int(self.exclude_label)] = rt
             lut[-1] = rt
-            arcs = simplify_arcs(arcs, lut, default_tol=default_tol)
+            if roi_tol is not None:
+                # an EXPLICIT roi_tol overrides in both directions: the
+                # min-of-both-sides rule would let a tight material tol
+                # silently veto a requested coarse ROI simplification
+                roi_lbs = {int(self.exclude_label), -1}
+                is_roi = [bool(roi_lbs.intersection(int(lb)
+                                                    for lb in a['labels']))
+                          for a in arcs]
+                roi = [a for a, r in zip(arcs, is_roi) if r]
+                inner = [a for a, r in zip(arcs, is_roi) if not r]
+                arcs = (simplify_arcs(roi, float(roi_tol))
+                        + simplify_arcs(inner, lut, default_tol=default_tol))
+            else:
+                arcs = simplify_arcs(arcs, lut, default_tol=default_tol)
         else:
             arcs = simplify_arcs(arcs, simplify_tol)
         out = []
@@ -813,9 +859,13 @@ class Geometry:
     def PSLG(self, simplify_tol=2.0, area_thresh=0):
         """Planar straight-line graph of the ROI boundary (world coords).
 
-        Returns dict with 'vertices' (N,2), 'segments' (S,2) vertex-index
-        pairs, suitable for conforming triangulation (reference:
-        feabas/spatial.py:1270)."""
+        ``simplify_tol`` may be the same {material name: tol} dict the
+        other boundary methods accept; the ROI outline uses its
+        'default' entry. Returns dict with 'vertices' (N,2),
+        'segments' (S,2) vertex-index pairs, suitable for conforming
+        triangulation (reference: feabas/spatial.py:1270)."""
+        if isinstance(simplify_tol, dict):
+            simplify_tol = float(simplify_tol.get('default', 2.0))
         rings = mask_to_contours(self.roi_mask(), simplify_tol=simplify_tol)
         vertices = []
         segments = []

@@ -993,6 +993,10 @@ class MontageRenderer:
         # amortized ~superblock_chunks^2 times vs cropping per 256px chunk
         sb = max(int(kwargs.pop('superblock_chunks', 8)), 1)
         fv = kwargs.get('fillval', self.loader.default_fillval)
+        # unwritten tensorstore chunks read back as the DRIVER's missing-
+        # chunk value (0), not our render fillval — leaving a chunk sparse
+        # is only equivalent to writing it when fillval is 0
+        sparse_ok = (fv == 0)
         groups = {}
         for bbox in writer.plan_chunks():
             key = ((bbox[0] - canvas[0]) // (chunk[0] * sb),
@@ -1008,8 +1012,8 @@ class MontageRenderer:
             for bbox in grp:
                 sub = blk[bbox[1] - g[1]:bbox[3] - g[1],
                           bbox[0] - g[0]:bbox[2] - g[0]]
-                if not (sub != fv).any():
-                    continue   # keep all-fill chunks sparse (unwritten)
+                if sparse_ok and not sub.any():
+                    continue   # keep all-zero chunks sparse (unwritten)
                 writer.write_single_chunk(bbox, 0, sub)
                 n += 1
         return n

@@ -179,6 +179,15 @@ def triangulate_mask(inside_fn, boundary_rings, mesh_size, bbox=None,
     e = pts[T] - pts[np.roll(T, 1, axis=1)]
     elen = np.sqrt((e ** 2).sum(-1)).max(axis=1)
     keep &= elen < 2.0 * mesh_size
+    # drop (near-)degenerate triangles: three exactly-collinear boundary
+    # points (a straight run of a resampled ring/constraint arc) can come
+    # out of the CDT as a zero-area "cap" — it has no interior, so
+    # removing it never opens a hole, while keeping it blows up the FEM
+    # terms that divide by area
+    p = pts[T]
+    area2 = np.abs((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+                   - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    keep &= area2 > 1e-6 * mesh_size ** 2
     if min_angle and min_angle > 0:
         # honor the meshing min_mesh_angle quality constraint: Delaunay
         # over the lattice only produces bad angles in boundary slivers,
@@ -246,6 +255,7 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
     # (0, 1) get a denser lattice over their labeled region (edge length
     # scales with sqrt(area))
     extra = []
+    spacings = []
     for name, mat in geom.material_table:
         af = float(getattr(mat, 'area_constraint', 1.0))
         if not (0 < af < 1) or mat.mask_label is None:
@@ -255,7 +265,16 @@ def triangulate_geometry(geom, mesh_size, area_thresh=0, simplify_tol=2.0,
         sel = geom.label_at(dense) == int(mat.mask_label)
         if sel.any():
             extra.append(dense[sel])
-    extra = np.concatenate(extra, axis=0) if extra else None
+            spacings.append(mesh_size * np.sqrt(af))
+    if len(extra) > 1:
+        # lattices of DIFFERENT materials are mutually unaligned: across a
+        # shared border two points can land arbitrarily close, surviving
+        # into Delaunay as a degenerate triangle. Merge near-duplicates at
+        # a fraction of the densest intended spacing (same-lattice points
+        # sit at >= min(spacings) and are never touched).
+        extra = _dedupe(np.concatenate(extra, axis=0), 0.3 * min(spacings))
+    else:
+        extra = extra[0] if extra else None
     verts, tris = triangulate_mask(inside, world_rings, mesh_size,
                                    bbox=geom.bbox(), extra_points=extra,
                                    min_angle=min_angle,

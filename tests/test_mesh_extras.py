@@ -123,8 +123,8 @@ def test_overlapping_triangles_perf_100k(workdir):
     dt = time.perf_counter() - t0
     assert pairs.shape[0] == 0
     # generous bound: guards against the round-1 minutes-long Python loop,
-    # not against CI load jitter
-    assert dt < 5.0, dt
+    # not against CI load jitter (observed up to ~6 s on a loaded host)
+    assert dt < 20.0, dt
 
 
 def test_geodesic_mask_excludes_fold_zone(workdir):
@@ -339,3 +339,32 @@ def test_smooth_zigzag_staircase():
     out = sp.smooth_zigzag(np.asarray(stair), tol=0.5)
     d_corner = np.linalg.norm(out - bent[1], axis=1).min()
     assert d_corner < 1e-9
+
+
+def test_adjacent_dense_lattices_no_degenerate_triangles():
+    """Two adjacent materials with DIFFERENT area_constraints each inject
+    a refinement lattice; across their shared border two lattice points
+    can land arbitrarily close. The cross-lattice dedupe must keep the
+    triangulation free of (near-)degenerate triangles."""
+    from feabas_tpu import spatial as sp
+    from feabas_tpu.triangulation import triangulate_geometry
+    from feabas_tpu.material import MaterialTable, Material
+    mt = MaterialTable()
+    mt.add('wrinkle', Material(mask_label=7, area_constraint=0.5))
+    mt.add('crease', Material(mask_label=9, area_constraint=0.37))
+    lm = np.zeros((96, 96), np.uint8)
+    lm[:, 30:63] = 7
+    lm[:, 63:] = 9          # wrinkle|crease share the x=62.5 border
+    g = sp.Geometry(lm, material_table=mt)
+    v, t, uids = triangulate_geometry(g, mesh_size=10.0,
+                                      shared_boundaries=False)
+    p = v[t]
+    area2 = np.abs((p[:, 1, 0] - p[:, 0, 0]) * (p[:, 2, 1] - p[:, 0, 1])
+                   - (p[:, 2, 0] - p[:, 0, 0]) * (p[:, 1, 1] - p[:, 0, 1]))
+    e = p - np.roll(p, 1, axis=1)
+    elen = np.sqrt((e ** 2).sum(-1))
+    # height of the narrowest triangle: area / longest edge — degenerate
+    # slivers have heights orders of magnitude below the lattice spacing
+    h = area2 / elen.max(axis=1)
+    assert h.min() > 0.25, float(h.min())
+    assert elen.min() > 0.5, float(elen.min())

@@ -132,3 +132,56 @@ def test_collect_region_markers():
     assert markers['wrinkle'].shape == (2, 2)
     assert g.label_at(markers['wrinkle'].reshape(-1, 2)).tolist() == [50, 50]
     assert 'default' in markers
+
+
+def test_from_h5_stored_lut_is_authoritative(tmp_path):
+    # a geometry saved under a CUSTOM material table reloads with the
+    # stored name->label mapping even when the caller does not re-supply
+    # the table (the file's LUT patches the default table)
+    t = material.MaterialTable()
+    t.add('wrinkle', material.Material(uid=2, mask_label=7))
+    mask = np.zeros((16, 16), np.uint8)
+    mask[4:8, 4:8] = 7
+    g = Geometry(mask, material_table=t)
+    path = str(tmp_path / 'custom.h5')
+    g.save_to_h5(path)
+    g2 = Geometry.from_h5(path)                 # no table passed
+    assert g2.material_table['wrinkle'].mask_label == 7
+    assert (g2.material_mask('wrinkle') == (mask == 7)).all()
+    assert 'wrinkle' in g2.region_areas()
+
+
+def test_roi_tol_override_loosens(tmp_path):
+    # an EXPLICIT roi_tol must be able to LOOSEN the ROI simplification
+    # even when the material tolerances are tight (min-of-both-sides
+    # would otherwise veto it)
+    rng = np.random.default_rng(0)
+    mask = np.full((96, 96), 255, np.uint8)
+    yy, xx = np.mgrid[:96, :96]
+    r = 36 + 3 * np.sin(np.arctan2(yy - 48, xx - 48) * 7)
+    mask[(xx - 48) ** 2 + (yy - 48) ** 2 < r ** 2] = 0
+    g = Geometry(mask, material_table=make_table())
+
+    def n_roi_pts(**kw):
+        return sum(a['pts'].shape[0] for a in g.boundary_arcs(**kw)
+                   if 255 in a['labels'] or -1 in a['labels'])
+
+    tight = n_roi_pts(simplify_tol={'default': 0.1}, roi_tol=0.1)
+    loose = n_roi_pts(simplify_tol={'default': 0.1}, roi_tol=8.0)
+    assert loose < 0.5 * tight, (tight, loose)
+
+
+def test_compare_mismatched_grid_matches_label_at():
+    # the separable index resample must agree with the brute-force
+    # label_at meshgrid route
+    g0 = base_geometry(scale=1.0, offset=(0, 0))
+    g1 = base_geometry(scale=2.0, offset=(3.0, -2.0))
+    h, w = g0.label_mask.shape
+    cc, rr = np.meshgrid(np.arange(w), np.arange(h))
+    pts = np.stack([cc.ravel(), rr.ravel()], -1) * g0.scale + g0.offset
+    om_ref = g1.label_at(pts).reshape(h, w)
+    iou = g0.compare(g1)
+    a = g0.label_mask == 50
+    b = om_ref == 50
+    expect = (a & b).sum() / max((a | b).sum(), 1)
+    assert iou['wrinkle'] == pytest.approx(expect)

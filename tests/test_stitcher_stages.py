@@ -432,3 +432,31 @@ def test_material_table_cache_isolated(workdir):
     mt2 = config.material_table()
     assert 'scratch' not in mt2
     assert mt2.name_to_uid() == uids1
+
+
+def test_tensorstore_nonzero_fillval_writes_uniform_chunks(rng, workdir,
+                                                           tmp_path):
+    """A chunk whose CONTENT uniformly equals a nonzero fillval must still
+    be written: unwritten tensorstore chunks read back as the driver fill
+    (0), not our render fillval — skipping is only sound for fillval 0."""
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    img = np.full((128, 128), 255, np.uint8)      # saturated white tile
+    p0 = str(tmp_path / 'w.png')
+    imwrite(p0, img)
+    st = Stitcher([p0], [(0, 0, 128, 128)])
+    st.initialize_meshes(mesh_sizes=[64])
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+    mr = MontageRenderer.from_stitcher(st)
+    out = str(tmp_path / 'ts_white')
+    n = mr.render_series_to_tensorstore(out,
+                                        driver='neuroglancer_precomputed',
+                                        read_chunk_size=(64, 64),
+                                        fillval=255)
+    assert n == 4, n                              # every covered chunk written
+    import tensorstore as ts
+    d = ts.open({'driver': 'neuroglancer_precomputed',
+                 'kvstore': {'driver': 'file', 'path': out}}).result()
+    blk = np.asarray(d[:128, :128, 0, 0].read().result())
+    assert (blk == 255).all()
