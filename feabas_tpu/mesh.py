@@ -563,14 +563,67 @@ class Mesh:
             return GridIndex(self.triangle_bboxes(gear))
         return self._memo(gear, 'tri_index', _build)
 
+    def has_collisions(self, gear=const.MESH_GEAR_MOVING):
+        """Whether any deformed triangles overlap in this gear (memoized;
+        feeds collision-aware point location)."""
+        return self._memo(
+            gear, 'has_collisions',
+            lambda: bool(self.overlapping_triangles(gear).shape[0] > 0))
+
+    def likely_collisions(self, gear=const.MESH_GEAR_MOVING):
+        """Cheap O(T) fold indicator: orientation-flipped triangles (a
+        folded-over flap reverses its winding). Used where the exact
+        overlap sweep (``has_collisions``) would cost seconds per section
+        mesh; falls back to an exact memo if one was already computed."""
+        g = self._resolve_gear(gear)
+        exact = self._cache.get(g, {}).get('has_collisions', None)
+        if exact is not None:
+            return exact
+        return self._memo(
+            gear, 'likely_collisions',
+            lambda: bool(self.flipped_triangles(gear).size > 0))
+
+    def trifinder_weights(self, mode, gear=const.MESH_GEAR_MOVING):
+        """Per-triangle arbitration weights for collision-aware point
+        location (reference trifinder modes: feabas/mesh.py:2080-2190).
+
+        LEAST_DEFORM favors the least-distorted sheet; INNERMOST the sheet
+        whose triangles sit farthest from the mesh boundary (folds live at
+        the boundary of the folded-over flap). Higher weight wins.
+        """
+        if isinstance(mode, str):
+            mode = const.TRIFINDER_MODE_LIST.index(mode.upper())
+
+        def _build():
+            if mode == const.MESH_TRIFINDER_LEAST_DEFORM:
+                deform = self.svds_to_deform(
+                    gear0=const.MESH_GEAR_INITIAL, gear1=gear)
+                return 1.0 / (1.0 + deform)
+            if mode == const.MESH_TRIFINDER_INNERMOST:
+                from scipy.spatial import cKDTree
+                seg = self.segments()
+                vinit = self.vertices_w_offset(const.MESH_GEAR_INITIAL)
+                bd = vinit[np.unique(seg)] if seg.size else vinit[:1]
+                cent = vinit[self.triangles].mean(axis=1)
+                d, _ = cKDTree(bd).query(cent, k=1)
+                return d
+            return np.zeros(self.num_triangles)
+
+        return self._memo(gear, f'trifinder_w{int(mode)}', _build)
+
     def tri_finder(self, pts, gear=const.MESH_GEAR_MOVING, extrapolate=False,
-                   inside_tol=None):
+                   inside_tol=None, mode=None):
         """Containing triangle id per point (-1 outside). With
         ``extrapolate``, outside points snap to the nearest triangle center.
-        (reference: feabas/mesh.py:2080)."""
+        When deformed triangles overlap (folds), ``mode``
+        (LEAST_DEFORM | INNERMOST | WHATEVER) arbitrates which sheet a
+        query point resolves to (reference: feabas/mesh.py:2080-2190);
+        default keeps the first hit."""
         pts = np.asarray(pts, dtype=np.float64).reshape(-1, 2)
         if inside_tol is None:
             inside_tol = -self._epsilon
+        if isinstance(mode, str):
+            mode = const.TRIFINDER_MODE_LIST.index(mode.upper())
         index = self._tri_index(gear)
         vw = self.vertices_w_offset(gear)
         T = self.triangles
@@ -580,6 +633,12 @@ class Mesh:
             bary = _barycentric_pointwise(pts[pt_idx], vw, T[cand])
             inside = (bary >= inside_tol).all(axis=-1)
             hits = np.nonzero(inside)[0]
+            if mode in (const.MESH_TRIFINDER_LEAST_DEFORM,
+                        const.MESH_TRIFINDER_INNERMOST) and hits.size:
+                w = self.trifinder_weights(mode, gear=gear)
+                # per point: keep the highest-weight containing triangle
+                order = np.lexsort((-w[cand[hits]], pt_idx[hits]))
+                hits = hits[order]
             # first hit per point (pairs are contiguous per point)
             u, first = np.unique(pt_idx[hits], return_index=True)
             tid[u] = cand[hits[first]]

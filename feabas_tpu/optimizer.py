@@ -263,8 +263,20 @@ class Link:
                          **kwargs):
         xy0 = np.asarray(xy0, np.float64).reshape(-1, 2)
         xy1 = np.asarray(xy1, np.float64).reshape(-1, 2)
-        tid0 = mesh0.tri_finder(xy0, gear=gear[0], extrapolate=True)
-        tid1 = mesh1.tri_finder(xy1, gear=gear[1], extrapolate=True)
+        # collision-aware point location: on folded meshes a match point
+        # near the fold must anchor to the correct sheet (reference
+        # trifinder arbitration: feabas/mesh.py:2080-2190)
+        tmode = kwargs.pop('trifinder_mode', None)
+        tmode0 = tmode if tmode is not None else (
+            const.MESH_TRIFINDER_LEAST_DEFORM
+            if mesh0.likely_collisions(gear[0]) else None)
+        tmode1 = tmode if tmode is not None else (
+            const.MESH_TRIFINDER_LEAST_DEFORM
+            if mesh1.likely_collisions(gear[1]) else None)
+        tid0 = mesh0.tri_finder(xy0, gear=gear[0], extrapolate=True,
+                                mode=tmode0)
+        tid1 = mesh1.tri_finder(xy1, gear=gear[1], extrapolate=True,
+                                mode=tmode1)
         bary0 = mesh0.cart2bary(xy0, tid0, gear=gear[0])
         bary1 = mesh1.cart2bary(xy1, tid1, gear=gear[1])
         # points whose barycentric coordinates are wildly outside their
