@@ -228,102 +228,13 @@ def stiffness_matvec_gather(x, Ke, tris, inc, mask):
     return gather_scatter_uv(y, inc, mask)
 
 
-# ------------------------- banded stiffness ------------------------- #
-# TPU gathers/scatters run at ~100M random accesses/s, making the
-# element-wise matvec the CG bottleneck (~3.5 ms per 64x2450-element
-# stack iteration, measured). With vertices ordered for small matrix
-# bandwidth (reverse Cuthill-McKee), K is a block-banded matrix and
-# K @ x becomes b static shifted slice-multiplies — pure VPU math.
-#
-# STAGED INFRASTRUCTURE — not wired into any production solver: measured
-# head-to-head (PERF_NOTES.md "FEM matvec representations") the banded
-# path ties the gather path within 15% on our meshes (bandwidth ~ degree
-# after RCM), so cg_solve callers keep the simpler gather matvec. The
-# utilities stay here, tested, for mesh families where bandwidth <<
-# degree would flip the balance.
-
-def rcm_order(tris, nv):
-    """Bandwidth-minimizing vertex permutation (host, once per topology).
-    Returns perm such that new_index = perm_inv[old_index]; apply with
-    verts[perm], perm_inv[tris]. Keeps the identity when the existing
-    order (e.g. raster order of a cartesian grid) is already tighter."""
-    tris = np.asarray(tris)
-    from scipy.sparse import coo_matrix
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-    ii = np.concatenate([tris[:, 0], tris[:, 1], tris[:, 2],
-                         tris[:, 1], tris[:, 2], tris[:, 0]])
-    jj = np.concatenate([tris[:, 1], tris[:, 2], tris[:, 0],
-                         tris[:, 0], tris[:, 1], tris[:, 2]])
-    A = coo_matrix((np.ones_like(ii, np.int8), (ii, jj)),
-                   shape=(nv, nv)).tocsr()
-    perm = np.asarray(reverse_cuthill_mckee(A, symmetric_mode=True))
-    perm_inv = np.empty(nv, np.int64)
-    perm_inv[perm] = np.arange(nv)
-    if mesh_bandwidth(perm_inv[tris]) >= mesh_bandwidth(tris):
-        perm = np.arange(nv)
-        perm_inv = perm
-    return perm, perm_inv
-
-
-def mesh_bandwidth(tris):
-    """Max |i - j| over element vertex pairs (after any reordering)."""
-    tris = np.asarray(tris)
-    return int(max(np.abs(tris[:, 0] - tris[:, 1]).max(),
-                   np.abs(tris[:, 1] - tris[:, 2]).max(),
-                   np.abs(tris[:, 2] - tris[:, 0]).max()))
-
-
-def banded_assemble(Ke, tris, nv, bandwidth):
-    """Assemble element stiffness into upper block-banded storage.
-
-    Returns Kd (NV, bandwidth+1, 2, 2) with Kd[i, d] = K[2i:2i+2,
-    2(i+d):2(i+d)+2]; run under jit ONCE per solve (the scatter-add here
-    is off the CG iteration path). Works vmapped over a leading stack
-    axis of Ke."""
-    dt = Ke.dtype
-    Kd = jnp.zeros((nv, bandwidth + 1, 2, 2), dt)
-    for a in range(3):
-        for b_ in range(3):
-            i = tris[:, a]
-            j = tris[:, b_]
-            blk = Ke[:, 2 * a:2 * a + 2, 2 * b_:2 * b_ + 2]
-            d = j - i
-            # keep upper blocks (d >= 0); for d < 0 store the transpose
-            # at (j, -d) — skip since the (b_, a) pair covers it
-            keep = (d >= 0)
-            Kd = Kd.at[jnp.where(keep, i, 0),
-                       jnp.where(keep, d, 0)].add(
-                jnp.where(keep[:, None, None], blk, 0.0))
-    return Kd
-
-
-def banded_matvec(Kd, x):
-    """K @ x from upper block-banded storage; x (NV, 2).
-
-    Static pads/slices + one dense reduction — no gather/scatter. The
-    shifted copies of x stack into (NV, b+1, 2) and both triangular
-    halves reduce in single fused elementwise passes (slice-by-slice
-    ``.at[].add`` chains materialize a full temporary per offset and run
-    slower)."""
-    b = Kd.shape[1] - 1
-    nv = x.shape[0]
-    # xs[:, d] = x[i + d] (zero past the end)
-    xs = jnp.stack(
-        [x if d == 0 else jnp.pad(x[d:], ((0, d), (0, 0))) for d in
-         range(b + 1)], axis=1)                      # (NV, b+1, 2)
-    # upper half: y[i] += sum_d Kd[i, d] @ x[i + d]
-    y = (Kd * xs[:, :, None, :]).sum(axis=(1, 3))
-    # lower half: y[i + d] += Kd[i, d]^T @ x[i]  (d >= 1)
-    t = (Kd[:, 1:] * x[:, None, :, None]).sum(axis=2)  # (NV, b, 2): K^T x
-    tl = jnp.stack(
-        [jnp.pad(t[:nv - d, d - 1], ((d, 0), (0, 0))) for d in
-         range(1, b + 1)], axis=1)                   # (NV, b, 2)
-    return y + tl.sum(axis=1)
-
-
-def banded_diag(Kd):
-    """Operator diagonal from banded storage: (NV, 2)."""
-    return jnp.stack([Kd[:, 0, 0, 0], Kd[:, 0, 1, 1]], axis=-1)
+# Banded-stiffness matvec (RCM ordering + block-banded K storage) was
+# prototyped in rounds 2-3 and REMOVED in round 4: measured head-to-head
+# (PERF_NOTES.md "FEM matvec representations") it tied the incidence-
+# gather matvec within 15% on every mesh family this framework produces
+# (post-RCM bandwidth ~ vertex degree for 2D triangulations), so it never
+# earned a call site. The implementation lives in git history (round-3
+# tree, ops/fem.py rcm_order/banded_assemble/banded_matvec).
 
 
 # ------------------------- crosslinks ------------------------- #

@@ -236,32 +236,3 @@ def test_gather_matvec_matches_scatter(rng):
     y_gather = fem.stiffness_matvec_gather(x, Ke, jnp.asarray(tris),
                                            jnp.asarray(inc), jnp.asarray(mask))
     assert np.allclose(np.asarray(y_scatter), np.asarray(y_gather), atol=1e-10)
-
-
-def test_banded_matvec_matches_scatter(rng):
-    """Upper block-banded K storage + shifted-slice matvec reproduces the
-    element scatter matvec exactly (RCM-or-identity vertex order)."""
-    import jax.numpy as jnp
-    from feabas_tpu.ops import fem
-    from feabas_tpu.mesh import Mesh
-    m = Mesh.from_boarder_bbox((0, 0, 400, 300), bd_width=60, mesh_size=50,
-                               uid=0)
-    m.set_translation((0, 0))
-    T = m.triangles
-    V = m.num_vertices
-    perm, perm_inv = fem.rcm_order(T, V)
-    T2 = perm_inv[T]
-    bw = fem.mesh_bandwidth(T2)
-    assert bw <= fem.mesh_bandwidth(T)
-    verts = m.vertices_w_offset(-1)[perm]
-    B, area2 = fem.shape_matrices(jnp.asarray(verts[T2]))
-    Ke = fem.eng_element_stiffness(B, area2, jnp.ones(T.shape[0]),
-                                   jnp.full(T.shape[0], 0.3))
-    x = jnp.asarray(rng.normal(0, 1, (V, 2)))
-    y_ref = np.asarray(fem.stiffness_matvec(x, Ke, jnp.asarray(T2)))
-    Kd = fem.banded_assemble(Ke, jnp.asarray(T2), V, bw)
-    y_band = np.asarray(fem.banded_matvec(Kd, x))
-    np.testing.assert_allclose(y_band, y_ref, atol=1e-8)
-    np.testing.assert_allclose(
-        np.asarray(fem.banded_diag(Kd)),
-        np.asarray(fem.stiffness_diag(Ke, jnp.asarray(T2), V)), atol=1e-8)
