@@ -432,11 +432,20 @@ def _bench_render_mipmap(tmp_root='/tmp/feabas_tpu_bench_render'):
         t0 = time.perf_counter()
         n_bytes = 0
         blocks = []
-        for bbox in tiles:
-            blk = r.crop(bbox, return_empty=True, device_remap=device)
-            if blk is not None:
-                n_bytes += blk.nbytes
-                blocks.append((bbox, blk))
+        if device:
+            # production device batching: all blocks dispatched before the
+            # first fetch so transfers and compute pipeline on the link
+            for bbox, blk in zip(tiles, r.crop_multiple(
+                    tiles, return_empty=True, device_render=True)):
+                if blk is not None:
+                    n_bytes += blk.nbytes
+                    blocks.append((bbox, blk))
+        else:
+            for bbox in tiles:
+                blk = r.crop(bbox, return_empty=True, device_render=False)
+                if blk is not None:
+                    n_bytes += blk.nbytes
+                    blocks.append((bbox, blk))
         return n_bytes / max(time.perf_counter() - t0, 1e-9) / 1e6, blocks
 
     run(True)                        # compile warm-up for the device path

@@ -114,6 +114,14 @@ def fft_batch():
     return int(dev.get('fft_batch', 128) or 128)
 
 
+def device_render():
+    """general_configs ``device.render``: route MeshRenderer crops through
+    the on-device rasterize+warp program (feabas_tpu/ops/render.py) by
+    default; per-call ``device_render=`` kwargs override."""
+    dev = general_settings().get('device', {}) or {}
+    return bool(dev.get('render', False))
+
+
 def get_work_dir():
     work_dir = general_settings().get('working_directory', './work_dir')
     return storage.expand_dir(work_dir)

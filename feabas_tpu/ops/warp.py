@@ -21,19 +21,57 @@ def bilinear_sample(img, xs, ys, fillval=0.0):
     """Sample img (H, W) at float coords (broadcastable arrays);
     out-of-range -> fillval."""
     H, W = img.shape
-    x0 = jnp.floor(xs)
-    y0 = jnp.floor(ys)
-    fx = xs - x0
-    fy = ys - y0
-    x0i = x0.astype(jnp.int32)
-    y0i = y0.astype(jnp.int32)
+    x0i = jnp.floor(xs).astype(jnp.int32)
+    y0i = jnp.floor(ys).astype(jnp.int32)
     valid = (xs >= 0) & (ys >= 0) & (xs <= W - 1) & (ys <= H - 1)
     x0c = jnp.clip(x0i, 0, W - 2)
     y0c = jnp.clip(y0i, 0, H - 2)
+    # fractions vs the CLAMPED base so xs == W-1 reads img[..., W-1]
+    # (fx=1 there), not img[..., W-2]
+    fx = xs - x0c.astype(xs.dtype)
+    fy = ys - y0c.astype(ys.dtype)
     Ia = img[y0c, x0c]
     Ib = img[y0c, x0c + 1]
     Ic = img[y0c + 1, x0c]
     Id = img[y0c + 1, x0c + 1]
+    out = (Ia * (1 - fx) * (1 - fy) + Ib * fx * (1 - fy)
+           + Ic * (1 - fx) * fy + Id * fx * fy)
+    return jnp.where(valid, out, fillval)
+
+
+@jax.jit
+def pack_u8_quads(src):
+    """Pack each pixel's 2x2 bilinear neighborhood of a uint8 image into
+    one uint32: packed[y, x] = img[y, x] | img[y, x+1] << 8
+    | img[y+1, x] << 16 | img[y+1, x+1] << 24 (edge-clamped).
+
+    Bilinear sampling then needs ONE gather per output pixel instead of
+    four — gathers are the TPU warp bottleneck (~100M random reads/s,
+    PERF_NOTES.md), so this quarters the sampling cost for uint8 sources.
+    """
+    s = src.astype(jnp.uint32)
+    sr = jnp.concatenate([s[:, 1:], s[:, -1:]], axis=1)       # x+1
+    sd = jnp.concatenate([s[1:, :], s[-1:, :]], axis=0)       # y+1
+    sdr = jnp.concatenate([sd[:, 1:], sd[:, -1:]], axis=1)    # x+1, y+1
+    return s | (sr << 8) | (sd << 16) | (sdr << 24)
+
+
+def bilinear_sample_packed(packed, xs, ys, fillval=0.0):
+    """Bilinear sample from a ``pack_u8_quads`` image: one gather per
+    pixel, neighbors unpacked with bit ops."""
+    H, W = packed.shape
+    x0i = jnp.floor(xs).astype(jnp.int32)
+    y0i = jnp.floor(ys).astype(jnp.int32)
+    valid = (xs >= 0) & (ys >= 0) & (xs <= W - 1) & (ys <= H - 1)
+    x0c = jnp.clip(x0i, 0, W - 2)
+    y0c = jnp.clip(y0i, 0, H - 2)
+    fx = xs - x0c.astype(xs.dtype)
+    fy = ys - y0c.astype(ys.dtype)
+    q = packed[y0c, x0c]
+    Ia = (q & 0xff).astype(jnp.float32)
+    Ib = ((q >> 8) & 0xff).astype(jnp.float32)
+    Ic = ((q >> 16) & 0xff).astype(jnp.float32)
+    Id = (q >> 24).astype(jnp.float32)
     out = (Ia * (1 - fx) * (1 - fy) + Ib * fx * (1 - fy)
            + Ic * (1 - fx) * fy + Id * fx * fy)
     return jnp.where(valid, out, fillval)

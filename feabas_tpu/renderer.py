@@ -239,6 +239,13 @@ class MeshRenderer:
                                           gear1=self._source_gear)
         self._A = A
         self._b = b
+        self._dev_engine = None      # lazy device render engine
+        # affine short-circuit (reference: renderer.py:94-109,453-510):
+        # when the whole deformation (or the deformation inside one output
+        # block) is affine within tolerance, skip rasterization entirely
+        # and evaluate source coords from ONE affine
+        self._affine_tol = float(kwargs.get('affine_approx_tol', 0) or 0)
+        self._global_affine = None   # lazy: (A, b, max_residual) | False
 
     @classmethod
     def from_mesh(cls, mesh, **kwargs):
@@ -255,11 +262,105 @@ class MeshRenderer:
     def link_image_loader(self, loader):
         self._image_loader = loader
 
+    # --------------------- affine short-circuit --------------------- #
+
+    @staticmethod
+    def _fit_affine(vt, vs):
+        """Least-squares affine vs ~= vt @ A + b (row-vector convention,
+        matching ``triangle_affine_tform``). Returns (A (2,2), b (2),
+        max_residual_px)."""
+        G = np.concatenate([vt, np.ones((len(vt), 1))], axis=1)
+        M, *_ = np.linalg.lstsq(G, vs, rcond=None)
+        res = np.sqrt(((G @ M - vs) ** 2).sum(axis=-1)).max() if len(vt) \
+            else np.inf
+        return M[:2], M[2], float(res)
+
+    def _global_affine_fit(self):
+        if self._global_affine is None:
+            vt = self._mesh.vertices_w_offset(self._target_gear)
+            vs = self._mesh.vertices_w_offset(self._source_gear)
+            self._global_affine = self._fit_affine(vt, vs)
+        return self._global_affine
+
+    def _bbox_fully_covered(self, bbox):
+        """True when bbox lies entirely inside the rendered region: no
+        mesh boundary segment intersects it (separating-axis test) and its
+        center resolves to a triangle."""
+        m = self._mesh
+        seg = m.segments()
+        if seg.size:
+            vw = m.vertices_w_offset(self._target_gear)
+            p = vw[seg[:, 0]]
+            q = vw[seg[:, 1]]
+            x0, y0, x1, y1 = bbox
+            # SAT: x slab, y slab, segment-normal axis
+            ox = (np.minimum(p[:, 0], q[:, 0]) <= x1) \
+                & (np.maximum(p[:, 0], q[:, 0]) >= x0)
+            oy = (np.minimum(p[:, 1], q[:, 1]) <= y1) \
+                & (np.maximum(p[:, 1], q[:, 1]) >= y0)
+            cand = ox & oy
+            if cand.any():
+                pc = p[cand]
+                d = q[cand] - pc
+                cx = np.array([x0, x1, x1, x0])[None]
+                cy = np.array([y0, y0, y1, y1])[None]
+                s = (cx - pc[:, :1]) * d[:, 1:2] - (cy - pc[:, 1:2]) * d[:, :1]
+                if (~((s > 0).all(axis=1) | (s < 0).all(axis=1))).any():
+                    return False
+        cx = (bbox[0] + bbox[2]) / 2
+        cy = (bbox[1] + bbox[3]) / 2
+        tid = m.tri_finder(np.array([[cx, cy]]), gear=self._target_gear)
+        return bool(tid[0] >= 0)
+
+    def _affine_shortcircuit(self, bbox, thresholded=False, tol=None):
+        """(A, b) when the deformation over bbox is affine within
+        ``affine_approx_tol`` AND bbox is fully covered; else None
+        (reference: renderer.py:94-109,453-510). Disabled on folded /
+        geodesic-masked / weight-thresholded meshes, where per-pixel
+        arbitration is the point."""
+        if tol is None:
+            tol = self._affine_tol
+        if (tol <= 0 or thresholded or self._geodesic_mask
+                or not self._render_mask.all()
+                or self._mesh.likely_collisions(self._target_gear)):
+            return None
+        A, b, res = self._global_affine_fit()
+        if res >= tol:
+            # local fit over the triangles intersecting bbox
+            tb = self._mesh.triangle_bboxes(self._target_gear)
+            sel = np.nonzero((tb[:, 0] < bbox[2]) & (tb[:, 2] > bbox[0]) &
+                             (tb[:, 1] < bbox[3]) & (tb[:, 3] > bbox[1]))[0]
+            if sel.size == 0 or sel.size > 4096:
+                return None
+            vid = np.unique(self._mesh.triangles[sel])
+            A, b, res = self._fit_affine(
+                self._mesh.vertices_w_offset(self._target_gear)[vid],
+                self._mesh.vertices_w_offset(self._source_gear)[vid])
+            if res >= tol:
+                return None
+        if not self._bbox_fully_covered(bbox):
+            return None
+        return A, b
+
     def crop_field(self, bbox, **kwargs):
         """Source-coordinate field over an output bbox.
 
         Returns (map_x, map_y, mask): (H,W) source coords (NaN outside) and
         the validity mask."""
+        thresholded = bool(kwargs.get('render_weight_threshold', None))
+        sc = self._affine_shortcircuit(
+            bbox, thresholded, tol=kwargs.get('affine_approx_tol', None))
+        if sc is not None:
+            A2, b2 = sc
+            x0 = int(np.floor(bbox[0]))
+            y0 = int(np.floor(bbox[1]))
+            x1 = int(np.ceil(bbox[2]))
+            y1 = int(np.ceil(bbox[3]))
+            gx, gy = np.meshgrid(np.arange(x1 - x0) + x0,
+                                 np.arange(y1 - y0) + y0)
+            map_x = (gx * A2[0, 0] + gy * A2[1, 0] + b2[0]).astype(np.float32)
+            map_y = (gx * A2[0, 1] + gy * A2[1, 1] + b2[1]).astype(np.float32)
+            return map_x, map_y, np.ones(gx.shape, bool)
         tid = rasterize_mesh(self._mesh, bbox, gear=self._target_gear,
                              tri_weights=self._tri_render_weight)
         mask = tid >= 0
@@ -293,11 +394,107 @@ class MeshRenderer:
         map_y = np.where(mask, map_y, np.nan)
         return map_x.astype(np.float32), map_y.astype(np.float32), mask
 
+    # ------------------------- device render path ------------------------- #
+
+    def _device_render_requested(self, kwargs):
+        """Resolve the per-call / config device-render flag (kwarg popped)."""
+        flag = kwargs.pop('device_render', None)
+        if flag is None:
+            from feabas_tpu import config
+            flag = config.device_render()
+        return bool(flag)
+
+    def _device_render_ok(self, loader, kwargs):
+        """The device program covers the production path: single-channel
+        sources, LINEAR interpolation, u8/u16/f32 output, no host-side DoG;
+        anything else falls back to the host path."""
+        import cv2
+        if kwargs.get('log_sigma', 0):
+            return False
+        if kwargs.get('interpolation', cv2.INTER_LINEAR) != cv2.INTER_LINEAR:
+            return False
+        nc = getattr(loader, 'number_of_channels', None)
+        if nc and nc > 1:
+            return False
+        from feabas_tpu.ops.render import _out_kind
+        dtype_out = kwargs.get('dtype_out', getattr(loader, 'dtype',
+                                                    np.uint8))
+        if _out_kind(dtype_out) is None:
+            return False
+        if self._fold_sheets is not None and len(self._fold_sheets) > 30:
+            return False
+        return True
+
+    def _get_device_engine(self):
+        if self._dev_engine is None:
+            from feabas_tpu.ops.render import DeviceRenderEngine
+            colors = None
+            if self._geodesic_mask and self._fold_sheets is not None:
+                colors = np.full(len(self._mesh.triangles), -1, np.int64)
+                for i, tris in enumerate(self._fold_sheets):
+                    colors[tris] = i
+            self._dev_engine = DeviceRenderEngine(
+                self._mesh, self._target_gear, self._source_gear,
+                self._tri_render_weight, colors=colors)
+        return self._dev_engine
+
+    def _crop_device_multi(self, bboxes, loader, **kwargs):
+        """Device render of several output bboxes in one dispatch wave
+        (all block programs in flight before the first fetch, so uploads,
+        compute and downloads pipeline through the host<->device link)."""
+        from feabas_tpu.common import divide_bbox
+        eng = self._get_device_engine()
+        thr = kwargs.get('render_weight_threshold', None)
+        wts = None
+        if thr:
+            wts = np.where(self._tri_render_weight >= thr, eng._w, -np.inf)
+        fillval = kwargs.get('fillval', self._fillval)
+        if fillval is None:
+            fillval = getattr(loader, 'default_fillval', 0)
+        dtype_out = kwargs.get('dtype_out', getattr(loader, 'dtype',
+                                                    np.uint8))
+        block_size = kwargs.get('block_size', 2048)
+        per_bbox = []
+        flat = []
+        for bbox in bboxes:
+            ib = (int(np.floor(bbox[0])), int(np.floor(bbox[1])),
+                  int(np.ceil(bbox[2])), int(np.ceil(bbox[3])))
+            x0s, y0s, x1s, y1s = divide_bbox(ib, block_size=block_size)
+            blocks = list(zip(x0s, y0s, x1s, y1s))
+            per_bbox.append((ib, slice(len(flat), len(flat) + len(blocks)),
+                             blocks))
+            flat.extend(blocks)
+        sc = None
+        tol = kwargs.get('affine_approx_tol', self._affine_tol)
+        if wts is None and tol and tol > 0:
+            sc = lambda bb: self._affine_shortcircuit(bb, tol=tol)
+        res = eng.render_blocks(flat, loader, float(fillval), dtype_out,
+                                wts=wts, shortcircuit=sc)
+        out = []
+        for ib, sl, blocks in per_bbox:
+            parts = res[sl.start:sl.stop]
+            if all(p is None for p in parts):
+                out.append(None if kwargs.get('return_empty', False) else
+                           self._filled((ib[3] - ib[1], ib[2] - ib[0]),
+                                        loader, kwargs))
+                continue
+            imgt = np.full((ib[3] - ib[1], ib[2] - ib[0]), fillval,
+                           dtype=np.dtype(dtype_out))
+            for blk, (bx0, by0, bx1, by1) in zip(parts, blocks):
+                if blk is not None:
+                    imgt[by0 - ib[1]:by1 - ib[1],
+                         bx0 - ib[0]:bx1 - ib[0]] = blk
+            out.append(imgt)
+        return out
+
     def crop(self, bbox, image_loader=None, **kwargs):
         """Render the output block covering bbox (reference: renderer.py:566)."""
         loader = image_loader or self._image_loader
         if loader is None:
             raise RuntimeError('no image loader linked')
+        if self._device_render_requested(kwargs) \
+                and self._device_render_ok(loader, kwargs):
+            return self._crop_device_multi([bbox], loader, **kwargs)[0]
         map_x, map_y, mask = self.crop_field(bbox, **kwargs)
         if not mask.any():
             if kwargs.get('return_empty', False):
@@ -335,6 +532,9 @@ class MeshRenderer:
         bboxes = list(bboxes)
         if not bboxes:
             return []
+        if self._device_render_requested(kwargs) \
+                and self._device_render_ok(loader, kwargs):
+            return self._crop_device_multi(bboxes, loader, **kwargs)
         fields = [self.crop_field(b, **kwargs) for b in bboxes]
         if len(fields) == 1:
             mx, my, mk = fields[0]
@@ -510,6 +710,8 @@ class VolumeRenderer:
         self.flag_dir = kwargs.get('flag_dir', None)
         self.logger = kwargs.get('logger', None)
         self._interp = kwargs.get('remap_interp', 'LINEAR')
+        # None -> config default (general_configs device.render)
+        self._device_render = kwargs.get('device_render', None)
 
     def _get_loader(self, name):
         ld = self.loaders[name]
@@ -586,7 +788,8 @@ class VolumeRenderer:
                 batches = [chunks[i:i + chunks_per_job]
                            for i in range(0, len(chunks), chunks_per_job)]
                 args = [(mesh.get_init_dict(), loader_spec, self.writer,
-                         batch, int(z), self._interp) for batch in batches]
+                         batch, int(z), self._interp, self._device_render)
+                        for batch in batches]
                 for keys, wrote in submit_to_workers(
                         subprocess_render_volume_chunks, args,
                         num_workers=num_workers):
@@ -595,15 +798,21 @@ class VolumeRenderer:
                     flush()
             else:
                 renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
-                for bbox in chunks:
-                    key = (int(bbox[0]), int(bbox[1]))
-                    blk = renderer.crop(bbox, return_empty=True,
-                                        interpolation=_interp_flag(self._interp))
-                    if blk is not None:
-                        self.writer.write_single_chunk(bbox, z, blk)
-                        n_written += 1
-                    done.add(key)
-                    flush()
+                # device rendering pipelines a wave of chunks per dispatch
+                # so block uploads/compute/downloads overlap on the link
+                wave = 4 if self._device_render else 1
+                for i0 in range(0, len(chunks), wave):
+                    group = chunks[i0:i0 + wave]
+                    blks = renderer.crop_multiple(
+                        group, return_empty=True,
+                        interpolation=_interp_flag(self._interp),
+                        device_render=self._device_render)
+                    for bbox, blk in zip(group, blks):
+                        if blk is not None:
+                            self.writer.write_single_chunk(bbox, z, blk)
+                            n_written += 1
+                        done.add((int(bbox[0]), int(bbox[1])))
+                        flush()
             flush(force=True)
             if self.logger:
                 self.logger.info(f'z={z} {name}: volume chunks done')
@@ -673,7 +882,8 @@ class VolumeRenderer:
                 batches = [chunks[i:i + chunks_per_job]
                            for i in range(0, len(chunks), chunks_per_job)]
                 args = [(entry_specs, self.writer, batch, z0, depth,
-                         self._interp) for batch in batches]
+                         self._interp, self._device_render)
+                        for batch in batches]
                 for keys, wrote in submit_to_workers(
                         subprocess_render_volume_slab, args,
                         num_workers=num_workers):
@@ -688,7 +898,8 @@ class VolumeRenderer:
                 for bbox in chunks:
                     wrote = _render_one_slab_chunk(
                         renderers, self.writer, bbox, z0, depth,
-                        interp=self._interp)
+                        interp=self._interp,
+                        device_render=self._device_render)
                     n_written += wrote
                     done.add((int(bbox[0]), int(bbox[1])))
                     flush()
@@ -700,14 +911,15 @@ class VolumeRenderer:
 
 
 def _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
-                           interp='LINEAR'):
+                           interp='LINEAR', device_render=None):
     """Render one xy chunk across a slab's sections and write it once.
     ``renderers``: [(z, MeshRenderer)]. Returns 1 if written, else 0."""
     layers = {}
     dtype = None
     for z, r in renderers:
         blk = r.crop(bbox, return_empty=True,
-                     interpolation=_interp_flag(interp))
+                     interpolation=_interp_flag(interp),
+                     device_render=device_render)
         if blk is not None:
             layers[z - z0] = blk
             dtype = blk.dtype
@@ -724,7 +936,8 @@ def _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
 
 
 def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
-                                  depth, interp='LINEAR'):
+                                  depth, interp='LINEAR',
+                                  device_render=None):
     """Worker: render a batch of slab chunks (all sections of one slab)
     (reference subprocess_render_partial_ts_slab: renderer.py:1385).
 
@@ -751,13 +964,15 @@ def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
     keys, wrote = [], 0
     for bbox in chunk_bboxes:
         wrote += _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
-                                        interp=interp)
+                                        interp=interp,
+                                        device_render=device_render)
         keys.append((int(bbox[0]), int(bbox[1])))
     return keys, wrote
 
 
 def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
-                                    chunk_bboxes, z, interp='LINEAR'):
+                                    chunk_bboxes, z, interp='LINEAR',
+                                    device_render=None):
     """Worker: render a batch of volume chunks for one section
     (reference subprocess_render_partial_ts_slab: renderer.py:1385).
 
@@ -781,7 +996,8 @@ def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
     keys, wrote = [], 0
     for bbox in chunk_bboxes:
         blk = renderer.crop(bbox, return_empty=True,
-                            interpolation=_interp_flag(interp))
+                            interpolation=_interp_flag(interp),
+                            device_render=device_render)
         if blk is not None:
             writer.write_single_chunk(bbox, z, blk)
             wrote += 1

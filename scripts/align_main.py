@@ -447,6 +447,7 @@ def render_main(args, conf, logger):
             pattern=rconf.get('pattern', '_tr{ROW_IND}-tc{COL_IND}.png'),
             one_based=rconf.get('one_based', True),
             num_workers=int(rconf.get('num_workers', 1) or 1),
+            device_render=rconf.get('device_render', None),
             canvas_bbox=canvas)
         with storage.File(join_paths(out_dir, 'metadata.txt'), 'w') as f:
             f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')
@@ -511,7 +512,8 @@ def tsr_main(args, conf, logger):
     vr = VolumeRenderer(tform_list[z_lo:z_hi:args.step], loaders, writer,
                         flag_dir=join_paths(out_dir, 'render_flags'),
                         logger=logger,
-                        remap_interp=tconf.get('remap_interp', 'LINEAR'))
+                        remap_interp=tconf.get('remap_interp', 'LINEAR'),
+                        device_render=tconf.get('device_render', None))
     n = vr.render_volume(num_workers=tconf.get('num_workers', 1),
                          chunks_per_job=tconf.get(
                              'chunks_per_job',
