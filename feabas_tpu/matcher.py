@@ -787,10 +787,14 @@ def iterative_xcorr_matcher_w_mesh(mesh0, mesh1, loader0, loader1, spacings,
                         mesh1, _vimg(src1, 'src_valid1'), ctr,
                         block_size, src_offset=src_off1)
             else:
+                # nearly-affine blocks skip rasterization (reference fine
+                # pass: matcher.py:586-601 uses 0.1 px tolerance)
                 render0 = MeshRenderer.from_mesh(
-                    mesh0, image_loader=loader0, geodesic_mask=geodesic_mask)
+                    mesh0, image_loader=loader0, geodesic_mask=geodesic_mask,
+                    affine_approx_tol=kwargs.get('affine_approx_tol', 0.1))
                 render1 = MeshRenderer.from_mesh(
-                    mesh1, image_loader=loader1, geodesic_mask=geodesic_mask)
+                    mesh1, image_loader=loader1, geodesic_mask=geodesic_mask,
+                    affine_approx_tol=kwargs.get('affine_approx_tol', 0.1))
                 stack0, kept0 = _render_blocks(render0, ctr, block_size)
                 stack1, kept1 = _render_blocks(render1, ctr, block_size)
             keep = np.intersect1d(kept0, kept1)
