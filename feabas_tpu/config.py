@@ -122,6 +122,15 @@ def device_render():
     return bool(dev.get('render', False))
 
 
+def device_thumbnail():
+    """general_configs ``device.thumbnail``: run the thumbnail feature
+    pipeline (DoG detect, LRadon descriptors, match reduction) as device
+    programs (feabas_tpu/ops/lradon.py); per-call ``use_device=`` kwargs
+    override."""
+    dev = general_settings().get('device', {}) or {}
+    return bool(dev.get('thumbnail', True))
+
+
 def get_work_dir():
     work_dir = general_settings().get('working_directory', './work_dir')
     return storage.expand_dir(work_dir)

@@ -1,0 +1,262 @@
+"""Device thumbnail feature pipeline: DoG keypoint detection, local-Radon
+descriptor extraction, and rotation-exhaustive descriptor matching as three
+jitted programs (reference host pipeline: feabas/thumbnail.py:605-760).
+
+Design notes (tpu-first):
+- detection returns a STATIC top-k keypoint table (xy, response, valid) —
+  data-dependent counts become a validity mask so one compiled program
+  serves every section;
+- LRadon extraction rotates the whole image once per projection angle into
+  a shared max-diagonal canvas (vmapped bilinear gather), box-filters along
+  the beam axis with a cumsum (integral-image) difference instead of a
+  D-tap conv, then samples only (K, P, B) points — the same
+  rotate-once-sample-few factorization as the host path
+  (feabas_tpu/thumbnail.py:125), so descriptors agree to float tolerance;
+- matching reduces on device: similarity over all 2P rotation variants,
+  best-rotation selection, mutual-nearest check and ratio-test confidence
+  all happen in-program, so the fetch is O(K) vectors, never the
+  (R, N1, N0) similarity volume (192 MB at 2k keypoints through a
+  54 MB/s link -- the old host reduction's hidden cost).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from feabas_tpu.ops.filters import gaussian_blur
+from feabas_tpu.ops.warp import bilinear_sample
+
+
+# ------------------------- detection ------------------------- #
+
+@functools.partial(jax.jit,
+                   static_argnames=('sigma', 'size', 'k', 'has_mask'))
+def _detect_core(img, mask, sigma, size, k, has_mask):
+    import math
+    s = float(sigma)
+    f0 = gaussian_blur(img, s)
+    f1 = gaussian_blur(f0, s)
+    f = f0 - f1
+    if has_mask:
+        ptp = jnp.max(img) - jnp.min(img)
+        mask_img = ptp * (mask == 0).astype(img.dtype)
+        sc = math.sqrt(2.0) * s
+        maskf = gaussian_blur(mask_img, sc) * (sc ** 2) / (s ** 2)
+        f = jnp.clip(jnp.abs(f) - maskf, 0, None) * jnp.sign(f)
+    f = jnp.abs(f)                      # both polarities, like the host path
+    # local maxima: max-pool with -inf padding == maximum_filter with
+    # replicate padding (the replicated values are copies of in-window
+    # pixels, so both reduce over the window's valid intersection)
+    mx = jax.lax.reduce_window(f, -jnp.inf, jax.lax.max,
+                               (size, size), (1, 1), 'SAME')
+    peaks = (f >= mx) & (f > 0)
+    if has_mask:
+        peaks = peaks & (mask > 0)
+    h, w = f.shape
+    resp = jnp.where(peaks, f, -jnp.inf).ravel()
+    vals, idx = jax.lax.top_k(resp, k)
+    yy = idx // w
+    xx = idx % w
+    valid = jnp.isfinite(vals)
+    # subpixel: 1D quadratic fit along each axis at interior peaks
+    inner = (yy > 0) & (yy < h - 1) & (xx > 0) & (xx < w - 1) & valid
+    yc = jnp.clip(yy, 1, h - 2)
+    xc = jnp.clip(xx, 1, w - 2)
+    c0 = f[yc, xc]
+    cxx = f[yc, xc - 1] + f[yc, xc + 1] - 2 * c0
+    cyy = f[yc - 1, xc] + f[yc + 1, xc] - 2 * c0
+    ox = jnp.where(cxx < 0, (f[yc, xc - 1] - f[yc, xc + 1]) / (2 * cxx), 0.0)
+    oy = jnp.where(cyy < 0, (f[yc - 1, xc] - f[yc + 1, xc]) / (2 * cyy), 0.0)
+    xs = xx.astype(jnp.float32) + jnp.where(
+        inner, jnp.clip(ox, -0.5, 0.5), 0.0)
+    ys = yy.astype(jnp.float32) + jnp.where(
+        inner, jnp.clip(oy, -0.5, 0.5), 0.0)
+    return (jnp.stack([xs, ys], -1), jnp.where(valid, vals, 0.0), valid,
+            yy, xx)
+
+
+def detect_log_device(img, mask=None, sigma=3.5, min_spacing=10,
+                      num_features=5000):
+    """Device DoG + local-max detection. Returns host arrays
+    (xy (n, 2) f64, resp (n,), iyx (n, 2) int — integer peak locations for
+    mask/class lookups), n <= num_features, response-sorted descending."""
+    img = jnp.asarray(np.asarray(img, np.float32))
+    has_mask = mask is not None
+    m = jnp.asarray(np.asarray(mask, np.float32)) if has_mask \
+        else jnp.zeros((1, 1), jnp.float32)
+    size = max(int(round(min_spacing)), 3)
+    k = int(num_features) if num_features and num_features > 0 else 5000
+    k = min(k, img.shape[0] * img.shape[1])
+    xy, resp, valid, yy, xx = _detect_core(img, m, float(sigma), size, k,
+                                           has_mask)
+    valid = np.asarray(valid)
+    n = int(valid.sum())
+    return (np.asarray(xy, np.float64)[:n], np.asarray(resp)[:n],
+            np.stack([np.asarray(yy)[:n], np.asarray(xx)[:n]], -1))
+
+
+# ------------------------- LRadon descriptors ------------------------- #
+
+def _box_blur_axis(W, width, axis):
+    """Mean filter of odd ``width`` along ``axis`` with replicate borders
+    via an integral-image difference (matches cv2.blur BORDER_REPLICATE)."""
+    if width <= 1:
+        return W
+    r = (width - 1) // 2
+    pad = [(0, 0)] * W.ndim
+    pad[axis] = (r + 1, r)
+    x = jnp.pad(W, pad, mode='edge')
+    c = jnp.cumsum(x, axis=axis)
+    n = W.shape[axis]
+    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+    hi = jax.lax.slice_in_dim(c, width, width + n, axis=axis)
+    return (hi - lo) / width
+
+
+@functools.partial(jax.jit, static_argnames=('proj_num', 'beam_num',
+                                             'beam_wd', 'D', 'hc', 'wc',
+                                             'margin'))
+def _lradon_core(img, xy, offs, proj_num, beam_num, beam_wd, D, hc, wc,
+                 margin):
+    h, w = img.shape
+    t = jnp.arange(proj_num) * (np.pi / proj_num)
+    c = jnp.cos(t)
+    s = jnp.sin(t)
+    corners = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
+                           [0.0, h - 1.0], [w - 1.0, h - 1.0]])
+
+    def one_angle(ci, si):
+        # Rinv = [[c, -s], [s, c]] (row-vector right-multiply convention
+        # of the host path: q = p @ Rinv.T + q0)
+        cx = corners[:, 0] * ci - corners[:, 1] * si
+        cy = corners[:, 0] * si + corners[:, 1] * ci
+        q0x = -jnp.min(cx) + margin
+        q0y = -jnp.min(cy) + margin
+        # canvas pixel (y, x) samples img at R(t) @ ([x, y] - q0)
+        gx = jnp.arange(wc, dtype=jnp.float32)[None, :] - q0x
+        gy = jnp.arange(hc, dtype=jnp.float32)[:, None] - q0y
+        sx = gx * ci + gy * si
+        sy = -gx * si + gy * ci
+        # replicate border: clip coords into the image
+        sx = jnp.clip(sx, 0.0, w - 1.0)
+        sy = jnp.clip(sy, 0.0, h - 1.0)
+        W = bilinear_sample(img, sx, sy, 0.0)
+        W = _box_blur_axis(W, D, 1)            # beam integral along x
+        W = _box_blur_axis(W, beam_wd, 0)      # offset smoothing along y
+        kx = xy[:, 0] * ci - xy[:, 1] * si + q0x            # (K,)
+        ky = xy[:, 0] * si + xy[:, 1] * ci + q0y
+        px = jnp.broadcast_to(kx[:, None], (xy.shape[0], beam_num))
+        py = ky[:, None] + offs[None, :]                    # (K, B)
+        # same clipped bilinear rule as the host sampler
+        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wc - 2)
+        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, hc - 2)
+        fx = jnp.clip(px - x0, 0.0, 1.0)
+        fy = jnp.clip(py - y0, 0.0, 1.0)
+        return ((W[y0, x0] * (1 - fy) + W[y0 + 1, x0] * fy) * (1 - fx)
+                + (W[y0, x0 + 1] * (1 - fy) + W[y0 + 1, x0 + 1] * fy) * fx)
+
+    des = jax.vmap(one_angle)(c, s)            # (P, K, B)
+    des = jnp.transpose(des, (1, 0, 2))        # (K, P, B)
+    des = des - des.mean(axis=(1, 2), keepdims=True)
+    nrm = jnp.linalg.norm(des.reshape(des.shape[0], -1), axis=-1)
+    return des / jnp.clip(nrm, 1e-6, None)[:, None, None]
+
+
+def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
+                              beam_radius=15):
+    """Device LRadon descriptors for keypoints ``xy`` (n, 2).
+    Returns a device (n_pad, P, B) f32 array and n (callers slice)."""
+    img = jnp.asarray(np.asarray(img, np.float32))
+    h, w = img.shape
+    r = float(beam_radius)
+    D = 2 * int(round(r)) + 1
+    ax = np.linspace(-r, r, D)
+    idx = np.linspace(0, D - 1, beam_num).round().astype(np.int64)
+    offs = jnp.asarray(ax[idx], jnp.float32)
+    margin = int(np.ceil(r)) + 2
+    diag = int(np.ceil(np.hypot(h - 1, w - 1)))
+    hc = wc = diag + 2 * margin + 1
+    n = int(np.asarray(xy).shape[0])
+    # pad the keypoint count to pow2 buckets so compiled signatures are
+    # shared across sections
+    n_pad = max(64, 1 << (n - 1).bit_length()) if n else 64
+    xyp = np.zeros((n_pad, 2), np.float32)
+    if n:
+        xyp[:n] = np.asarray(xy, np.float32)
+    des = _lradon_core(img, jnp.asarray(xyp), offs, int(proj_num),
+                       int(beam_num), int(beam_wd), D, hc, wc, margin)
+    return des, n
+
+
+# ------------------------- matching ------------------------- #
+
+def _variants(des, proj_num):
+    """(2P, K, P*B) rotation variants on device: rotating the image by
+    k*pi/P cyclically shifts projections (flipping the offset axis past
+    the wrap); the second P variants add a half-turn (full flip)."""
+    k0 = des.shape[0]
+    base = [des, des[:, :, ::-1]]
+    out = []
+    for b in base:
+        for k in range(proj_num):
+            rolled = jnp.roll(b, -k, axis=1)
+            if k > 0:
+                rolled = jnp.concatenate(
+                    [rolled[:, :proj_num - k],
+                     rolled[:, proj_num - k:, ::-1]], axis=1)
+            out.append(rolled.reshape(k0, -1))
+    return jnp.stack(out)
+
+
+@functools.partial(jax.jit, static_argnames=('proj_num', 'exhaustive'))
+def _match_core(d0, n0, d1, n1, proj_num, exhaustive):
+    k0 = d0.shape[0]
+    k1 = d1.shape[0]
+    v0 = jnp.arange(k0) < n0
+    v1 = jnp.arange(k1) < n1
+    a0 = d0.reshape(k0, -1)
+    if exhaustive:
+        variants = _variants(d1, proj_num)          # (R, K1, PB)
+        sims = jnp.einsum('rnd,md->rnm', variants, a0,
+                          precision=jax.lax.Precision.HIGHEST)
+        vmask = v1[None, :, None] & v0[None, None, :]
+        sims = jnp.where(vmask, sims, -jnp.inf)
+        best_rot = jnp.argmax(jnp.max(sims, axis=(1, 2)))
+        S = sims[best_rot]                           # (K1, K0)
+    else:
+        S = jnp.einsum('nd,md->nm', d1.reshape(k1, -1), a0,
+                       precision=jax.lax.Precision.HIGHEST)
+        S = jnp.where(v1[:, None] & v0[None, :], S, -jnp.inf)
+        best_rot = jnp.int32(0)
+    i0 = jnp.argmax(S, axis=1)                       # (K1,)
+    top = jnp.max(S, axis=1)
+    S2 = jnp.where(jax.nn.one_hot(i0, k0, dtype=bool), -jnp.inf, S)
+    second = jnp.max(S2, axis=1)
+    back = jnp.argmax(S, axis=0)                     # (K0,)
+    mutual = back[i0] == jnp.arange(k1)
+    conf = jnp.where(top > 0,
+                     1 - jnp.clip(second, 0, None)
+                     / jnp.clip(top, 1e-6, None), 0.0)
+    return i0, top, conf, mutual & v1, best_rot
+
+
+def match_lradon_device(des0, n0, des1, n1, exhaustive=True,
+                        conf_thresh=0.5):
+    """Mutual-nearest descriptor matching with the reduction on device.
+    des0/des1: (K_pad, P, B) device arrays from
+    ``lradon_descriptors_device``. Returns (idx0, idx1, conf, best_rot)
+    exactly like the host ``match_LRadon_feature``."""
+    if n0 == 0 or n1 == 0:
+        return (np.zeros(0, int), np.zeros(0, int), np.zeros(0), 0)
+    proj_num = int(des0.shape[1])
+    i0, top, conf, mutual, best_rot = _match_core(
+        des0, np.int32(n0), des1, np.int32(n1), proj_num, bool(exhaustive))
+    i0 = np.asarray(i0)[:n1]
+    top = np.asarray(top)[:n1]
+    conf = np.asarray(conf)[:n1]
+    mutual = np.asarray(mutual)[:n1]
+    keep = mutual & (conf > conf_thresh) & (top > 0.1)
+    i1 = np.arange(n1)
+    return i0[keep], i1[keep], conf[keep], int(best_rot)

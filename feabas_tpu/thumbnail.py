@@ -82,9 +82,26 @@ class KeyPointMatches:
 
 
 def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
-                       num_features=5000):
+                       num_features=5000, use_device=None):
     """DoG band-pass + local-maximum keypoints (reference:
-    thumbnail.py:605). Returns a KeyPoints (both polarities kept)."""
+    thumbnail.py:605). Returns a KeyPoints (both polarities kept).
+
+    With ``use_device`` (default: general_configs ``device.thumbnail``)
+    the whole detect program — DoG, max-pool peaks, top-k, subpixel
+    quadratic fit — runs as ONE jitted dispatch and only the (k, 2)
+    keypoint table is fetched."""
+    if use_device is None:
+        use_device = config.device_thumbnail()
+    if use_device:
+        from feabas_tpu.ops import lradon
+        xy, resp, iyx = lradon.detect_log_device(
+            img, mask=mask, sigma=sigma, min_spacing=min_spacing,
+            num_features=num_features)
+        kp = KeyPoints(xy, resp)
+        if mask is not None and np.asarray(mask).dtype != bool:
+            kp.class_id = np.asarray(mask)[iyx[:, 0],
+                                           iyx[:, 1]].astype(np.int32)
+        return kp
     f = common.masked_dog_filter(np.asarray(img, np.float32), sigma,
                                  mask=mask, signed=False)
     size = max(int(round(min_spacing)), 3)
@@ -123,7 +140,7 @@ def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
 
 
 def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
-                           beam_radius=15, **kwargs):
+                           beam_radius=15, use_device=None, **kwargs):
     """Local Radon descriptors (reference: thumbnail.py:634).
 
     For each keypoint, a disk patch is integrated along ``proj_num`` beam
@@ -148,6 +165,19 @@ def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
     n = kps.num_points
     if n == 0:
         kps.des = np.zeros((0, proj_num, beam_num), np.float32)
+        return kps
+    if use_device is None:
+        use_device = config.device_thumbnail()
+    if use_device:
+        from feabas_tpu.ops import lradon
+        des, _ = lradon.lradon_descriptors_device(
+            img, kps.xy, proj_num=proj_num, beam_num=beam_num,
+            beam_wd=beam_wd, beam_radius=beam_radius)
+        # fetched to host (K*P*B f32, ~1 MB at 5k keypoints) so the
+        # robustness loop's per-round keypoint slicing works unchanged;
+        # fetch-then-slice: an eager device slice is UNIMPLEMENTED on
+        # tunneled backends (CLAUDE.md)
+        kps.des = np.asarray(des)[:n]
         return kps
     r = float(beam_radius)
     D = 2 * int(round(r)) + 1        # beam-integral box width (odd int)
@@ -194,55 +224,34 @@ def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
     return kps
 
 
-def _rotation_variants(des, proj_num):
-    """All cyclic rotations of the descriptor set: rotating the image by
-    k*pi/proj_num shifts projections by k and flips the offset axis once
-    past the wrap. Returns (2*proj_num, N, P*B)."""
-    n = des.shape[0]
-    out = []
-    for k in range(proj_num):
-        rolled = np.roll(des, -k, axis=1)
-        if k > 0:
-            rolled = rolled.copy()
-            rolled[:, -k:, :] = rolled[:, -k:, ::-1]
-        out.append(rolled.reshape(n, -1))
-    for k in range(proj_num):  # + half-turn (full flip)
-        rolled = np.roll(des[:, :, ::-1], -k, axis=1)
-        if k > 0:
-            rolled = rolled.copy()
-            rolled[:, -k:, :] = rolled[:, -k:, ::-1]
-        out.append(rolled.reshape(n, -1))
-    return np.stack(out)
-
-
 def match_LRadon_feature(kps0, kps1, exhaustive=True, conf_thresh=0.5,
                          **kwargs):
     """Descriptor matching over rotations with ratio-test confidence
-    (reference: thumbnail.py:703). Returns (idx0, idx1, conf, rot_k)."""
+    (reference: thumbnail.py:703). Returns (idx0, idx1, conf, rot_k).
+
+    The similarity volume AND its reduction (best rotation, mutual-
+    nearest, ratio test) run in one device program (ops/lradon): the
+    fetch is O(K) vectors, never the (2P, N1, N0) similarity tensor —
+    192 MB at 2k keypoints, which the old host reduction shipped through
+    the link."""
     if kps0.num_points == 0 or kps1.num_points == 0:
         return (np.zeros(0, int), np.zeros(0, int), np.zeros(0), 0)
-    proj_num = kps0.des.shape[1]
-    d0 = kps0.des.reshape(kps0.num_points, -1)
-    variants = _rotation_variants(kps1.des, proj_num) if exhaustive \
-        else kps1.des.reshape(1, kps1.num_points, -1)
-    # device matmul: (R, N1, D) x (D, N0) -> (R, N1, N0)
     import jax.numpy as jnp
-    sims = np.asarray(jnp.einsum('rnd,md->rnm', jnp.asarray(variants),
-                                 jnp.asarray(d0)))
-    best_rot = int(np.argmax(sims.max(axis=(1, 2))))
-    S = sims[best_rot]                                        # (N1, N0)
-    i1 = np.arange(S.shape[0])
-    i0 = np.argmax(S, axis=1)
-    top = S[i1, i0]
-    S2 = S.copy()
-    S2[i1, i0] = -np.inf
-    second = S2.max(axis=1)
-    # mutual check
-    back = np.argmax(S, axis=0)
-    mutual = back[i0] == i1
-    conf = np.where(top > 0, 1 - np.clip(second, 0, None) / np.clip(top, 1e-6, None), 0)
-    keep = mutual & (conf > conf_thresh) & (top > 0.1)
-    return i0[keep], i1[keep], conf[keep], best_rot
+    from feabas_tpu.ops import lradon
+    n0 = kps0.num_points
+    n1 = kps1.num_points
+    shape = kps0.des.shape[1:]
+
+    def _pad(des, n):
+        p = max(64, 1 << (n - 1).bit_length())
+        out = np.zeros((p,) + shape, np.float32)
+        out[:n] = des
+        return jnp.asarray(out)
+
+    return lradon.match_lradon_device(_pad(kps0.des, n0), n0,
+                                      _pad(kps1.des, n1), n1,
+                                      exhaustive=exhaustive,
+                                      conf_thresh=conf_thresh)
 
 
 def filter_match_pairwise_strain(xy0, xy1, conf=None, strain_limit=0.2,
