@@ -140,9 +140,15 @@ def main():
     window_dt, window_dof = _bench_window_solve()
 
     # ---- render + mipmap, thumbnail, align-stage (BASELINE configs) ----
-    render_host_mbps, render_dev_mbps, mip_mbps = _bench_render_mipmap()
-    thumb_s, thumb_err = _bench_thumbnail()
-    align_sph, align_p90 = _bench_align_stack()
+    render_host_mbps, render_dev_mbps, mip_mbps, mip_ref_mbps = \
+        _bench_render_mipmap()
+    thumb_s, thumb_cpu_s, thumb_err = _bench_thumbnail()
+    winopt_sph, align_p90 = _bench_align_stack()
+    align_sph, align_e2e_p90 = _bench_align_e2e()
+    cpu_align_sph = _run_cpu_subprocess('cpu_align_e2e_worker',
+                                        'cpu_align_sph')
+    cpu_window_s = _run_cpu_subprocess('cpu_window_solve_worker',
+                                       'cpu_window_solve_s')
 
     import os
     backend = os.environ.get('FEABAS_TPU_BENCH_BACKEND') \
@@ -169,12 +175,30 @@ def main():
         'elastic_fold_parity_px': round(elastic_bump_px, 3),
         'render_host_MBps': round(render_host_mbps, 1),
         'render_device_MBps': round(render_dev_mbps, 1),
+        'render_vs_baseline': round(render_dev_mbps
+                                    / max(render_host_mbps, 1e-9), 2),
         'mipmap_MBps': round(mip_mbps, 1),
+        'mipmap_ref_pipeline_MBps': round(mip_ref_mbps, 1),
+        'mipmap_vs_baseline': round(mip_mbps / max(mip_ref_mbps, 1e-9), 2),
         'thumbnail_pair_s': round(thumb_s, 3),
+        'thumbnail_cpu_pair_s': round(thumb_cpu_s, 3),
+        'thumbnail_vs_baseline': round(thumb_cpu_s / max(thumb_s, 1e-9), 2),
         'thumbnail_err_px': round(thumb_err, 3),
-        'align_sections_per_hour': round(align_sph, 1),
+        'align_e2e_sections_per_hour': round(align_sph, 1),
+        'align_e2e_cpu_sections_per_hour': (
+            None if not cpu_align_sph else round(cpu_align_sph, 1)),
+        'align_vs_baseline': (
+            None if not cpu_align_sph
+            else round(align_sph / cpu_align_sph, 2)),
+        'align_e2e_residue_p90_px': round(align_e2e_p90, 3),
+        'window_opt_sections_per_hour': round(winopt_sph, 1),
         'align_residue_p90_px': round(align_p90, 3),
         'window_solve_s': round(window_dt, 3),
+        'window_solve_cpu_s': (None if not cpu_window_s
+                               else round(cpu_window_s, 3)),
+        'window_solve_vs_baseline': (
+            None if not cpu_window_s
+            else round(cpu_window_s / window_dt, 2)),
         'window_solve_dof': int(window_dof),
         'device_xcorr_blockpairs_per_sec': round(tpu_rate, 1),
         'device_xcorr_vs_cpu': round(tpu_rate / cpu_rate, 2),
@@ -471,15 +495,34 @@ def _bench_render_mipmap(tmp_root='/tmp/feabas_tpu_bench_render'):
                   os.path.join(tmp_root, 'mip1'), tile_size=(2048, 2048),
                   fmt='png')
     mip_mbps = in_bytes / max(time.perf_counter() - t0, 1e-9) / 1e6
+    # reference-SHAPED mip baseline: the reference downsamples by
+    # rendering an identity mesh at scale 1/2 through its MeshRenderer
+    # (reference mipmap.py:71 -> render_whole_mesh, affine_approx_tol
+    # 1e-2); measure that same construction here on the same tiles
+    from feabas_tpu.renderer import render_whole_mesh
+    from feabas_tpu.dal import StaticImageLoader
+    loader2 = StaticImageLoader.from_coordinate_file(
+        os.path.join(src_dir, 'metadata.txt'))
+    mesh_id = Mesh.from_bbox((0, 0, N, N), cartesian=True,
+                             mesh_size=N / 4, resolution=4)
+    ref_dir = os.path.join(tmp_root, 'mip1_ref')
+    os.makedirs(ref_dir, exist_ok=True)
+    t0 = time.perf_counter()
+    render_whole_mesh(mesh_id, loader2, os.path.join(ref_dir, 's_'),
+                      tile_size=(2048, 2048), scale=0.5,
+                      interpolation=cv2.INTER_AREA, affine_approx_tol=1e-2,
+                      device_render=False)
+    mip_ref_mbps = in_bytes / max(time.perf_counter() - t0, 1e-9) / 1e6
     shutil.rmtree(tmp_root, ignore_errors=True)
-    return host_mbps, dev_mbps, mip_mbps
+    return host_mbps, dev_mbps, mip_mbps, mip_ref_mbps
 
 
 def _bench_thumbnail():
     """Thumbnail feature pipeline (BASELINE config 2): LRadon detect/
     describe/match + sequential RANSAC on one 512^2 section pair
-    (production thumbnail scale). Returns
-    (seconds_per_pair, alignment_err_px)."""
+    (production thumbnail scale), device programs (ops/lradon) vs the
+    host numpy/cv2 path (the reference's pipeline shape). Returns
+    (device_seconds, host_seconds, alignment_err_px)."""
     from scipy.ndimage import gaussian_filter
     from feabas_tpu.thumbnail import match_two_thumbnails_LRadon
     rng = np.random.default_rng(6)
@@ -492,14 +535,25 @@ def _bench_thumbnail():
     M = np.float32([[1, 0, -t[0]], [0, 1, -t[1]]])
     img1 = cv2.warpAffine(world, M, world.shape[::-1],
                           flags=cv2.INTER_LINEAR)[32:32 + n, 32:32 + n]
-    settings = {'detect_settings': {'min_spacing': 16}, 'max_rounds': 2}
-    match = match_two_thumbnails_LRadon(img0, img1, **settings)  # warm-up
-    assert match is not None and match.xy0.shape[0] >= 8, 'thumbnail bench'
-    t0 = time.perf_counter()
-    match = match_two_thumbnails_LRadon(img0, img1, **settings)
-    dt = time.perf_counter() - t0
-    err = np.linalg.norm((match.xy0 - match.xy1) - t, axis=-1)
-    return dt, float(np.median(err))
+    s_dev = {'detect_settings': {'min_spacing': 16, 'use_device': True},
+             'extract_settings': {'use_device': True}, 'max_rounds': 2}
+    s_host = {'detect_settings': {'min_spacing': 16, 'use_device': False},
+              'extract_settings': {'use_device': False}, 'max_rounds': 2}
+
+    def run(settings):
+        match = match_two_thumbnails_LRadon(img0, img1, **settings)  # warm
+        assert match is not None and match.xy0.shape[0] >= 8, 'thumb bench'
+        dts = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            match = match_two_thumbnails_LRadon(img0, img1, **settings)
+            dts.append(time.perf_counter() - t0)
+        err = np.linalg.norm((match.xy0 - match.xy1) - t, axis=-1)
+        return min(dts), float(np.median(err))
+
+    dev_dt, dev_err = run(s_dev)
+    host_dt, _ = run(s_host)
+    return dev_dt, host_dt, dev_err
 
 
 def _bench_align_stack():
@@ -559,6 +613,132 @@ def _bench_align_stack():
         res.append(link.residues(gear=1))
     p90 = float(np.quantile(np.concatenate(res), 0.9))
     return S / dt * 3600.0, p90
+
+
+def _build_align_workdir(root, S=12, ext=3000, mesh_size=100):
+    """Synthetic on-disk align stack: S section meshes (H5) + neighbor
+    match files (H5) carrying cumulative drift + a z-varying smooth warp.
+    Returns (mesh_dir, match_dir, tform_dir)."""
+    import os
+    import shutil
+    from feabas_tpu.aligner import save_matches_to_h5, match_name
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.common import Match
+    shutil.rmtree(root, ignore_errors=True)
+    mesh_dir = os.path.join(root, 'mesh')
+    match_dir = os.path.join(root, 'match')
+    tform_dir = os.path.join(root, 'tform')
+    for d in (mesh_dir, match_dir, tform_dir):
+        os.makedirs(d, exist_ok=True)
+    rng = np.random.default_rng(8)
+    names = [f's{z:03d}' for z in range(S)]
+    drift = np.cumsum(rng.normal(0, 3.0, (S, 2)), axis=0)
+    xs, ys = np.meshgrid(np.linspace(100, ext - 100, 12),
+                         np.linspace(100, ext - 100, 12))
+    pts = np.stack([xs.ravel(), ys.ravel()], -1)
+
+    def warp(z):
+        ph = 2 * np.pi * z / S
+        wx = 1.5 * np.sin(pts[:, 0] / 900 + ph) * np.cos(pts[:, 1] / 1100)
+        wy = 1.5 * np.cos(pts[:, 0] / 1000 - ph) * np.sin(pts[:, 1] / 800)
+        return np.stack([wx, wy], -1)
+
+    for z, n in enumerate(names):
+        m = Mesh.from_bbox((0, 0, ext, ext), cartesian=True,
+                           mesh_size=mesh_size, name=n, uid=z, resolution=4)
+        m.save_to_h5(os.path.join(mesh_dir, n + '.h5'))
+        if z:
+            delta = drift[z] - drift[z - 1]
+            mt = Match(pts + warp(z - 1), pts + warp(z) + delta,
+                       np.ones(len(pts)), 0.01)
+            save_matches_to_h5(os.path.join(
+                match_dir, match_name(names[z - 1], n)), mt, 4)
+    return mesh_dir, match_dir, tform_dir
+
+
+def _bench_align_e2e(root='/tmp/feabas_tpu_bench_align'):
+    """Align OPTIMIZATION stage end to end (BASELINE config 3): mesh H5
+    loads -> match H5 loads -> link building -> sliding-window elastic
+    solves -> tform H5 writes, on a 12-section on-disk stack. Returns
+    (sections_per_hour, residue_p90_px)."""
+    import os
+    from feabas_tpu.aligner import Stack
+    from feabas_tpu.optimizer import Link
+    mesh_dir, match_dir, tform_dir = _build_align_workdir(root)
+
+    from feabas_tpu.storage import join_paths
+
+    def run(tdir):
+        os.makedirs(tdir, exist_ok=True)
+        stack = Stack(mesh_dir=mesh_dir, match_dir=match_dir,
+                      tform_dir=tdir, resolution=4)
+
+        def commit(name, mesh):
+            mesh.save_to_h5(join_paths(tdir, name + '.h5'))
+
+        stack.optimize_slide_window(window_size=8, buffer_size=2,
+                                    start_loc='L', residue_len=3,
+                                    commit_fn=commit)
+        return stack
+
+    run(os.path.join(tform_dir, 'warm'))        # compile warm-up
+    t0 = time.perf_counter()
+    stack = run(tform_dir)
+    dt = time.perf_counter() - t0
+    res = []
+    for (a, b) in stack.match_list:
+        m0 = stack.get_mesh(a)
+        m1 = stack.get_mesh(b)
+        mt = stack.get_match((a, b))
+        link = Link.from_coordinates(m0, m1, mt.xy0, mt.xy1,
+                                     weight=mt.weight)
+        res.append(link.residues(gear=1))
+    p90 = float(np.quantile(np.concatenate(res), 0.9))
+    n_tf = len([f for f in os.listdir(tform_dir) if f.endswith('.h5')])
+    assert n_tf >= stack.num_sections - 1, ('tforms written', n_tf)
+    return stack.num_sections / dt * 3600.0, p90
+
+
+def cpu_align_e2e_worker():
+    """Subprocess body: the SAME end-to-end align stage on the host CPU
+    backend (the reference's compute substrate)."""
+    sph, p90 = _bench_align_e2e(root='/tmp/feabas_tpu_bench_align_cpu')
+    print(json.dumps({'cpu_align_sph': sph}))
+
+
+def cpu_window_solve_worker():
+    """Subprocess body: the 64-section window solve on the CPU backend."""
+    dt, dof = _bench_window_solve()
+    print(json.dumps({'cpu_window_solve_s': dt, 'dof': dof}))
+
+
+def _run_cpu_subprocess(func_name, key, timeout=1800):
+    """Run ``bench.<func_name>()`` with JAX pinned to CPU; returns the
+    JSON value under ``key`` or None."""
+    import os
+    import subprocess
+    import sys
+    env = dict(os.environ)
+    env['JAX_PLATFORMS'] = 'cpu'
+    env.pop('XLA_FLAGS', None)
+    env['PYTHONPATH'] = os.pathsep.join(
+        [os.path.dirname(os.path.abspath(__file__))]
+        + [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
+           if p and 'axon_site' not in p])
+    code = f'import bench; bench.{func_name}()'
+    try:
+        out = subprocess.run([sys.executable, '-c', code], env=env,
+                             capture_output=True, text=True,
+                             timeout=timeout,
+                             cwd=os.path.dirname(os.path.abspath(__file__)))
+        for line in out.stdout.strip().splitlines()[::-1]:
+            try:
+                return float(json.loads(line)[key])
+            except Exception:
+                continue
+    except Exception:
+        pass
+    return None
 
 
 def _bench_window_solve():
