@@ -137,7 +137,20 @@ def main():
     elastic_px, elastic_bump_px = _bench_elastic_parity()
 
     # ---- 64-section window elastic solve ----
-    window_dt, window_dof = _bench_window_solve()
+    window_dt, window_dof, _ = _bench_window_solve()
+
+    # ---- production-window scale proof: 64+16 sections, ~2M DOF, ----
+    # wrinkle-softened heterogeneous stiffness (PERF_NOTES convergence
+    # study); single repeat — the point is iteration flatness + wall
+    # time at scale, not a throughput statistic. Device-only: the same
+    # solve on the 1-vCPU host takes tens of minutes.
+    big_dt = big_dof = big_iters = None
+    if jax.devices()[0].platform != 'cpu':
+        try:
+            big_dt, big_dof, big_iters = _bench_window_solve(
+                mesh_size=27, S=80, maxiter=1000, repeats=1, wrinkle=True)
+        except Exception as e:
+            print(f'# window_solve_2m skipped: {e!r}', flush=True)
 
     # ---- render + mipmap, thumbnail, align-stage (BASELINE configs) ----
     render_host_mbps, render_dev_mbps, mip_mbps, mip_ref_mbps = \
@@ -200,6 +213,10 @@ def main():
             None if not cpu_window_s
             else round(cpu_window_s / window_dt, 2)),
         'window_solve_dof': int(window_dof),
+        'window_solve_2m_s': None if big_dt is None else round(big_dt, 3),
+        'window_solve_2m_dof': None if big_dof is None else int(big_dof),
+        'window_solve_2m_iters': (None if big_iters is None
+                                  else int(big_iters)),
         'device_xcorr_blockpairs_per_sec': round(tpu_rate, 1),
         'device_xcorr_vs_cpu': round(tpu_rate / cpu_rate, 2),
     }))
@@ -708,7 +725,7 @@ def cpu_align_e2e_worker():
 
 def cpu_window_solve_worker():
     """Subprocess body: the 64-section window solve on the CPU backend."""
-    dt, dof = _bench_window_solve()
+    dt, dof, _ = _bench_window_solve()
     print(json.dumps({'cpu_window_solve_s': dt, 'dof': dof}))
 
 
@@ -741,16 +758,20 @@ def _run_cpu_subprocess(func_name, key, timeout=1800):
     return None
 
 
-def _bench_window_solve():
-    """One 64-section window relaxation (~160k DOF) on device; returns
-    (seconds, dof)."""
+def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
+                        wrinkle=False):
+    """One S-section window relaxation on device; returns
+    (seconds, dof, iters). Defaults reproduce the ~160k-DOF round-1
+    metric; main() also runs the production-window 2M-DOF point
+    (S=80, mesh_size=27, wrinkle-softened bands — convergence study in
+    PERF_NOTES.md)."""
     from feabas_tpu.mesh import Mesh
     from feabas_tpu.parallel.window import build_stack_system, stack_solve
     rng = np.random.default_rng(0)
-    S = 64
     meshes = []
     for z in range(S):
-        m = Mesh.from_bbox((0, 0, 3000, 3000), cartesian=True, mesh_size=86,
+        m = Mesh.from_bbox((0, 0, 3000, 3000), cartesian=True,
+                           mesh_size=mesh_size,
                            uid=z, name=f'z{z}', resolution=4)
         m.set_translation((0, 0))
         meshes.append(m)
@@ -773,6 +794,19 @@ def _bench_window_solve():
     dof = int(system['u'].size)
     import jax.numpy as jnp
     from feabas_tpu.ops import fem
+    if wrinkle:
+        # heterogeneous stiffness: a soft diagonal wrinkle band per
+        # section (multiplier x0.02, the wrinkle-relaxation regime) —
+        # the condition-number spike the preconditioner must survive
+        mult = np.asarray(system['multiplier']).copy()
+        t0s = (system['tris'] if np.asarray(system['tris']).ndim == 2
+               else system['tris'][0])
+        for z in range(S):
+            v0 = np.asarray(system['verts0'][z])
+            cent = v0[np.asarray(t0s)].mean(axis=1)
+            band = np.abs(cent[:, 0] - cent[:, 1] - (z % 7 - 3) * 150) < 60
+            mult[z, band] *= 0.02
+        system['multiplier'] = mult
     keys = ('verts0', 'u', 'tris', 'multiplier', 'poisson')
     args = {k: jnp.asarray(system[k]) for k in keys}
     args['links'] = tuple(jnp.asarray(a) for a in system['links'])
@@ -790,19 +824,19 @@ def _bench_window_solve():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
-                           lam_s=0.1, maxiter=500, inc=inc, imask=imask)
+                           lam_s=0.1, maxiter=maxiter, inc=inc, imask=imask)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())
     dts = []
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         u_new, n_it, res = run()
         # force a value fetch; block_until_ready is unreliable through the
         # tunnel (CLAUDE.md)
         _ = float(np.asarray(u_new).sum())
         dts.append(time.perf_counter() - t0)
-    return min(dts), dof
+    return min(dts), dof, int(np.asarray(n_it))
 
 
 def _accelerator_alive(timeout=540):

@@ -67,8 +67,67 @@ def base_name(path):
     return str(path).rstrip('/').rsplit('/', 1)[-1]
 
 
+class _FakeBlob:
+    """Local-FS stand-in for google.cloud.storage.Blob (same call surface
+    the rest of this module uses). Activated by FEABAS_TPU_FAKE_GCS_ROOT —
+    lets zero-egress environments drive every gs:// code path (cloud
+    staging, exists caching, H5 temp staging) against a directory tree."""
+
+    def __init__(self, root, bucket, name):
+        self.name = name
+        self._p = os.path.join(root, bucket, *name.split('/'))
+
+    def exists(self):
+        return os.path.isfile(self._p)
+
+    def download_as_bytes(self):
+        with open(self._p, 'rb') as f:
+            return f.read()
+
+    def upload_from_string(self, data):
+        os.makedirs(os.path.dirname(self._p), exist_ok=True)
+        if isinstance(data, str):
+            data = data.encode()
+        tmp = self._p + '.tmp%d' % os.getpid()
+        with open(tmp, 'wb') as f:
+            f.write(data)
+        os.replace(tmp, self._p)
+
+    def delete(self):
+        os.remove(self._p)
+
+
+class _FakeBucket:
+    def __init__(self, root, name):
+        self._root = root
+        self._name = name
+
+    def blob(self, name):
+        return _FakeBlob(self._root, self._name, name)
+
+    def list_blobs(self, prefix=''):
+        base = os.path.join(self._root, self._name)
+        for dirpath, _, files in os.walk(base):
+            for fn in files:
+                full = os.path.join(dirpath, fn)
+                name = os.path.relpath(full, base).replace(os.sep, '/')
+                if name.startswith(prefix):
+                    yield _FakeBlob(self._root, self._name, name)
+
+
+class _FakeGCSClient:
+    def __init__(self, root):
+        self._root = root
+
+    def bucket(self, name):
+        return _FakeBucket(self._root, name)
+
+
 @lru_cache(maxsize=1)
 def _gcs_client():
+    fake_root = os.environ.get('FEABAS_TPU_FAKE_GCS_ROOT')
+    if fake_root:
+        return _FakeGCSClient(fake_root)
     from google.cloud import storage as gcs  # noqa: lazy, optional
     return gcs.Client()
 
@@ -139,7 +198,14 @@ def remove_file(path):
                 raise
     elif driver == 'gs':
         bucket, blob = _split_bucket(p)
-        _gcs_client().bucket(bucket).blob(blob).delete()
+        b = _gcs_client().bucket(bucket).blob(blob)
+        try:
+            b.delete()
+        except Exception:
+            # match the local branch's ENOENT tolerance: the real client
+            # raises google NotFound, the fake shim FileNotFoundError
+            if b.exists():
+                raise
     _exists_cache.pop(path, None)
 
 

@@ -28,7 +28,7 @@ E0 = np.array([100.0, 0.0])      # beam lattice vectors (28 px x-overlap)
 E1 = np.array([50.0, 88.0])      # 40 px y-overlap with diagonal neighbors
 
 
-def build_section(root, min_tiles=2000, seed=3):
+def build_section(root, min_tiles=2000, seed=3, work_dir=None):
     import cv2
     from scipy.ndimage import gaussian_filter
     from feabas_tpu.multisem import beam_coordinate_vectors
@@ -74,24 +74,30 @@ def build_section(root, min_tiles=2000, seed=3):
         stage = np.array([x0, y0], float) + m_jit + rng.normal(0, 0.5, 2)
         lines.append(f'{name}\t{stage[0]:.2f}\t{stage[1]:.2f}\t'
                      f'{stage[0] + TILE:.2f}\t{stage[1] + TILE:.2f}')
-    coord_dir = os.path.join(root, 'work_dir', 'stitch', 'stitch_coord')
-    os.makedirs(coord_dir, exist_ok=True)
-    with open(os.path.join(coord_dir, 'msem0.txt'), 'w') as f:
+    from feabas_tpu import storage
+    if work_dir is None:
+        work_dir = os.path.join(root, 'work_dir')
+    coord_dir = storage.join_paths(work_dir, 'stitch', 'stitch_coord')
+    storage.makedirs(coord_dir, exist_ok=True)
+    with storage.File(storage.join_paths(coord_dir, 'msem0.txt'), 'w') as f:
         f.write('\n'.join(lines) + '\n')
     # round-trip ground truth for the final check
     np.save(os.path.join(root, 'true_pos.npy'), np.round(true_pos))
     return len(names)
 
 
-def write_configs(root):
+def write_configs(root, work_dir=None):
+    from feabas_tpu import storage
+    if work_dir is None:
+        work_dir = os.path.join(root, 'work_dir')
     os.makedirs(os.path.join(root, 'configs'), exist_ok=True)
     with open(os.path.join(root, 'configs', 'general_configs.yaml'), 'w') as f:
-        f.write(f'working_directory: {root}/work_dir\n'
+        f.write(f'working_directory: {work_dir}\n'
                 'parallel_framework: process\n'
                 'full_resolution: 4\n')
-    os.makedirs(os.path.join(root, 'work_dir', 'configs'), exist_ok=True)
-    with open(os.path.join(root, 'work_dir', 'configs',
-                           'stitching_configs.yaml'), 'w') as f:
+    storage.makedirs(storage.join_paths(work_dir, 'configs'), exist_ok=True)
+    with storage.File(storage.join_paths(work_dir, 'configs',
+                                         'stitching_configs.yaml'), 'w') as f:
         f.write('''matching:
     num_workers: 4
     min_overlap_width: 10
@@ -133,7 +139,7 @@ def run_mode(root, mode, env):
             'peak_child_rss_mb': round(max(r0, r1) / 1024, 1)}
 
 
-def check_layout(root):
+def check_layout(root, work_dir=None):
     """Solved tform vs generator ground truth (global-shift invariant).
 
     NOTE: the absolute layout error includes the fundamental sqrt(N)
@@ -142,7 +148,10 @@ def check_layout(root):
     least-squares optimum, not a solver defect. Pairwise RESIDUES are
     the solver-quality metric; both are reported."""
     true_pos = np.load(os.path.join(root, 'true_pos.npy'))
-    path = os.path.join(root, 'work_dir', 'stitch', 'tform', 'msem0.h5')
+    from feabas_tpu import storage
+    if work_dir is None:
+        work_dir = os.path.join(root, 'work_dir')
+    path = storage.join_paths(work_dir, 'stitch', 'tform', 'msem0.h5')
     sys.path.insert(0, REPO)
     from feabas_tpu.stitcher import Stitcher
     st = Stitcher.from_h5(path, load_matches=False, load_meshes=True)
@@ -164,6 +173,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--tiles', type=int, default=2000)
     ap.add_argument('--workdir', default='/tmp/msem_rehearsal')
+    ap.add_argument('--gcs', action='store_true',
+                    help='put the working directory on a gs:// bucket '
+                         '(fake-GCS shim rooted in <workdir>/fake_gcs) so '
+                         'cloud staging, exists caching, and H5 staging '
+                         'run end to end (BASELINE config 5)')
     args = ap.parse_args()
     root = args.workdir
     os.makedirs(root, exist_ok=True)
@@ -175,13 +189,22 @@ def main():
     env['PYTHONPATH'] = os.pathsep.join(
         [REPO] + [p for p in env.get('PYTHONPATH', '').split(os.pathsep)
                   if p and 'axon_site' not in p])
-    n = build_section(root, min_tiles=args.tiles)
-    write_configs(root)
+    work_dir = None
+    if args.gcs:
+        fake_root = os.path.join(root, 'fake_gcs')
+        os.makedirs(fake_root, exist_ok=True)
+        os.environ['FEABAS_TPU_FAKE_GCS_ROOT'] = fake_root
+        env['FEABAS_TPU_FAKE_GCS_ROOT'] = fake_root
+        from feabas_tpu import storage
+        storage._gcs_client.cache_clear()
+        work_dir = 'gs://msem-rehearsal/work_dir'
+    n = build_section(root, min_tiles=args.tiles, work_dir=work_dir)
+    write_configs(root, work_dir=work_dir)
     stages = [run_mode(root, m, env)
               for m in ('matching', 'optimization', 'rendering')]
-    out = {'tiles': n, 'stages': stages}
+    out = {'tiles': n, 'stages': stages, 'gcs_workdir': bool(args.gcs)}
     if all(s['rc'] == 0 for s in stages):
-        max_err, mean_err, rel_med = check_layout(root)
+        max_err, mean_err, rel_med = check_layout(root, work_dir=work_dir)
         out['layout_max_err_px'] = round(max_err, 2)
         out['layout_mean_err_px'] = round(mean_err, 3)
         out['neighbor_rel_err_px'] = round(rel_med, 3)
