@@ -1,0 +1,93 @@
+"""Multi-chip lowering guardrail (round-3 VERDICT #10).
+
+The closest proxy to real-ICI readiness available on a single-chip host:
+compile the sharded solves on the 8-virtual-device CPU mesh, then assert
+the compiled (post-SPMD-partitioning) HLO still contains the expected
+collectives and keeps the big state arrays in per-shard shapes. A change
+that silently de-shards a solve (e.g. an accidental full-gather of the
+vertex state, or a dropped sharding annotation that makes XLA replicate
+everything) flips these assertions before it ever reaches a pod slice.
+
+Reference role: feabas scales window solves out via dask/SLURM
+(feabas/concurrent.py:147, aligner.py:909); here one window's system is
+ONE XLA program spanning the mesh, so the compiled module itself is the
+distribution contract worth pinning.
+"""
+
+import numpy as np
+import pytest
+
+
+def _collective_counts(txt):
+    return {k: txt.count(k) for k in
+            ('all-reduce', 'collective-permute', 'all-gather',
+             'all-to-all', 'reduce-scatter')}
+
+
+def test_stack_solve_hlo_stays_sharded(workdir):
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from feabas_tpu.parallel.window import stack_solve, shard_stack_system
+    from test_parallel import _make_stack
+    devices = np.array(jax.devices())
+    assert devices.size == 8, 'conftest must provide 8 virtual devices'
+    jmesh = JMesh(devices, ('z',))
+    system, _ = _make_stack(S=8)
+    sh = shard_stack_system(system, jmesh)
+    args = (sh['verts0'], sh['u'], sh['tris'], sh['multiplier'],
+            sh['poisson'], sh['links'], sh['r_rest'], sh['free'])
+    comp = stack_solve.lower(*args, lam_s=0.01, maxiter=800).compile()
+    txt = comp.as_text()
+    c = _collective_counts(txt)
+    # CG dot products must be global reductions; the z-neighbor crosslink
+    # halo must ride a permute (not a host round-trip, not nothing)
+    assert c['all-reduce'] >= 1, c
+    assert c['collective-permute'] >= 1, c
+    # de-shard detector: the (S, V, 2) vertex state must live in
+    # per-shard [1, V, 2] form for the bulk of the program; a silent
+    # re-replication flips this ratio hard (everything becomes [8,...])
+    S, V = system['u'].shape[:2]
+    full = txt.count(f'f32[{S},{V},2]')
+    shard = txt.count(f'f32[{S // 8},{V},2]')
+    assert shard > full, (shard, full)
+    # and the executed result must actually come back sharded: one
+    # (1, V, 2) shard per device
+    u_new, n_it, res = stack_solve(*args, lam_s=0.01, maxiter=800)
+    assert len(u_new.sharding.device_set) == 8
+    shapes = {s.data.shape for s in u_new.addressable_shards}
+    assert shapes == {(S // 8, V, 2)}, shapes
+
+
+def test_montage_solve_hlo_stays_sharded(workdir):
+    import jax
+    from feabas_tpu.parallel import montage
+    from test_montage_sharded import _grid_slm
+    devices = jax.devices()
+    assert len(devices) == 8
+    jmesh = montage.montage_device_mesh()
+    slm, _ = _grid_slm(rows=4, cols=8)
+    system = montage.slm_montage_to_tiles(slm)
+    assert system is not None
+    system['agg'], n_agg = montage.montage_aggregates(
+        system['verts0_host'].mean(axis=1))
+    padded = montage.pad_montage_system(system, 8)
+    sh = montage.shard_montage_system(padded, jmesh)
+    args = (sh['verts0'], sh['u'], sh['tris'], sh['multiplier'],
+            sh['poisson'], sh['links'], sh['r_rest'], sh['free'])
+    kw = dict(lam_ratio=1.0, tol=1e-7, atol=0.0, maxiter=600,
+              agg=sh['agg'], n_agg=n_agg)
+    comp = montage.montage_solve.lower(*args, **kw).compile()
+    txt = comp.as_text()
+    c = _collective_counts(txt)
+    # tile-sharded montage: the CG dots AND the cross-shard link
+    # contributions (replicated link table, sharded state) all lower to
+    # all-reduce on this mesh — dozens of them; zero means de-sharded
+    assert c['all-reduce'] >= 1, c
+    Mp, V = padded['u'].shape[:2]
+    full = txt.count(f'f32[{Mp},{V},2]')
+    shard = txt.count(f'f32[{Mp // 8},{V},2]')
+    assert shard > full, (shard, full)
+    new_u, stats = montage.montage_solve(*args, **kw)
+    assert len(new_u.sharding.device_set) == 8
+    shapes = {s.data.shape for s in new_u.addressable_shards}
+    assert shapes == {(Mp // 8, V, 2)}, shapes
