@@ -118,12 +118,43 @@ def generate_equilat_grid_mask(mask, side_len, offset=(0, 0), scale=1.0):
 
 # ------------------------- mask <-> contours ------------------------- #
 
-def mask_to_contours(mask, simplify_tol=2.0, zigzag_tol=0.5):
+def _offset_ring(ring, delta, grow=True):
+    """Offset a closed polygon ring by ``delta`` px (miter joins), in the
+    direction that grows (or shrinks) its enclosed area.
+
+    cv2 contours pass through boundary-PIXEL CENTERS, half a pixel
+    inside the true region extent; offsetting the raw rectilinear ring
+    outward by 0.5 recovers the pixel-border boundary exactly (all
+    corners are right angles, where the miter join is exact). The
+    reference applies the same correction with a shapely buffer
+    ("expand by half pixel", feabas/spatial.py:138)."""
+    d = np.roll(ring, -1, axis=0) - ring
+    L = np.linalg.norm(d, axis=1, keepdims=True)
+    L[L == 0] = 1.0
+    dn = d / L
+    n = np.stack([dn[:, 1], -dn[:, 0]], axis=-1)
+    n_in = np.roll(n, 1, axis=0)
+    # miter: vertex moves along the normal bisector so both adjacent
+    # edges shift by exactly delta; clamp the denominator so 1-px-wide
+    # out-and-back spikes (180-degree turns) stay finite
+    denom = np.maximum(1.0 + (dn * np.roll(dn, 1, axis=0)).sum(axis=1),
+                       0.5)[:, None]
+    for sign in (delta, -delta):
+        cand = ring + sign * (n + n_in) / denom
+        if (ring_area(cand) >= ring_area(ring)) == bool(grow):
+            return cand
+    return cand
+
+
+def mask_to_contours(mask, simplify_tol=2.0, zigzag_tol=0.5,
+                     border_offset=0.5):
     """Extract (outer, holes) contour rings from a boolean mask.
 
     Returns list of (ring, is_hole) where ring is (K,2) float64 in pixel
-    coordinates, staircase-smoothed at ``zigzag_tol`` then simplified
-    with Douglas-Peucker at ``simplify_tol``.
+    coordinates: cv2 center-convention contours expanded by
+    ``border_offset`` to the true pixel-border extent (region pixels own
+    [c-0.5, c+0.5]; holes shrink), staircase-smoothed at ``zigzag_tol``
+    then simplified with Douglas-Peucker at ``simplify_tol``.
     """
     m = (np.asarray(mask) > 0).astype(np.uint8)
     contours, hierarchy = cv2.findContours(m, cv2.RETR_CCOMP, cv2.CHAIN_APPROX_SIMPLE)
@@ -132,6 +163,8 @@ def mask_to_contours(mask, simplify_tol=2.0, zigzag_tol=0.5):
         return rings
     for c, h in zip(contours, hierarchy[0]):
         ring = c.reshape(-1, 2).astype(np.float64)
+        if border_offset and ring.shape[0] >= 3:
+            ring = _offset_ring(ring, border_offset, grow=h[3] < 0)
         if zigzag_tol and zigzag_tol > 0 and ring.shape[0] > 3:
             ring = smooth_zigzag(ring, tol=zigzag_tol, closed=True)
         if simplify_tol > 0 and ring.shape[0] > 3:
