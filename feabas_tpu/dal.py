@@ -355,7 +355,13 @@ class StaticImageLoader(AbstractImageLoader):
         """Paste tile fileid's intersection with world bbox into out."""
         tb = self.bboxes[fileid]
         x0, y0 = int(round(bbox[0])), int(round(bbox[1]))
-        x1, y1 = int(round(bbox[2])), int(round(bbox[3]))
+        # derive the far corner from the SAME integerization ``_blank``
+        # uses for the canvas shape: rounding both edges independently
+        # disagrees with round(width) by 1 px for float bboxes like
+        # (10.5, 139.0) and overruns the canvas (found by the 10k-tile
+        # MultiSEM rehearsal)
+        x1 = x0 + int(round(bbox[2] - bbox[0]))
+        y1 = y0 + int(round(bbox[3] - bbox[1]))
         ix0, iy0 = int(round(tb[0])), int(round(tb[1]))
         ix1, iy1 = int(round(tb[2])), int(round(tb[3]))
         cx0, cx1 = max(x0, ix0), min(x1, ix1)
@@ -593,7 +599,10 @@ class TensorStoreLoader(AbstractImageLoader):
 def _paste_crop(out, bbox, img, img_bbox, return_empty=False):
     """Paste the part of img (located at img_bbox) visible in bbox into out."""
     x0, y0 = int(round(bbox[0])), int(round(bbox[1]))
-    x1, y1 = int(round(bbox[2])), int(round(bbox[3]))
+    # far corner from the same integerization as the canvas shape (see
+    # StaticImageLoader._paste_tile)
+    x1 = x0 + int(round(bbox[2] - bbox[0]))
+    y1 = y0 + int(round(bbox[3] - bbox[1]))
     ix0, iy0 = int(round(img_bbox[0])), int(round(img_bbox[1]))
     h, w = img.shape[:2]
     cx0, cx1 = max(x0, ix0), min(x1, ix0 + w)

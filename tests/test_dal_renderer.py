@@ -45,6 +45,27 @@ def test_loader_json_roundtrip(tile_set, workdir):
     assert loader2.default_fillval == 7
 
 
+def test_float_bbox_crop_consistent_with_canvas(tile_set, workdir):
+    """Float crop bboxes where round(edge) disagrees with round(extent)
+    by 1 px (e.g. y0=10.5, y1=139.0) must not overrun the canvas — the
+    10k-tile MultiSEM rehearsal crashed here (tile bboxes carry float
+    stage positions; the render stage crops at float mesh coords)."""
+    from feabas_tpu.dal import StaticImageLoader
+    world, paths, bboxes = tile_set
+    # float tile bboxes as MultiSEM stage coordinates produce
+    fb = [(x0 + 0.5, y0 + 0.5, x1 + 0.5, y1 + 0.5)
+          for x0, y0, x1, y1 in bboxes]
+    loader = StaticImageLoader(paths, fb)
+    blk = loader.crop((0.0, 10.5, 128.0, 139.0))
+    assert blk.shape == (128, 128)
+    blk2 = loader.crop((0.5, 10.0, 128.0, 138.6))
+    assert blk2.shape == (129, 128)
+    # integer-bbox behavior unchanged
+    li = StaticImageLoader(paths, bboxes)
+    assert np.array_equal(li.crop((50, 40, 180, 150)),
+                          world[40:150, 50:180])
+
+
 def test_stream_loader(rng, workdir):
     from feabas_tpu.dal import StreamLoader
     img = rng.integers(0, 255, (64, 64)).astype(np.uint8)
