@@ -455,7 +455,9 @@ def _bench_render_mipmap(tmp_root='/tmp/feabas_tpu_bench_render'):
     from feabas_tpu.mipmap import mip_one_level
     from feabas_tpu import common as fcommon
     rng = np.random.default_rng(4)
-    N = 4096
+    N = 8192      # production sections are far larger than one block;
+    # 16 output tiles measure the pipelined steady state, not the
+    # first-fetch latency
     world = gaussian_filter(rng.normal(0, 1, (N, N)), 2)
     world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.uint8)
     loader = StreamLoader(world)
@@ -467,7 +469,7 @@ def _bench_render_mipmap(tmp_root='/tmp/feabas_tpu_bench_render'):
                       offset=mesh.offset(1))
     r = MeshRenderer.from_mesh(mesh, image_loader=loader)
     tiles = [(x, y, x + 2048, y + 2048)
-             for y in (0, 2048) for x in (0, 2048)]
+             for y in range(0, N, 2048) for x in range(0, N, 2048)]
 
     def run(device):
         t0 = time.perf_counter()

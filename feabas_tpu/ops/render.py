@@ -47,9 +47,15 @@ _OUT_ALIGN = 512
 # sources at most this large stay device-resident across blocks
 WHOLE_SRC_CAP = 256 * 1024 * 1024
 # blocks per batched dispatch: small enough that fetching one batch's
-# output overlaps the next batch's compute on the link (measured: one
-# 2048^2 block is ~70 ms compute / ~110 ms fetch through the tunnel)
-_GROUP_CAP = 2
+# output overlaps the next batch's compute on the link (measured sweep,
+# 16x2048^2 blocks through the tunnel: cap1/2thr 30.7 MB/s, cap2/2thr
+# 27.1, cap4 18.2 — fetch granularity beats batched-transfer size
+# because per-transfer latency overlaps across the thread pool)
+_GROUP_CAP = 1
+# concurrent output fetches: per-transfer link latency (~160 ms through
+# the tunnel) overlaps across in-flight fetches; >2 threads contend on
+# the link and lose (measured 4thr: 22.9 MB/s)
+_FETCH_THREADS = 2
 
 
 def _raster_core(src, table, fillval, h, w, geodesic, out_kind):
@@ -290,8 +296,9 @@ class DeviceRenderEngine:
         """Render output blocks [(x0, y0, x1, y1)] through the mesh.
 
         Returns [(array | None)] aligned with ``blocks``; None when the
-        block has no mesh coverage. Dispatch-all-then-fetch-all so block
-        transfers and compute overlap through the link.
+        block has no mesh coverage. Groups dispatch as they fill and
+        fetch on a small thread pool, so host prep, device compute, and
+        both transfer legs of different blocks overlap through the link.
         """
         out_kind = _out_kind(out_dtype)
         if wts is None:
@@ -300,9 +307,74 @@ class DeviceRenderEngine:
         from feabas_tpu.dal import StreamLoader
         if isinstance(loader, StreamLoader):
             resident = self._resident_source(loader, fillval)
-        # ---- phase 1 (host): candidate selection, tables, source crops ----
+        # Blocks sharing output dims + source shape batch into a single
+        # program (vmap): the wave's tables upload as one array, its
+        # source crops as one stacked array, the outputs fetch as one
+        # (B, h, w) uint8. Groups dispatch AS SOON AS they fill (host
+        # prep of later blocks overlaps device compute of earlier ones)
+        # and fetch on a 2-thread pool (per-transfer link latency of one
+        # fetch overlaps the wire time of another; measured 18 MB/s at
+        # 4 MB vs 42 MB/s at 16 MB through the tunnel, so latency is a
+        # third of small-fetch wall time).
         prepared = {}              # block index -> (h, w, group_key, tab, src)
         results = [None] * len(blocks)
+        fv = jnp.float32(fillval)
+        pending = {}               # group_key -> [block index]
+        fetches = []               # (idxs, future -> (out, cov))
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=_FETCH_THREADS)
+
+        def dispatch(key, idxs):
+            hp, wp = key[0], key[1]
+            Tp = max(t.shape[0] for t in
+                     (prepared[i][3] for i in idxs))
+            Tp = _align_up(1 << int(Tp - 1).bit_length(), _CHUNK, _CHUNK)
+            tabs = np.full((len(idxs), Tp, 14), 0.0, np.float32)
+            tabs[:, :, 2] = -2.0
+            tabs[:, :, 12] = -np.inf
+            tabs[:, :, 13] = -1.0
+            for k, i in enumerate(idxs):
+                t = prepared[i][3]
+                tabs[k, :t.shape[0]] = t
+            if key[2] == 'resident':
+                out_dev, cov_dev = _raster_render_shared(
+                    resident[0], jax.device_put(tabs), fv, hp, wp,
+                    self._geodesic, out_kind)
+            else:
+                srcs = np.stack([prepared[i][4] for i in idxs])
+                out_dev, cov_dev = _raster_render_multi(
+                    jax.device_put(srcs), jax.device_put(tabs), fv, hp, wp,
+                    self._geodesic, out_kind)
+            fetches.append((idxs, pool.submit(
+                lambda o, c: (np.asarray(o), np.asarray(c)),
+                out_dev, cov_dev)))
+
+        try:
+            self._render_prepare_dispatch(
+                blocks, loader, fillval, out_kind, wts, shortcircuit,
+                resident, prepared, pending, dispatch, crop_kwargs)
+            for key, idxs in pending.items():
+                dispatch(key, idxs)
+            # ---- fetch (in dispatch order) ---------------------------
+            for idxs, fut in fetches:
+                out, cov = fut.result()
+                for k, i in enumerate(idxs):
+                    if not cov[k]:
+                        continue
+                    h, w = prepared[i][0], prepared[i][1]
+                    blk = out[k, :h, :w]
+                    if out_kind == 'f32' and np.dtype(out_dtype) != np.float32:
+                        blk = blk.astype(out_dtype)
+                    results[i] = blk
+        finally:
+            pool.shutdown(wait=True)
+        return results
+
+    def _render_prepare_dispatch(self, blocks, loader, fillval, out_kind,
+                                 wts, shortcircuit, resident, prepared,
+                                 pending, dispatch, crop_kwargs):
+        """Host prep: per-block candidate selection, coefficient table,
+        source crop; groups dispatch as soon as they fill."""
         for i, bbox in enumerate(blocks):
             x0 = int(np.floor(bbox[0]))
             y0 = int(np.floor(bbox[1]))
@@ -354,54 +426,7 @@ class DeviceRenderEngine:
             else:
                 tab = self._table_for_block(sel, (x0, y0), src_origin, wts)
             prepared[i] = (h, w, key, tab, src)
-        # ---- phase 2 (device): one dispatch per group -----------------
-        # blocks sharing output dims + source shape batch into a single
-        # program (vmap): the wave's tables upload as one array, its
-        # source crops as one stacked array, the outputs fetch as one
-        # (B, h, w) uint8 — minimal round trips through the link
-        groups = {}
-        for i, (h, w, key, tab, src) in prepared.items():
-            groups.setdefault(key, []).append(i)
-        # split oversize groups so each fetch overlaps the next dispatch's
-        # compute instead of serializing behind one monolithic program
-        batches = []
-        for key, idxs in groups.items():
-            for k0 in range(0, len(idxs), _GROUP_CAP):
-                batches.append((key, idxs[k0:k0 + _GROUP_CAP]))
-        dispatched = []            # (idxs, out_dev, cov_dev)
-        fv = jnp.float32(fillval)
-        for key, idxs in batches:
-            hp, wp = key[0], key[1]
-            Tp = max(t.shape[0] for t in
-                     (prepared[i][3] for i in idxs))
-            Tp = _align_up(1 << int(Tp - 1).bit_length(), _CHUNK, _CHUNK)
-            tabs = np.full((len(idxs), Tp, 14), 0.0, np.float32)
-            tabs[:, :, 2] = -2.0
-            tabs[:, :, 12] = -np.inf
-            tabs[:, :, 13] = -1.0
-            for k, i in enumerate(idxs):
-                t = prepared[i][3]
-                tabs[k, :t.shape[0]] = t
-            if key[2] == 'resident':
-                out_dev, cov_dev = _raster_render_shared(
-                    resident[0], jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind)
-            else:
-                srcs = np.stack([prepared[i][4] for i in idxs])
-                out_dev, cov_dev = _raster_render_multi(
-                    jax.device_put(srcs), jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind)
-            dispatched.append((idxs, out_dev, cov_dev))
-        # ---- phase 3: fetch ------------------------------------------
-        for idxs, out_dev, cov_dev in dispatched:
-            cov = np.asarray(cov_dev)
-            out = np.asarray(out_dev)
-            for k, i in enumerate(idxs):
-                if not cov[k]:
-                    continue
-                h, w = prepared[i][0], prepared[i][1]
-                blk = out[k, :h, :w]
-                if out_kind == 'f32' and np.dtype(out_dtype) != np.float32:
-                    blk = blk.astype(out_dtype)
-                results[i] = blk
-        return results
+            grp = pending.setdefault(key, [])
+            grp.append(i)
+            if len(grp) >= _GROUP_CAP:
+                dispatch(key, pending.pop(key))
