@@ -736,11 +736,21 @@ class MontageRenderer:
         return (self._bounds[:, 0].min(), self._bounds[:, 1].min(),
                 self._bounds[:, 2].max(), self._bounds[:, 3].max())
 
+    def _montage_device_engine(self):
+        if getattr(self, '_mdev_engine', None) is None:
+            from feabas_tpu.ops.montage_render import MontageDeviceEngine
+            self._mdev_engine = MontageDeviceEngine(self)
+        return self._mdev_engine
+
     def crop(self, bbox, **kwargs):
         """Render one output block with tile blending
         (reference: stitcher.py:1399)."""
         blend = str(kwargs.pop('blend', self._blend)).upper()
         fillval = kwargs.pop('fillval', self.loader.default_fillval)
+        dev_flag = kwargs.pop('device_render', None)
+        if dev_flag is None:
+            from feabas_tpu import config
+            dev_flag = config.device_render()
         hits = self._index.query(bbox)
         xbase = int(np.floor(bbox[0]))
         ybase = int(np.floor(bbox[1]))
@@ -750,6 +760,20 @@ class MontageRenderer:
             if kwargs.get('return_empty', False):
                 return None
             return np.full((H, W), fillval, dtype=self.loader.dtype)
+        if dev_flag and set(kwargs) <= {'return_empty'}:
+            # whole-block device blend: every hit tile rasterized,
+            # sampled, and LINEAR-blended in one XLA program
+            # (ops/montage_render.py); host path covers the other blend
+            # modes / maskouts / exotic kwargs
+            res = self._montage_device_engine().render_block(
+                bbox, hits, blend, float(fillval))
+            if res is not NotImplemented:
+                if res is None:
+                    if kwargs.get('return_empty', False):
+                        return None
+                    return np.full((H, W), fillval,
+                                   dtype=self.loader.dtype)
+                return res.astype(self.loader.dtype, copy=False)
         acc = np.zeros((H, W), np.float32)
         wacc = np.zeros((H, W), np.float32)
         best_w = np.full((H, W), -np.inf, np.float32)
@@ -904,20 +928,45 @@ class MontageRenderer:
 
     def render_tile_list(self, plan, out_dir, **kwargs):
         """Render a list of (filename, bbox) output tiles; existing files
-        are skipped (file-keyed resume). Returns the rendered sublist."""
+        are skipped (file-keyed resume). Returns the rendered sublist.
+
+        With device rendering on, pending blocks go through the
+        pipelined whole-block device blend (host prep / device compute /
+        output fetch of different blocks overlap); blocks the device
+        path declines fall back to the host path individually."""
         from feabas_tpu import storage
         rendered = []
+        pending = []
         for fname, bbox in plan:
             path = join_paths(out_dir, fname)
             if storage.file_exists(path, use_cache=True):
                 rendered.append((fname, bbox))
-                continue
-            blk = self.crop(bbox, return_empty=True, **kwargs)
+            else:
+                pending.append((fname, bbox, path))
+        dev_flag = kwargs.get('device_render', None)
+        if dev_flag is None:
+            from feabas_tpu import config
+            dev_flag = config.device_render()
+        dev_results = None
+        if pending and dev_flag \
+                and set(kwargs) <= {'return_empty', 'device_render'}:
+            eng = self._montage_device_engine()
+            blend = str(kwargs.get('blend', self._blend)).upper()
+            fillval = float(self.loader.default_fillval)
+            dev_results = eng.render_blocks(
+                [bbox for _, bbox, _ in pending], blend, fillval)
+        done = {f for f, _ in rendered}
+        for k, (fname, bbox, path) in enumerate(pending):
+            blk = dev_results[k] if dev_results is not None else NotImplemented
+            if blk is NotImplemented:
+                blk = self.crop(bbox, return_empty=True, **kwargs)
+            elif blk is not None:
+                blk = blk.astype(self.loader.dtype, copy=False)
             if blk is None:
                 continue
             common.imwrite(path, blk)
-            rendered.append((fname, bbox))
-        return rendered
+            done.add(fname)
+        return [(f, b) for f, b in plan if f in done]
 
     def render_series_to_file(self, out_dir, **kwargs):
         """Render all output tiles as images; writes a metadata coordinate

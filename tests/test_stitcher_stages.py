@@ -460,3 +460,93 @@ def test_tensorstore_nonzero_fillval_writes_uniform_chunks(rng, workdir,
                  'kvstore': {'driver': 'file', 'path': out}}).result()
     blk = np.asarray(d[:128, :128, 0, 0].read().result())
     assert (blk == 255).all()
+
+
+def test_montage_device_blend_matches_host(rng, tmp_path, workdir):
+    """The whole-block device montage blend (ops/montage_render.py)
+    matches the host per-tile LINEAR path within bilinear fixed-point
+    rounding on warped, brightness-transferred tiles."""
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    world, tiles, true_bboxes, stage_bboxes = tile_grid(
+        rng, rows=2, cols=2, tile_h=150, tile_w=180, overlap=50, jitter=0.0)
+    paths = []
+    for i, t in enumerate(tiles):
+        p = str(tmp_path / f'd{i}.png')
+        imwrite(p, t)
+        paths.append(p)
+    st = Stitcher(paths, stage_bboxes)
+    st.initialize_meshes(mesh_sizes=[80], border_width=40)
+    # translation + a gentle elastic warp so triangle tables are
+    # non-trivial (applied BEFORE the renderer snapshots geometry)
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+        v = m.vertices('MOVING')
+        off = m.offset('MOVING')
+        m.set_vertices(v + np.stack([0.8 * np.sin(v[:, 1] / 37.0),
+                                     0.6 * np.cos(v[:, 0] / 41.0)], -1),
+                       'MOVING', offset=off)
+    mr = MontageRenderer.from_stitcher(st, blend='LINEAR')
+    # per-tile gain/offset exercises the in-program transfer
+    mr._transfers = np.array([[1.02, -1.5], [0.98, 2.0],
+                              [1.0, 0.0], [1.01, 0.5]])
+    bbox = (40, 40, 400, 340)
+    host = mr.crop(bbox, device_render=False).astype(np.int16)
+    dev = mr.crop(bbox, device_render=True).astype(np.int16)
+    assert dev.shape == host.shape
+    diff = np.abs(dev - host)
+    frac1 = (diff <= 1).mean()
+    assert frac1 > 0.995, (frac1, diff.max())
+    assert diff.max() <= 16, diff.max()   # isolated mask-edge pixels
+    # window independence holds on the device path too (to 1 LSB: the
+    # block-LOCAL f32 tables shift with the window origin, so the
+    # 1/32-px source quantization can flip one step on ties)
+    small = mr.crop((120, 90, 300, 260), device_render=True)
+    big = mr.crop((40, 40, 400, 340), device_render=True)
+    wdiff = np.abs(small.astype(np.int16) - big[50:220, 80:260])
+    assert wdiff.max() <= 1 and (wdiff > 0).mean() < 1e-3, \
+        (wdiff.max(), (wdiff > 0).mean())
+    # return_empty semantics
+    assert mr.crop((5000, 5000, 5128, 5128), return_empty=True,
+                   device_render=True) is None
+
+
+def test_render_tile_list_device_pipeline_matches_host(rng, tmp_path,
+                                                       workdir):
+    """render_tile_list with device rendering (pipelined multi-block
+    blend) writes the same tiles as the host path within 1 LSB."""
+    mr, world = _montage_from_files(rng, tmp_path)
+    plan = mr.plan_render_series(tile_size=(128, 128), prefix='t')
+    from feabas_tpu.common import imread
+    d_host = str(tmp_path / 'host_out')
+    d_dev = str(tmp_path / 'dev_out')
+    r_host = mr.render_tile_list(plan, d_host, device_render=False)
+    r_dev = mr.render_tile_list(plan, d_dev, device_render=True)
+    assert [f for f, _ in r_host] == [f for f, _ in r_dev]
+    assert len(r_host) > 4
+    for fname, _ in r_host:
+        a = imread(str(tmp_path / 'host_out' / fname)).astype(np.int16)
+        b = imread(str(tmp_path / 'dev_out' / fname)).astype(np.int16)
+        diff = np.abs(a - b)
+        # sub-LSB everywhere except isolated mesh-boundary pixels where
+        # host tri-coverage and the device inside-test disagree on an
+        # edge pixel (one renders it, the other fills)
+        assert (diff <= 1).mean() > 0.995, (fname, (diff <= 1).mean())
+        assert (diff > 16).mean() < 3e-4, (fname, (diff > 16).mean())
+
+
+def test_montage_device_resident_stack_path(rng, tmp_path, workdir,
+                                            monkeypatch):
+    """The device-resident whole-section tile stack (uploaded once,
+    indexed by global tile id) produces the same blocks as the
+    per-block tile stacks."""
+    import feabas_tpu.ops.montage_render as MRD
+    mr, world = _montage_from_files(rng, tmp_path)
+    bbox = (40, 40, 400, 340)
+    per_block = mr.crop(bbox, device_render=True)
+    monkeypatch.setattr(MRD, 'RESIDENT_STACK_MIN_TILES', 1)
+    mr._mdev_engine = None           # rebuild the engine with the stack
+    resident = mr.crop(bbox, device_render=True)
+    assert mr._mdev_engine._stack is not None, \
+        'resident stack must have engaged'
+    np.testing.assert_array_equal(per_block, resident)
