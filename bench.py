@@ -155,6 +155,7 @@ def main():
     # ---- render + mipmap, thumbnail, align-stage (BASELINE configs) ----
     render_host_mbps, render_dev_mbps, mip_mbps, mip_ref_mbps = \
         _bench_render_mipmap()
+    montage_host_mbps, montage_dev_mbps = _bench_montage_blend()
     thumb_s, thumb_cpu_s, thumb_err = _bench_thumbnail()
     winopt_sph, align_p90 = _bench_align_stack()
     align_sph, align_e2e_p90 = _bench_align_e2e()
@@ -190,6 +191,10 @@ def main():
         'render_device_MBps': round(render_dev_mbps, 1),
         'render_vs_baseline': round(render_dev_mbps
                                     / max(render_host_mbps, 1e-9), 2),
+        'montage_render_host_MBps': round(montage_host_mbps, 1),
+        'montage_render_device_MBps': round(montage_dev_mbps, 1),
+        'montage_render_vs_baseline': round(
+            montage_dev_mbps / max(montage_host_mbps, 1e-9), 2),
         'mipmap_MBps': round(mip_mbps, 1),
         'mipmap_ref_pipeline_MBps': round(mip_ref_mbps, 1),
         'mipmap_vs_baseline': round(mip_mbps / max(mip_ref_mbps, 1e-9), 2),
@@ -839,6 +844,74 @@ def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
         _ = float(np.asarray(u_new).sum())
         dts.append(time.perf_counter() - t0)
     return min(dts), dof, int(np.asarray(n_it))
+
+
+def _bench_montage_blend(tmp_root='/tmp/feabas_tpu_bench_montage'):
+    """Stitch-render hot path: LINEAR blend of many small warped tiles
+    into 2048^2 output blocks (reference stitcher.py:1399-1556), device
+    cell-binned program vs the host per-tile path on the same montage.
+    Returns (host_MBps, device_MBps)."""
+    import os
+    import shutil
+    import cv2
+    from scipy.ndimage import gaussian_filter
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu import common as fcommon
+    rng = np.random.default_rng(11)
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    os.makedirs(tmp_root, exist_ok=True)
+    # 16x16 grid of 192px tiles, 48px overlap -> ~2.3k x 2.3k section
+    rows = cols = 16
+    ts, ov = 192, 48
+    W = cols * (ts - ov) + ov
+    H = rows * (ts - ov) + ov
+    world = gaussian_filter(rng.normal(0, 1, (H, W)), 2)
+    world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.uint8)
+    paths, bboxes = [], []
+    for r in range(rows):
+        for c in range(cols):
+            x0, y0 = c * (ts - ov), r * (ts - ov)
+            p = os.path.join(tmp_root, f'b_tr{r + 1}-tc{c + 1}.png')
+            fcommon.imwrite(p, world[y0:y0 + ts, x0:x0 + ts])
+            paths.append(p)
+            bboxes.append((x0, y0, x0 + ts, y0 + ts))
+    st = Stitcher(paths, bboxes)
+    st.initialize_meshes(mesh_sizes=[96], border_width=48)
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+        v = m.vertices('MOVING')
+        off = m.offset('MOVING')
+        m.set_vertices(v + np.stack([1.5 * np.sin(v[:, 1] / 300),
+                                     1.2 * np.cos(v[:, 0] / 270)], -1),
+                       'MOVING', offset=off)
+    mr = MontageRenderer.from_stitcher(st, blend='LINEAR')
+    blocks = [(0, 0, 1024, 1024), (1024, 0, 2048, 1024),
+              (0, 1024, 1024, 2048), (1024, 1024, 2048, 2048)]
+    eng = mr._montage_device_engine()
+    eng.render_blocks(blocks[:1], 'LINEAR',
+                      float(mr.loader.default_fillval))   # warm compile
+
+    def run_dev():
+        t0 = time.perf_counter()
+        res = eng.render_blocks(blocks, 'LINEAR',
+                                float(mr.loader.default_fillval))
+        nb = sum(r.nbytes for r in res
+                 if r is not None and r is not NotImplemented)
+        return nb / max(time.perf_counter() - t0, 1e-9) / 1e6
+
+    def run_host():
+        t0 = time.perf_counter()
+        nb = 0
+        for bb in blocks:
+            blk = mr.crop(bb, return_empty=True, device_render=False)
+            if blk is not None:
+                nb += blk.nbytes
+        return nb / max(time.perf_counter() - t0, 1e-9) / 1e6
+
+    dev = max(run_dev(), run_dev())
+    host = max(run_host(), run_host())
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    return host, dev
 
 
 def _accelerator_alive(timeout=540):
