@@ -112,10 +112,11 @@ def _lradon_core(img, xy, offs, proj_num, beam_num, beam_wd, D):
     commutes with the sampling and the rotation collapses into the
     per-sample coordinates. Cost is K*P*B*(D*wd) gathers, INDEPENDENT of
     image size (the canvas path rotated + cumsummed a pow2 diagonal
-    canvas per angle: ~100M canvas px at 2048^2, measured 2.8 s/fetch;
-    this is ~0.2 s at 8k keypoints). Single interpolation instead of the
-    canvas path's rotate-resample + sample — closer to the continuous
-    ideal the host path approximates.
+    canvas per angle: ~100M canvas px at 2048^2, measured 2.8 s/fetch).
+    Measured 2.44 s hot at 8k keypoints on TPU — gather-bound, which is
+    why production routes through ``_lradon_patch_core`` (MXU path);
+    this single-interpolation form is kept as the exactness reference
+    the patch path is tested against.
     """
     h, w = img.shape
     t = jnp.arange(proj_num) * (np.pi / proj_num)
@@ -144,26 +145,118 @@ def _lradon_core(img, xy, offs, proj_num, beam_num, beam_wd, D):
     return des / jnp.clip(nrm, 1e-6, None)[:, None, None]
 
 
+_STENCIL_CACHE = {}
+
+
+def _stencil_table(proj_num, beam_num, beam_wd, D, offs, Rp):
+    """(4, P*B, Dp*Dp) f32 sampling-stencil matrix, host-precomputed.
+
+    Row (t*B + b) of corner plane c = (cy, cx) holds the mean bilinear
+    stencil of the beam window's D*wd taps at patch positions
+    ``(Rp, Rp) + R(t) @ (a, offs_b + v) + (cx, cy)`` — i.e. the LRadon
+    bin evaluated on the integer-corner-shifted patch. The descriptor at
+    a fractional keypoint offset is the bilinear blend of the four
+    corner evaluations (same double-interpolation class as the host
+    path's rotate-canvas-then-sample)."""
+    key = (proj_num, beam_num, beam_wd, D, Rp, offs.tobytes())
+    if key in _STENCIL_CACHE:
+        return _STENCIL_CACHE[key]
+    Dp = 2 * Rp + 1
+    r = (D - 1) // 2
+    a = np.arange(D, dtype=np.float64) - r
+    v = np.arange(beam_wd, dtype=np.float64) - (beam_wd - 1) / 2.0
+    bp = offs[:, None].astype(np.float64) + v[None, :]        # (B, wd)
+    W = np.zeros((2, 2, proj_num * beam_num, Dp * Dp), np.float64)
+    for it in range(proj_num):
+        th = it * (np.pi / proj_num)
+        ci, si = np.cos(th), np.sin(th)
+        dx = a[:, None, None] * ci + bp[None] * si            # (D, B, wd)
+        dy = -a[:, None, None] * si + bp[None] * ci
+        for cy in (0, 1):
+            for cx in (0, 1):
+                px = dx + Rp + cx
+                py = dy + Rp + cy
+                x0 = np.floor(px).astype(np.int64)
+                y0 = np.floor(py).astype(np.int64)
+                fx = px - x0
+                fy = py - y0
+                assert x0.min() >= 0 and y0.min() >= 0 \
+                    and x0.max() + 1 < Dp and y0.max() + 1 < Dp
+                for xx, yy, ww in ((x0, y0, (1 - fx) * (1 - fy)),
+                                   (x0 + 1, y0, fx * (1 - fy)),
+                                   (x0, y0 + 1, (1 - fx) * fy),
+                                   (x0 + 1, y0 + 1, fx * fy)):
+                    flat = yy * Dp + xx                       # (D, B, wd)
+                    for b in range(beam_num):
+                        np.add.at(W[cy, cx, it * beam_num + b],
+                                  flat[:, b, :].ravel(),
+                                  ww[:, b, :].ravel() / (D * beam_wd))
+    W = jnp.asarray(W.reshape(4, proj_num * beam_num, Dp * Dp), jnp.float32)
+    _STENCIL_CACHE[key] = W
+    return W
+
+
+@functools.partial(jax.jit, static_argnames=('proj_num', 'Rp'))
+def _lradon_patch_core(imgp, z, f, W, proj_num, Rp):
+    """Patch + stencil-matmul LRadon evaluation (MXU path).
+
+    The direct formulation (``_lradon_core``) costs K*P*B*D*wd bilinear
+    gathers — gather-bound at ~100M reads/s (2.4 s at 8k keypoints).
+    Every tap lives within a fixed (Dp, Dp) window of the keypoint, so:
+    slice one patch per keypoint (contiguous dynamic_slice rows, not
+    element gathers), then evaluate ALL P*B bins of all 4 integer-corner
+    shifts as ONE matmul against the precomputed stencil matrix and
+    blend the corners with the keypoint's fractional offset. The
+    sampling moves from the gather unit to the MXU: (K, Dp^2) @ (Dp^2,
+    4*P*B) ~ 7 GFLOP at 8k keypoints."""
+    Dp = 2 * Rp + 1
+    patches = jax.vmap(
+        lambda zk: jax.lax.dynamic_slice(imgp, (zk[1], zk[0]), (Dp, Dp)))(z)
+    Pm = patches.reshape(patches.shape[0], -1)                # (K, Dp^2)
+    M = jnp.einsum('kp,cqp->kcq', Pm, W,
+                   precision=jax.lax.Precision.HIGHEST)       # (K, 4, PB)
+    fx, fy = f[:, 0], f[:, 1]
+    wc = jnp.stack([(1 - fx) * (1 - fy), fx * (1 - fy),
+                    (1 - fx) * fy, fx * fy], axis=1)          # (K, 4)
+    des = jnp.einsum('kc,kcq->kq', wc, M)
+    des = des.reshape(des.shape[0], proj_num, -1)             # (K, P, B)
+    des = des - des.mean(axis=(1, 2), keepdims=True)
+    nrm = jnp.linalg.norm(des.reshape(des.shape[0], -1), axis=-1)
+    return des / jnp.clip(nrm, 1e-6, None)[:, None, None]
+
+
 def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
                               beam_radius=15):
     """Device LRadon descriptors for keypoints ``xy`` (n, 2).
     Returns a device (n_pad, P, B) f32 array and n (callers slice)."""
-    img = jnp.asarray(np.asarray(img, np.float32))
-    h, w = img.shape
+    imgh = np.asarray(img, np.float32)
+    h, w = imgh.shape
     r = float(beam_radius)
     D = 2 * int(round(r)) + 1
     ax = np.linspace(-r, r, D)
     idx = np.linspace(0, D - 1, beam_num).round().astype(np.int64)
-    offs = jnp.asarray(ax[idx], jnp.float32)
+    offs = np.asarray(ax[idx], np.float32)
+    wd_half = (beam_wd - 1) / 2.0
+    Rp = int(np.ceil(np.hypot(r, np.abs(ax[idx]).max() + wd_half))) + 2
     n = int(np.asarray(xy).shape[0])
     # pad the keypoint count to pow2 buckets so compiled signatures are
     # shared across sections
     n_pad = max(64, 1 << (n - 1).bit_length()) if n else 64
     xyp = np.zeros((n_pad, 2), np.float32)
     if n:
-        xyp[:n] = np.asarray(xy, np.float32)
-    des = _lradon_core(img, jnp.asarray(xyp), offs, int(proj_num),
-                       int(beam_num), int(beam_wd), D)
+        # clamp into the image like the direct sampler's coordinate clip
+        xyp[:n] = np.clip(np.asarray(xy, np.float32),
+                          0.0, [w - 1.0, h - 1.0])
+    # replicate-pad so every patch slice is in-bounds; edge padding
+    # reproduces the direct sampler's clip-into-image border rule
+    pad = Rp + 1
+    imgp = np.pad(imgh, pad, mode='edge')
+    z0 = np.floor(xyp)
+    f = jnp.asarray(xyp - z0, jnp.float32)
+    z = jnp.asarray(z0.astype(np.int32) + (pad - Rp), jnp.int32)
+    W = _stencil_table(int(proj_num), int(beam_num), int(beam_wd), D,
+                       offs, Rp)
+    des = _lradon_patch_core(jnp.asarray(imgp), z, f, W, int(proj_num), Rp)
     return des, n
 
 

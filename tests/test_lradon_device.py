@@ -97,3 +97,29 @@ def test_match_rotation_exhaustive_device(workdir):
     pred = np.stack([w - 1 - k0.xy[i0, 0], h - 1 - k0.xy[i0, 1]], -1)
     err = np.linalg.norm(pred - k1.xy[i1], axis=-1)
     assert np.median(err) < 1.5, np.median(err)
+
+
+def test_patch_core_matches_direct_core(workdir):
+    """The MXU patch+stencil-matmul formulation agrees with the direct
+    per-keypoint sampling formulation (its exactness reference) up to
+    the corner-blend double interpolation."""
+    import jax.numpy as jnp
+    from feabas_tpu.ops import lradon
+    img = _section(seed=33)[:300, :300]
+    rng = np.random.default_rng(3)
+    xy = rng.uniform(5, 295, (200, 2)).astype(np.float32)
+    des_p, n = lradon.lradon_descriptors_device(img, xy)
+    # direct formulation on the same padded keypoint table
+    D = 2 * 15 + 1
+    ax = np.linspace(-15, 15, D)
+    idx = np.linspace(0, D - 1, 8).round().astype(np.int64)
+    offs = jnp.asarray(ax[idx], jnp.float32)
+    xyp = np.zeros((des_p.shape[0], 2), np.float32)
+    xyp[:n] = xy
+    des_d = lradon._lradon_core(jnp.asarray(img, jnp.float32),
+                                jnp.asarray(xyp), offs, 6, 8, 3, D)
+    a = np.asarray(des_p)[:n].reshape(n, -1)
+    b = np.asarray(des_d)[:n].reshape(n, -1)
+    dot = (a * b).sum(-1)
+    assert np.median(dot) > 0.999, np.median(dot)
+    assert dot.min() > 0.995, dot.min()
