@@ -270,8 +270,11 @@ class DeviceRenderEngine:
         if self._whole_src_failed:
             return None
         img = getattr(loader, '_img', None)
+        itemsize = np.dtype(getattr(loader, 'dtype', None)
+                            or (img.dtype if img is not None else np.uint8)
+                            ).itemsize
         if (img is None or not hasattr(loader, 'bbox') or img.ndim != 2
-                or img.nbytes > WHOLE_SRC_CAP):
+                or img.size * itemsize > WHOLE_SRC_CAP):
             self._whole_src_failed = True
             return None
         x0, y0 = loader.bbox[:2]
@@ -280,9 +283,14 @@ class DeviceRenderEngine:
         pad = 2
         H = _align_up(img.shape[0] + 2 * pad, _SRC_ALIGN, _SRC_ALIGN)
         W = _align_up(img.shape[1] + 2 * pad, _SRC_ALIGN, _SRC_ALIGN)
-        buf = np.full((H, W), fillval, img.dtype)
-        buf[pad:pad + img.shape[0], pad:pad + img.shape[1]] = \
-            loader.preprocess(img) if hasattr(loader, 'preprocess') else img
+        data = loader.preprocess(img) if hasattr(loader, 'preprocess') else img
+        # canvas dtype follows the loader's declared dtype (the host path
+        # pastes preprocessed data into a loader.dtype canvas), NOT the raw
+        # image dtype: preprocess may change dtype/range (inverse, CLAHE,
+        # float normalization)
+        dt = np.dtype(getattr(loader, 'dtype', None) or data.dtype)
+        buf = np.full((H, W), fillval, dt)
+        buf[pad:pad + img.shape[0], pad:pad + img.shape[1]] = data
         dev = jax.device_put(buf)
         if buf.dtype == np.uint8:
             # pack the bilinear quads on device: upload stays 1 B/px, the

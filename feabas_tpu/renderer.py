@@ -35,6 +35,18 @@ def resolve_section_source(src):
     return get_loader_from_json(src)
 
 
+def resolve_device_render(flag):
+    """Resolve a per-call device_render flag: None defers to the config
+    default (general_configs device.render). Fan-out call sites must gate
+    on the RESOLVED flag — the accelerator is a single exclusive resource,
+    so device rendering stays in-process instead of spawning N workers
+    that would each initialize the backend."""
+    if flag is None:
+        from feabas_tpu import config
+        flag = config.device_render()
+    return bool(flag)
+
+
 def _interp_flag(interp):
     """Map a reference-style ``remap_interp`` name ('NEAREST'/'LINEAR'/
     'CUBIC', reference renderer.py:969) to the cv2 interpolation constant
@@ -398,11 +410,7 @@ class MeshRenderer:
 
     def _device_render_requested(self, kwargs):
         """Resolve the per-call / config device-render flag (kwarg popped)."""
-        flag = kwargs.pop('device_render', None)
-        if flag is None:
-            from feabas_tpu import config
-            flag = config.device_render()
-        return bool(flag)
+        return resolve_device_render(kwargs.pop('device_render', None))
 
     def _device_render_ok(self, loader, kwargs):
         """The device program covers the production path: single-channel
@@ -468,8 +476,15 @@ class MeshRenderer:
         tol = kwargs.get('affine_approx_tol', self._affine_tol)
         if wts is None and tol and tol > 0:
             sc = lambda bb: self._affine_shortcircuit(bb, tol=tol)
+        # forward loader-directed kwargs (fileid, ...) exactly like the host
+        # path does (render_by_subregions passes unconsumed kwargs into
+        # loader.crop); strip only the render-managed keys
+        _managed = ('render_weight_threshold', 'fillval', 'dtype_out',
+                    'block_size', 'return_empty', 'affine_approx_tol',
+                    'interpolation', 'log_sigma', 'device_remap')
+        crop_kwargs = {k: v for k, v in kwargs.items() if k not in _managed}
         res = eng.render_blocks(flat, loader, float(fillval), dtype_out,
-                                wts=wts, shortcircuit=sc)
+                                wts=wts, shortcircuit=sc, **crop_kwargs)
         out = []
         for ib, sl, blocks in per_bbox:
             parts = res[sl.start:sl.stop]
@@ -636,9 +651,12 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
         fname = prefix + pattern.format(ROW_IND=r + offset, COL_IND=c + offset)
         jobs.append((fname, bbox))
     # per-section worker fan-out (reference fans out per tile batch:
-    # renderer.py:891); workers submesh to their batch union
+    # renderer.py:891); workers submesh to their batch union. Device
+    # rendering stays in-process (single exclusive chip): the wave path
+    # below pipelines uploads/compute/fetches instead.
+    dev = resolve_device_render(kwargs.get('device_render', None))
     loader_spec = None
-    if num_workers > 1 and len(jobs) > 1:
+    if num_workers > 1 and len(jobs) > 1 and not dev:
         try:
             loader_spec = image_loader.to_dict()
         except Exception:
@@ -653,6 +671,19 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
         for rendered in submit_to_workers(subprocess_render_mesh_tiles,
                                           args, num_workers=num_workers):
             out.update(rendered)
+        return out
+    if dev:
+        kwargs['device_render'] = True      # resolved: don't re-consult config
+        wave = max(int(tiles_per_job), 1)
+        for i0 in range(0, len(jobs), wave):
+            grp = jobs[i0:i0 + wave]
+            blks = renderer.crop_multiple([b for _, b in grp],
+                                          return_empty=True, **kwargs)
+            for (fname, bbox), blk in zip(grp, blks):
+                if blk is None:
+                    continue
+                common.imwrite(fname, blk)
+                out[fname] = bbox
         return out
     for fname, bbox in jobs:
         blk = renderer.crop(bbox, return_empty=True, **kwargs)
@@ -773,8 +804,12 @@ class VolumeRenderer:
                         _json.dump({'done': sorted(done)}, f)
                     last_flush = _time.time()
 
+            dev = resolve_device_render(self._device_render)
             loader_spec = None
-            if num_workers > 1:
+            # device rendering is in-process only: the chip is one
+            # exclusive resource, so N subprocesses each initializing the
+            # backend would contend (or wedge a tunneled deployment)
+            if num_workers > 1 and not dev:
                 if isinstance(self.loaders[name], str):
                     loader_spec = self.loaders[name]
                 else:
@@ -788,7 +823,7 @@ class VolumeRenderer:
                 batches = [chunks[i:i + chunks_per_job]
                            for i in range(0, len(chunks), chunks_per_job)]
                 args = [(mesh.get_init_dict(), loader_spec, self.writer,
-                         batch, int(z), self._interp, self._device_render)
+                         batch, int(z), self._interp, False)
                         for batch in batches]
                 for keys, wrote in submit_to_workers(
                         subprocess_render_volume_chunks, args,
@@ -800,13 +835,13 @@ class VolumeRenderer:
                 renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
                 # device rendering pipelines a wave of chunks per dispatch
                 # so block uploads/compute/downloads overlap on the link
-                wave = 4 if self._device_render else 1
+                wave = 4 if dev else 1
                 for i0 in range(0, len(chunks), wave):
                     group = chunks[i0:i0 + wave]
                     blks = renderer.crop_multiple(
                         group, return_empty=True,
                         interpolation=_interp_flag(self._interp),
-                        device_render=self._device_render)
+                        device_render=dev)
                     for bbox, blk in zip(group, blks):
                         if blk is not None:
                             self.writer.write_single_chunk(bbox, z, blk)
@@ -861,9 +896,11 @@ class VolumeRenderer:
                         _json.dump({'done': sorted(done)}, f)
                     last_flush = _time.time()
 
-            # per-entry loader spec for worker fan-out
+            # per-entry loader spec for worker fan-out (host path only:
+            # device rendering stays in-process, see resolve_device_render)
+            dev = resolve_device_render(self._device_render)
             entry_specs = None
-            if num_workers > 1 and len(chunks) > 1:
+            if num_workers > 1 and len(chunks) > 1 and not dev:
                 entry_specs = []
                 for (z, name, _), mesh in zip(entries, meshes):
                     if isinstance(self.loaders[name], str):
@@ -882,7 +919,7 @@ class VolumeRenderer:
                 batches = [chunks[i:i + chunks_per_job]
                            for i in range(0, len(chunks), chunks_per_job)]
                 args = [(entry_specs, self.writer, batch, z0, depth,
-                         self._interp, self._device_render)
+                         self._interp, False)
                         for batch in batches]
                 for keys, wrote in submit_to_workers(
                         subprocess_render_volume_slab, args,
@@ -899,7 +936,7 @@ class VolumeRenderer:
                     wrote = _render_one_slab_chunk(
                         renderers, self.writer, bbox, z0, depth,
                         interp=self._interp,
-                        device_render=self._device_render)
+                        device_render=dev)
                     n_written += wrote
                     done.add((int(bbox[0]), int(bbox[1])))
                     flush()
@@ -937,7 +974,7 @@ def _render_one_slab_chunk(renderers, writer, bbox, z0, depth,
 
 def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
                                   depth, interp='LINEAR',
-                                  device_render=None):
+                                  device_render=False):
     """Worker: render a batch of slab chunks (all sections of one slab)
     (reference subprocess_render_partial_ts_slab: renderer.py:1385).
 
@@ -972,7 +1009,7 @@ def subprocess_render_volume_slab(entry_specs, writer, chunk_bboxes, z0,
 
 def subprocess_render_volume_chunks(mesh_init, loader_spec, writer,
                                     chunk_bboxes, z, interp='LINEAR',
-                                    device_render=None):
+                                    device_render=False):
     """Worker: render a batch of volume chunks for one section
     (reference subprocess_render_partial_ts_slab: renderer.py:1385).
 

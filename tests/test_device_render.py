@@ -140,3 +140,89 @@ def test_device_render_config_default(workdir):
     """general_configs device.render drives the default routing."""
     from feabas_tpu import config
     assert config.device_render() in (False, True)
+
+
+def test_render_whole_mesh_device_stays_in_process(workdir, tmp_path,
+                                                   monkeypatch):
+    """render_whole_mesh with device_render=True pipelines tile waves
+    in-process (the chip is one exclusive resource) even when
+    num_workers > 1, and the tiles match the host fan-out result."""
+    import feabas_tpu.renderer as renderer_mod
+    from feabas_tpu.renderer import render_whole_mesh
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.common import imread
+
+    def _boom(*a, **k):
+        raise AssertionError('worker fan-out must not run for device render')
+
+    m = _smooth_mesh(N=300, mesh_size=60)
+    loader = StreamLoader(_world(N=300))
+    host = render_whole_mesh(m, loader, str(tmp_path / 'h' / 's'),
+                             tile_size=(128, 128), device_render=False)
+    monkeypatch.setattr(renderer_mod, 'subprocess_render_mesh_tiles', _boom)
+    dev = render_whole_mesh(m.copy(), loader, str(tmp_path / 'd' / 's'),
+                            tile_size=(128, 128), device_render=True,
+                            num_workers=4, tiles_per_job=2)
+    assert len(dev) == len(host) > 0
+    hmap = {fn.split('/h/')[-1]: fn for fn in host}
+    dmap = {fn.split('/d/')[-1]: fn for fn in dev}
+    assert set(hmap) == set(dmap)
+    for key in hmap:
+        _compare(imread(hmap[key]), imread(dmap[key]))
+
+
+def test_volume_render_device_stays_in_process(workdir, tmp_path, rng,
+                                               monkeypatch):
+    """VolumeRenderer(device_render=True) with num_workers>1 renders
+    in-process (no subprocess fan-out) and the volume matches the host
+    multi-worker run."""
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.dal import TensorStoreWriter, StreamLoader
+    import feabas_tpu.renderer as renderer_mod
+    from feabas_tpu.renderer import VolumeRenderer
+    h = w = 160
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(rng.normal(0, 1, (h + 40, w + 40)), 1.5)
+    base = (base / base.std() * 40 + 128).clip(0, 255).astype(np.uint8)
+    drift = np.array([[0, 0], [5, -3]], float)
+
+    def _build():
+        tform_list, loaders = [], {}
+        for z in range(2):
+            img = base[20 + int(drift[z][1]):20 + int(drift[z][1]) + h,
+                       20 + int(drift[z][0]):20 + int(drift[z][0]) + w]
+            name = f's{z}'
+            loaders[name] = StreamLoader(img)
+            mesh = Mesh.from_bbox((0, 0, w, h), cartesian=True,
+                                  mesh_size=40, name=name, uid=z)
+            mesh.set_translation(drift[z])
+            tform_list.append((z, name, mesh))
+        return tform_list, loaders
+
+    def _boom(*a, **k):
+        raise AssertionError('worker fan-out must not run for device render')
+
+    tform_list, loaders = _build()
+    out_h = str(tmp_path / 'vol_host')
+    wr_h = TensorStoreWriter.create(out_h, (0, 0, w + 20, h + 20), 2,
+                                    driver='neuroglancer_precomputed',
+                                    chunk_shape=[64, 64, 1])
+    VolumeRenderer(tform_list, loaders, wr_h,
+                   flag_dir=str(tmp_path / 'fh')).render_volume()
+
+    monkeypatch.setattr(renderer_mod, 'subprocess_render_volume_slab', _boom)
+    monkeypatch.setattr(renderer_mod, 'subprocess_render_volume_chunks',
+                        _boom)
+    tform_list, loaders = _build()
+    out_d = str(tmp_path / 'vol_dev')
+    wr_d = TensorStoreWriter.create(out_d, (0, 0, w + 20, h + 20), 2,
+                                    driver='neuroglancer_precomputed',
+                                    chunk_shape=[64, 64, 1])
+    n = VolumeRenderer(tform_list, loaders, wr_d, device_render=True,
+                       flag_dir=str(tmp_path / 'fd')).render_volume(
+                           num_workers=2, chunks_per_job=2)
+    assert n > 0
+    for z in range(2):
+        a = wr_h.read_chunk((0, 0, w + 20, h + 20), z)
+        b = wr_d.read_chunk((0, 0, w + 20, h + 20), z)
+        _compare(np.asarray(a), np.asarray(b))
