@@ -31,9 +31,9 @@ from feabas_tpu.ops.warp import bilinear_sample
 
 # ------------------------- detection ------------------------- #
 
-@functools.partial(jax.jit,
-                   static_argnames=('sigma', 'size', 'k', 'has_mask'))
-def _detect_core(img, mask, sigma, size, k, has_mask):
+def _detect_body(img, mask, sigma, size, k, has_mask):
+    """Traced detect body (DoG + separable max-pool peaks + top-k +
+    subpixel fit) — composable into larger fused programs."""
     import math
     s = float(sigma)
     f0 = gaussian_blur(img, s)
@@ -79,6 +79,10 @@ def _detect_core(img, mask, sigma, size, k, has_mask):
         inner, jnp.clip(oy, -0.5, 0.5), 0.0)
     return (jnp.stack([xs, ys], -1), jnp.where(valid, vals, 0.0), valid,
             yy, xx)
+
+
+_detect_core = functools.partial(
+    jax.jit, static_argnames=('sigma', 'size', 'k', 'has_mask'))(_detect_body)
 
 
 def detect_log_device(img, mask=None, sigma=3.5, min_spacing=10,
@@ -200,9 +204,8 @@ def _stencil_table(proj_num, beam_num, beam_wd, D, offs, Rp):
     return W
 
 
-@functools.partial(jax.jit, static_argnames=('proj_num', 'Rp'))
-def _lradon_patch_core(imgp, z, f, W, proj_num, Rp):
-    """Patch + stencil-matmul LRadon evaluation (MXU path).
+def _patch_body(imgp, z, f, W, proj_num, Rp):
+    """Traced patch + stencil-matmul LRadon evaluation (MXU path).
 
     The direct formulation (``_lradon_core``) costs K*P*B*D*wd bilinear
     gathers — gather-bound at ~100M reads/s (2.4 s at 8k keypoints).
@@ -229,12 +232,13 @@ def _lradon_patch_core(imgp, z, f, W, proj_num, Rp):
     return des / jnp.clip(nrm, 1e-6, None)[:, None, None]
 
 
-def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
-                              beam_radius=15):
-    """Device LRadon descriptors for keypoints ``xy`` (n, 2).
-    Returns a device (n_pad, P, B) f32 array and n (callers slice)."""
-    imgh = np.asarray(img, np.float32)
-    h, w = imgh.shape
+_lradon_patch_core = functools.partial(
+    jax.jit, static_argnames=('proj_num', 'Rp'))(_patch_body)
+
+
+def _desc_params(proj_num, beam_num, beam_wd, beam_radius):
+    """Shared descriptor geometry: beam box width D, the beam offsets,
+    and the patch radius Rp that contains every rotated tap."""
     r = float(beam_radius)
     D = 2 * int(round(r)) + 1
     ax = np.linspace(-r, r, D)
@@ -242,6 +246,16 @@ def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
     offs = np.asarray(ax[idx], np.float32)
     wd_half = (beam_wd - 1) / 2.0
     Rp = int(np.ceil(np.hypot(r, np.abs(ax[idx]).max() + wd_half))) + 2
+    return D, offs, Rp
+
+
+def lradon_descriptors_device(img, xy, proj_num=6, beam_num=8, beam_wd=3,
+                              beam_radius=15):
+    """Device LRadon descriptors for keypoints ``xy`` (n, 2).
+    Returns a device (n_pad, P, B) f32 array and n (callers slice)."""
+    imgh = np.asarray(img, np.float32)
+    h, w = imgh.shape
+    D, offs, Rp = _desc_params(proj_num, beam_num, beam_wd, beam_radius)
     n = int(np.asarray(xy).shape[0])
     # pad the keypoint count to pow2 buckets so compiled signatures are
     # shared across sections
@@ -284,25 +298,37 @@ def _variants(des, proj_num):
     return jnp.stack(out)
 
 
-@functools.partial(jax.jit, static_argnames=('proj_num', 'exhaustive'))
-def _match_core(d0, n0, d1, n1, proj_num, exhaustive):
+def _match_body(d0, v0, d1, v1, proj_num, exhaustive):
+    """Traced masked matching body: v0/v1 are (K,) bool validity masks
+    (valid & active), so the SAME device-resident descriptor sets serve
+    every robustness round — later rounds upload two bool vectors, not
+    re-padded descriptor copies. The rotation search scans variants with
+    a running-best (K1, K0) plane: peak memory is one similarity plane,
+    never the (2P, K1, K0) volume."""
     k0 = d0.shape[0]
     k1 = d1.shape[0]
-    v0 = jnp.arange(k0) < n0
-    v1 = jnp.arange(k1) < n1
     a0 = d0.reshape(k0, -1)
+    vmask = v1[:, None] & v0[None, :]
     if exhaustive:
         variants = _variants(d1, proj_num)          # (R, K1, PB)
-        sims = jnp.einsum('rnd,md->rnm', variants, a0,
-                          precision=jax.lax.Precision.HIGHEST)
-        vmask = v1[None, :, None] & v0[None, None, :]
-        sims = jnp.where(vmask, sims, -jnp.inf)
-        best_rot = jnp.argmax(jnp.max(sims, axis=(1, 2)))
-        S = sims[best_rot]                           # (K1, K0)
+
+        def step(carry, vr):
+            S_best, m_best, r_best, ri = carry
+            S = jnp.einsum('nd,md->nm', vr, a0,
+                           precision=jax.lax.Precision.HIGHEST)
+            S = jnp.where(vmask, S, -jnp.inf)
+            m = jnp.max(S)
+            take = m > m_best                        # first max wins ties
+            return (jnp.where(take, S, S_best), jnp.where(take, m, m_best),
+                    jnp.where(take, ri, r_best), ri + 1), None
+
+        init = (jnp.full((k1, k0), -jnp.inf, jnp.float32),
+                -jnp.inf, jnp.int32(0), jnp.int32(0))
+        (S, _, best_rot, _), _ = jax.lax.scan(step, init, variants)
     else:
         S = jnp.einsum('nd,md->nm', d1.reshape(k1, -1), a0,
                        precision=jax.lax.Precision.HIGHEST)
-        S = jnp.where(v1[:, None] & v0[None, :], S, -jnp.inf)
+        S = jnp.where(vmask, S, -jnp.inf)
         best_rot = jnp.int32(0)
     i0 = jnp.argmax(S, axis=1)                       # (K1,)
     top = jnp.max(S, axis=1)
@@ -314,6 +340,17 @@ def _match_core(d0, n0, d1, n1, proj_num, exhaustive):
                      1 - jnp.clip(second, 0, None)
                      / jnp.clip(top, 1e-6, None), 0.0)
     return i0, top, conf, mutual & v1, best_rot
+
+
+@functools.partial(jax.jit, static_argnames=('proj_num', 'exhaustive'))
+def _match_core(d0, n0, d1, n1, proj_num, exhaustive):
+    v0 = jnp.arange(d0.shape[0]) < n0
+    v1 = jnp.arange(d1.shape[0]) < n1
+    return _match_body(d0, v0, d1, v1, proj_num, exhaustive)
+
+
+_match_core_masked = functools.partial(
+    jax.jit, static_argnames=('proj_num', 'exhaustive'))(_match_body)
 
 
 def match_lradon_device(des0, n0, des1, n1, exhaustive=True,
@@ -334,3 +371,160 @@ def match_lradon_device(des0, n0, des1, n1, exhaustive=True,
     keep = mutual & (conf > conf_thresh) & (top > 0.1)
     i1 = np.arange(n1)
     return i0[keep], i1[keep], conf[keep], int(best_rot)
+
+
+def _match_postprocess(i0, top, conf, mutual, best_rot, conf_thresh):
+    """Shared host-side thresholding of a raw device match. ``mutual``
+    already carries the side-1 validity/active mask, so the surviving
+    indices are GLOBAL rows of the (padded) descriptor arrays."""
+    i0 = np.asarray(i0)
+    top = np.asarray(top)
+    conf = np.asarray(conf)
+    mutual = np.asarray(mutual)
+    keep = mutual & (conf > conf_thresh) & (top > 0.1)
+    i1 = np.nonzero(keep)[0]
+    return i0[keep], i1, conf[keep], int(best_rot)
+
+
+def match_lradon_device_masked(des0_dev, m0, des1_dev, m1, exhaustive=True,
+                               conf_thresh=0.5):
+    """Mutual-nearest matching on DEVICE-RESIDENT descriptor sets with
+    host bool masks (valid & still-active). Per robustness round this
+    uploads two (K,) bool vectors and fetches O(K) result vectors — the
+    descriptors never leave the device. Returns GLOBAL indices
+    (idx0, idx1, conf, best_rot) into the padded descriptor rows."""
+    if not m0.any() or not m1.any():
+        return (np.zeros(0, int), np.zeros(0, int), np.zeros(0), 0)
+    proj_num = int(des0_dev.shape[1])
+    i0, top, conf, mutual, best_rot = _match_core_masked(
+        des0_dev, jnp.asarray(np.asarray(m0, bool)),
+        des1_dev, jnp.asarray(np.asarray(m1, bool)),
+        proj_num, bool(exhaustive))
+    return _match_postprocess(i0, top, conf, mutual, best_rot, conf_thresh)
+
+
+# ------------------- fused feature / pair programs ------------------- #
+
+def _features_body(img, mask, W, sigma, size, k, has_mask, proj_num, Rp):
+    """Traced detect + describe for one image: the same math as the
+    staged ``_detect_core`` -> host xy fetch -> ``_lradon_patch_core``
+    chain, but with the keypoint table staying on device between the two
+    stages — so a whole image's feature extraction is ONE dispatch.
+    Region class ids (integer mask lookups at the peak pixels) also
+    resolve in-program."""
+    xy, resp, valid, yy, xx = _detect_body(img, mask, sigma, size, k,
+                                           has_mask)
+    h, w = img.shape
+    # clamp into the image exactly like the host descriptor prep
+    # (lradon_descriptors_device); patch origins in the edge-padded frame
+    xyc = jnp.clip(xy, 0.0, jnp.asarray([w - 1.0, h - 1.0], jnp.float32))
+    z0 = jnp.floor(xyc)
+    f = (xyc - z0).astype(jnp.float32)
+    pad = Rp + 1
+    z = z0.astype(jnp.int32) + (pad - Rp)
+    imgp = jnp.pad(img, pad, mode='edge')
+    des = _patch_body(imgp, z, f, W, proj_num, Rp)
+    if has_mask:
+        cls = mask[yy, xx].astype(jnp.int32)
+    else:
+        cls = jnp.zeros(yy.shape[0], jnp.int32)
+    return xy, resp, valid, yy, xx, cls, des
+
+
+_features_core = functools.partial(
+    jax.jit, static_argnames=('sigma', 'size', 'k', 'has_mask',
+                              'proj_num', 'Rp'))(_features_body)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('sigma', 'size', 'k0', 'k1',
+                                    'has_mask0', 'has_mask1', 'proj_num',
+                                    'Rp', 'exhaustive'))
+def _pair_core(img0, mask0, img1, mask1, W, sigma, size, k0, k1,
+               has_mask0, has_mask1, proj_num, Rp, exhaustive):
+    """Both images' detect+describe AND the round-0 rotation-exhaustive
+    match fused into ONE program: through a high-latency link the staged
+    flow pays ~6 serialized dispatch+fetch round trips per pair; this
+    pays one."""
+    f0 = _features_body(img0, mask0, W, sigma, size, k0, has_mask0,
+                        proj_num, Rp)
+    f1 = _features_body(img1, mask1, W, sigma, size, k1, has_mask1,
+                        proj_num, Rp)
+    m = _match_body(f0[6], f0[2], f1[6], f1[2], proj_num, exhaustive)
+    return f0, f1, m
+
+
+def _detect_statics(img, sigma, min_spacing, num_features):
+    size = max(int(round(min_spacing)), 3)
+    k = int(num_features) if num_features and num_features > 0 else 5000
+    k = min(k, int(np.asarray(img).size))
+    return float(sigma), size, k
+
+
+def _feature_fetch(out, k):
+    """Host-side unpack of one image's fused feature outputs. The
+    descriptor array is fetched for host-API compatibility AND kept as a
+    device handle for masked re-matching."""
+    xy, resp, valid, yy, xx, cls, des = out
+    valid = np.asarray(valid)
+    n = int(valid.sum())          # top-k sorts invalid (-inf) last
+    return {
+        'xy': np.asarray(xy, np.float64)[:n],
+        'resp': np.asarray(resp)[:n],
+        'iyx': np.stack([np.asarray(yy)[:n], np.asarray(xx)[:n]], -1),
+        'cls': np.asarray(cls)[:n],
+        'n': n, 'k': int(k),
+        'des': np.asarray(des)[:n],
+        'des_dev': des,
+    }
+
+
+def features_device(img, mask=None, sigma=3.5, min_spacing=10,
+                    num_features=5000, proj_num=6, beam_num=8, beam_wd=3,
+                    beam_radius=15):
+    """One-dispatch detect + describe for one image. Returns a dict with
+    host keypoint tables (xy/resp/iyx/cls, response-sorted, length n) and
+    the device-resident (k, P, B) descriptor array ``des_dev`` (rows past
+    n are padding; pair it with a ``valid & active`` mask for
+    ``match_lradon_device_masked``)."""
+    imgf = np.asarray(img, np.float32)
+    has_mask = mask is not None
+    m = np.asarray(mask, np.float32) if has_mask \
+        else np.zeros((1, 1), np.float32)
+    sigma, size, k = _detect_statics(imgf, sigma, min_spacing, num_features)
+    D, offs, Rp = _desc_params(proj_num, beam_num, beam_wd, beam_radius)
+    W = _stencil_table(int(proj_num), int(beam_num), int(beam_wd), D,
+                       offs, Rp)
+    out = _features_core(jnp.asarray(imgf), jnp.asarray(m), W, sigma, size,
+                         k, has_mask, int(proj_num), Rp)
+    return _feature_fetch(out, k)
+
+
+def pair_features_device(img0, img1, mask0=None, mask1=None, sigma=3.5,
+                         min_spacing=10, num_features=5000, proj_num=6,
+                         beam_num=8, beam_wd=3, beam_radius=15,
+                         exhaustive=True, conf_thresh=0.5):
+    """Detect + describe BOTH images and run the round-0 match in ONE
+    dispatch. Returns (feat0, feat1, (idx0, idx1, conf, best_rot)) where
+    featN are ``features_device``-shaped dicts and the indices are global
+    keypoint rows."""
+    img0 = np.asarray(img0, np.float32)
+    img1 = np.asarray(img1, np.float32)
+    hm0 = mask0 is not None
+    hm1 = mask1 is not None
+    m0 = np.asarray(mask0, np.float32) if hm0 \
+        else np.zeros((1, 1), np.float32)
+    m1 = np.asarray(mask1, np.float32) if hm1 \
+        else np.zeros((1, 1), np.float32)
+    sigma, size, k0 = _detect_statics(img0, sigma, min_spacing,
+                                      num_features)
+    _, _, k1 = _detect_statics(img1, sigma, min_spacing, num_features)
+    D, offs, Rp = _desc_params(proj_num, beam_num, beam_wd, beam_radius)
+    W = _stencil_table(int(proj_num), int(beam_num), int(beam_wd), D,
+                       offs, Rp)
+    f0, f1, m = _pair_core(jnp.asarray(img0), jnp.asarray(m0),
+                           jnp.asarray(img1), jnp.asarray(m1), W, sigma,
+                           size, k0, k1, hm0, hm1, int(proj_num), Rp,
+                           bool(exhaustive))
+    match = _match_postprocess(*m, conf_thresh=conf_thresh)
+    return _feature_fetch(f0, k0), _feature_fetch(f1, k1), match

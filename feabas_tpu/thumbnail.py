@@ -31,6 +31,11 @@ class KeyPoints:
         self.class_id = (np.zeros(n, np.int32) if class_id is None
                          else np.asarray(class_id, np.int32).ravel())
         self.des = None
+        # device-resident (k_pad, P, B) descriptor handle (rows beyond
+        # num_points are padding) — set by the fused device prepare so
+        # every matching round reuses it via a bool mask instead of
+        # re-uploading descriptors (ops/lradon.match_lradon_device_masked)
+        self.des_dev = None
 
     @property
     def num_points(self):
@@ -41,6 +46,13 @@ class KeyPoints:
         if self.des is not None:
             kp.des = self.des[keep]
         return kp
+
+    def __getstate__(self):
+        # the device handle is per-process; drop it when pickling to
+        # worker processes (they re-upload lazily if they match on device)
+        state = dict(self.__dict__)
+        state['des_dev'] = None
+        return state
 
 
 class KeyPointMatches:
@@ -405,11 +417,47 @@ def verify_match_elastic(xy0, xy1, weight, settled, img_shape0, img_shape1,
     return keep
 
 
-def prepare_image(img, mask=None, **settings):
-    """Detect + describe in one call; cached by callers
-    (reference: thumbnail.py:279)."""
+def _device_flags(settings):
+    """Resolve the detect/extract use_device flags (None -> config)."""
     detect = dict(settings.get('detect_settings', {}) or {})
     extract = dict(settings.get('extract_settings', {}) or {})
+    ud = detect.get('use_device', None)
+    ue = extract.get('use_device', None)
+    if ud is None:
+        ud = config.device_thumbnail()
+    if ue is None:
+        ue = config.device_thumbnail()
+    return bool(ud), bool(ue), detect, extract
+
+
+_DETECT_KEYS = ('sigma', 'min_spacing', 'num_features')
+_EXTRACT_KEYS = ('proj_num', 'beam_num', 'beam_wd', 'beam_radius')
+
+
+def _kp_from_device_features(feat, mask):
+    kp = KeyPoints(feat['xy'], feat['resp'])
+    if mask is not None and np.asarray(mask).dtype != bool:
+        kp.class_id = feat['cls'].astype(np.int32)
+    kp.des = feat['des']
+    kp.des_dev = feat['des_dev']
+    return kp
+
+
+def prepare_image(img, mask=None, **settings):
+    """Detect + describe in one call; cached by callers
+    (reference: thumbnail.py:279).
+
+    When both detect and extract route to the device, the whole feature
+    extraction runs as ONE fused dispatch (ops/lradon.features_device)
+    and the descriptors additionally stay device-resident for masked
+    re-matching across robustness rounds."""
+    ud, ue, detect, extract = _device_flags(settings)
+    if ud and ue:
+        from feabas_tpu.ops import lradon
+        kw = {k: detect[k] for k in _DETECT_KEYS if k in detect}
+        kw.update({k: extract[k] for k in _EXTRACT_KEYS if k in extract})
+        feat = lradon.features_device(img, mask=mask, **kw)
+        return _kp_from_device_features(feat, mask)
     kp = detect_extrema_log(img, mask=mask, **detect)
     return extract_LRadon_feature(np.asarray(img, np.float32), kp, **extract)
 
@@ -434,8 +482,26 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
         2.0 * (settings.get('detect_settings', {}) or {}).get('min_spacing', 10))
     elastic_dis_tol = settings.get('elastic_dis_tol', None)
     max_rounds = int(settings.get('max_rounds', 4))
-    kp0 = settings.get('kps0') or prepare_image(img0, mask=mask0, **settings)
-    kp1 = settings.get('kps1') or prepare_image(img1, mask=mask1, **settings)
+    kp0 = settings.get('kps0')
+    kp1 = settings.get('kps1')
+    pre_match = None
+    if kp0 is None and kp1 is None:
+        ud, ue, detect, extract = _device_flags(settings)
+        if ud and ue:
+            # whole pair prep + round-0 match in ONE device dispatch
+            from feabas_tpu.ops import lradon
+            kw = {k: detect[k] for k in _DETECT_KEYS if k in detect}
+            kw.update({k: extract[k] for k in _EXTRACT_KEYS if k in extract})
+            f0, f1, pre_match = lradon.pair_features_device(
+                img0, img1, mask0=mask0, mask1=mask1,
+                exhaustive=matching.get('exhaustive', True),
+                conf_thresh=matching.get('conf_thresh', 0.3), **kw)
+            kp0 = _kp_from_device_features(f0, mask0)
+            kp1 = _kp_from_device_features(f1, mask1)
+    if kp0 is None:
+        kp0 = prepare_image(img0, mask=mask0, **settings)
+    if kp1 is None:
+        kp1 = prepare_image(img1, mask=mask1, **settings)
     shape0 = np.asarray(img0).shape
     shape1 = np.asarray(img1).shape
     acc_xy0, acc_xy1, acc_w = [], [], []
@@ -443,18 +509,37 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
     min_group = int(settings.get('min_group_size', 5))
     active0 = np.ones(kp0.num_points, bool)
     active1 = np.ones(kp1.num_points, bool)
+    use_masked = kp0.des_dev is not None and kp1.des_dev is not None
     for _round in range(max_rounds):
-        k0 = kp0.filter_by_mask(active0)
-        k1 = kp1.filter_by_mask(active1)
-        if k0.num_points < 3 or k1.num_points < 3:
+        if int(active0.sum()) < 3 or int(active1.sum()) < 3:
             break
-        i0, i1, conf, rot = match_LRadon_feature(
-            k0, k1, exhaustive=matching.get('exhaustive', True),
-            conf_thresh=matching.get('conf_thresh', 0.3))
+        if use_masked:
+            # descriptors stay device-resident; each round uploads only
+            # the active masks and fetches the surviving global indices
+            if _round == 0 and pre_match is not None:
+                i0, i1, conf, rot = pre_match
+            else:
+                from feabas_tpu.ops import lradon
+                m0 = np.zeros(kp0.des_dev.shape[0], bool)
+                m0[:kp0.num_points] = active0
+                m1 = np.zeros(kp1.des_dev.shape[0], bool)
+                m1[:kp1.num_points] = active1
+                i0, i1, conf, rot = lradon.match_lradon_device_masked(
+                    kp0.des_dev, m0, kp1.des_dev, m1,
+                    exhaustive=matching.get('exhaustive', True),
+                    conf_thresh=matching.get('conf_thresh', 0.3))
+            src0, src1 = kp0, kp1        # global indices
+        else:
+            k0 = kp0.filter_by_mask(active0)
+            k1 = kp1.filter_by_mask(active1)
+            i0, i1, conf, rot = match_LRadon_feature(
+                k0, k1, exhaustive=matching.get('exhaustive', True),
+                conf_thresh=matching.get('conf_thresh', 0.3))
+            src0, src1 = k0, k1          # compacted indices
         if i0.size < 3:
             break
-        xy0 = k0.xy[i0]
-        xy1 = k1.xy[i1]
+        xy0 = src0.xy[i0]
+        xy1 = src1.xy[i1]
         keep = filter_match_pairwise_strain(xy0, xy1, conf, **strain_f)
         if _round > 0 and keep.sum() < 3:
             # later rounds see only leftover pieces: the pairwise-strain
@@ -463,8 +548,8 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
         if keep.sum() < 3:
             break
         xy0, xy1, conf = xy0[keep], xy1[keep], conf[keep]
-        cls0 = k0.class_id[i0][keep]
-        cls1 = k1.class_id[i1][keep]
+        cls0 = src0.class_id[i0][keep]
+        cls1 = src1.class_id[i1][keep]
         groups = filter_match_sequential_ransac(
             xy0, xy1, conf, class0=cls0, class1=cls1, **ransac_f)
         accepted_any = False
