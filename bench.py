@@ -157,6 +157,7 @@ def main():
         _bench_render_mipmap()
     montage_host_mbps, montage_dev_mbps = _bench_montage_blend()
     thumb_s, thumb_cpu_s, thumb_err = _bench_thumbnail()
+    thumb_stack_s, thumb_stack_cpu_s = _bench_thumbnail_stack()
     winopt_sph, align_p90 = _bench_align_stack()
     align_sph, align_e2e_p90 = _bench_align_e2e()
     cpu_align_sph = _run_cpu_subprocess('cpu_align_e2e_worker',
@@ -202,6 +203,10 @@ def main():
         'thumbnail_cpu_pair_s': round(thumb_cpu_s, 3),
         'thumbnail_vs_baseline': round(thumb_cpu_s / max(thumb_s, 1e-9), 2),
         'thumbnail_err_px': round(thumb_err, 3),
+        'thumbnail_stack_pair_s': round(thumb_stack_s, 3),
+        'thumbnail_stack_cpu_pair_s': round(thumb_stack_cpu_s, 3),
+        'thumbnail_stack_vs_baseline': round(
+            thumb_stack_cpu_s / max(thumb_stack_s, 1e-9), 2),
         'align_e2e_sections_per_hour': round(align_sph, 1),
         'align_e2e_cpu_sections_per_hour': (
             None if not cpu_align_sph else round(cpu_align_sph, 1)),
@@ -578,6 +583,54 @@ def _bench_thumbnail():
     dev_dt, dev_err = run(s_dev)
     host_dt, _ = run(s_host)
     return dev_dt, host_dt, dev_err
+
+
+def _bench_thumbnail_stack(S=7):
+    """Thumbnail matching the way the CLI runs it (production shape):
+    features prepared ONCE per section and cached, then neighbor pairs
+    matched with the cached keypoints — device matches additionally
+    pipeline through thread workers so per-dispatch link latency overlaps
+    (single-pair latency is floored by round trips; a stack is
+    throughput-bound). Returns (device_s_per_pair, cpu_s_per_pair)."""
+    from concurrent.futures import ThreadPoolExecutor
+    from scipy.ndimage import gaussian_filter
+    from feabas_tpu.thumbnail import (match_two_thumbnails_LRadon,
+                                      prepare_image)
+    rng = np.random.default_rng(8)
+    n = 512
+    world = gaussian_filter(rng.normal(0, 1, (n + 256, n + 256)), 3)
+    world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.float32)
+    offs = np.stack([rng.integers(0, 128, S), rng.integers(0, 128, S)], -1)
+    imgs = [np.ascontiguousarray(
+        world[o[1]:o[1] + n, o[0]:o[0] + n]) for o in offs]
+    det = {'min_spacing': 16}
+
+    def run(use_device, workers):
+        s = {'detect_settings': dict(det, use_device=use_device),
+             'extract_settings': {'use_device': use_device},
+             'max_rounds': 2}
+        t0 = time.perf_counter()
+        kps = [prepare_image(im, **s) for im in imgs]
+
+        def one(i):
+            m = match_two_thumbnails_LRadon(imgs[i], imgs[i + 1],
+                                            kps0=kps[i], kps1=kps[i + 1],
+                                            **s)
+            assert m is not None and m.xy0.shape[0] >= 8
+            return m
+
+        if workers > 1:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                list(ex.map(one, range(S - 1)))
+        else:
+            for i in range(S - 1):
+                one(i)
+        return (time.perf_counter() - t0) / (S - 1)
+
+    run(True, 3)                      # warm compiles
+    dev = min(run(True, 3) for _ in range(2))
+    cpu = run(False, 1)
+    return dev, cpu
 
 
 def _bench_align_stack():

@@ -404,54 +404,75 @@ def match_lradon_device_masked(des0_dev, m0, des1_dev, m1, exhaustive=True,
 
 
 # ------------------- fused feature / pair programs ------------------- #
+#
+# The staged flow paid ~6 serialized dispatch+fetch round trips per
+# thumbnail pair (detect x2, xy fetch x2, describe x2, match x rounds).
+# The fused flow pays TWO:
+#   dispatch A (_detect_prep): DoG detect + patch-origin prep + class
+#     lookup for BOTH images in one program; only the tiny keypoint
+#     tables fetch (the images and per-keypoint z/f tables stay on
+#     device as the program's input/output handles);
+#   dispatch B (_desc_match): descriptors for both images at an
+#     ADAPTIVE pow2 bucket of the detected counts (static top-k slices
+#     of A's response-sorted outputs) + the round-0 rotation-exhaustive
+#     match. A single static descriptor count would instead burn
+#     K=num_features worth of patch gathers and similarity FLOPs on
+#     mostly-padding rows (measured 2.6x slower at 5k cap / 1k real).
+# Later robustness rounds reuse the device-resident descriptors through
+# ``match_lradon_device_masked`` (one round trip each).
 
-def _features_body(img, mask, W, sigma, size, k, has_mask, proj_num, Rp):
-    """Traced detect + describe for one image: the same math as the
-    staged ``_detect_core`` -> host xy fetch -> ``_lradon_patch_core``
-    chain, but with the keypoint table staying on device between the two
-    stages — so a whole image's feature extraction is ONE dispatch.
-    Region class ids (integer mask lookups at the peak pixels) also
-    resolve in-program."""
+def _detect_prep_body(img, mask, sigma, size, k, has_mask, Rp):
+    """Traced detect + descriptor-prep for one image: keypoints, their
+    patch origins z / fractional offsets f (in the edge-padded frame the
+    descriptor stage uses), and region class ids."""
     xy, resp, valid, yy, xx = _detect_body(img, mask, sigma, size, k,
                                            has_mask)
     h, w = img.shape
     # clamp into the image exactly like the host descriptor prep
-    # (lradon_descriptors_device); patch origins in the edge-padded frame
+    # (lradon_descriptors_device)
     xyc = jnp.clip(xy, 0.0, jnp.asarray([w - 1.0, h - 1.0], jnp.float32))
     z0 = jnp.floor(xyc)
     f = (xyc - z0).astype(jnp.float32)
     pad = Rp + 1
     z = z0.astype(jnp.int32) + (pad - Rp)
-    imgp = jnp.pad(img, pad, mode='edge')
-    des = _patch_body(imgp, z, f, W, proj_num, Rp)
     if has_mask:
         cls = mask[yy, xx].astype(jnp.int32)
     else:
         cls = jnp.zeros(yy.shape[0], jnp.int32)
-    return xy, resp, valid, yy, xx, cls, des
+    return xy, resp, valid, yy, xx, cls, z, f
 
 
-_features_core = functools.partial(
+_detect_prep_core = functools.partial(
     jax.jit, static_argnames=('sigma', 'size', 'k', 'has_mask',
-                              'proj_num', 'Rp'))(_features_body)
+                              'Rp'))(_detect_prep_body)
 
 
 @functools.partial(jax.jit,
                    static_argnames=('sigma', 'size', 'k0', 'k1',
-                                    'has_mask0', 'has_mask1', 'proj_num',
-                                    'Rp', 'exhaustive'))
-def _pair_core(img0, mask0, img1, mask1, W, sigma, size, k0, k1,
-               has_mask0, has_mask1, proj_num, Rp, exhaustive):
-    """Both images' detect+describe AND the round-0 rotation-exhaustive
-    match fused into ONE program: through a high-latency link the staged
-    flow pays ~6 serialized dispatch+fetch round trips per pair; this
-    pays one."""
-    f0 = _features_body(img0, mask0, W, sigma, size, k0, has_mask0,
-                        proj_num, Rp)
-    f1 = _features_body(img1, mask1, W, sigma, size, k1, has_mask1,
-                        proj_num, Rp)
-    m = _match_body(f0[6], f0[2], f1[6], f1[2], proj_num, exhaustive)
-    return f0, f1, m
+                                    'has_mask0', 'has_mask1', 'Rp'))
+def _pair_detect_core(img0, mask0, img1, mask1, sigma, size, k0, k1,
+                      has_mask0, has_mask1, Rp):
+    return (_detect_prep_body(img0, mask0, sigma, size, k0, has_mask0, Rp),
+            _detect_prep_body(img1, mask1, sigma, size, k1, has_mask1, Rp))
+
+
+@functools.partial(jax.jit, static_argnames=('kd', 'proj_num', 'Rp'))
+def _desc_core(img, z, f, W, kd, proj_num, Rp):
+    """Descriptors for the top-``kd`` (response-sorted) keypoints of one
+    image; img / z / f are device residents from the detect dispatch."""
+    imgp = jnp.pad(img, Rp + 1, mode='edge')
+    return _patch_body(imgp, z[:kd], f[:kd], W, proj_num, Rp)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('kd0', 'kd1', 'proj_num', 'Rp',
+                                    'exhaustive'))
+def _pair_desc_match_core(img0, z0, f0, v0, img1, z1, f1, v1, W, kd0, kd1,
+                          proj_num, Rp, exhaustive):
+    des0 = _desc_core(img0, z0, f0, W, kd0, proj_num, Rp)
+    des1 = _desc_core(img1, z1, f1, W, kd1, proj_num, Rp)
+    m = _match_body(des0, v0[:kd0], des1, v1[:kd1], proj_num, exhaustive)
+    return des0, des1, m
 
 
 def _detect_statics(img, sigma, min_spacing, num_features):
@@ -461,31 +482,36 @@ def _detect_statics(img, sigma, min_spacing, num_features):
     return float(sigma), size, k
 
 
-def _feature_fetch(out, k):
-    """Host-side unpack of one image's fused feature outputs. The
-    descriptor array is fetched for host-API compatibility AND kept as a
-    device handle for masked re-matching."""
-    xy, resp, valid, yy, xx, cls, des = out
-    valid = np.asarray(valid)
-    n = int(valid.sum())          # top-k sorts invalid (-inf) last
+def _kd_bucket(n, k):
+    """pow2 descriptor bucket covering the n detected keypoints (never
+    drops one: n <= k always, and min(pow2(n), k) >= n)."""
+    return int(min(max(64, 1 << max(int(n) - 1, 0).bit_length()), k))
+
+
+def _detect_fetch(out, k):
+    """Host-side unpack of one image's detect outputs (small tables);
+    device handles (z, f, valid) ride along for the descriptor stage."""
+    xy, resp, valid, yy, xx, cls, z, f = out
+    vh = np.asarray(valid)
+    n = int(vh.sum())             # top-k sorts invalid (-inf) last
     return {
         'xy': np.asarray(xy, np.float64)[:n],
         'resp': np.asarray(resp)[:n],
         'iyx': np.stack([np.asarray(yy)[:n], np.asarray(xx)[:n]], -1),
         'cls': np.asarray(cls)[:n],
         'n': n, 'k': int(k),
-        'des': np.asarray(des)[:n],
-        'des_dev': des,
+        '_z': z, '_f': f, '_v': valid,
     }
 
 
 def features_device(img, mask=None, sigma=3.5, min_spacing=10,
                     num_features=5000, proj_num=6, beam_num=8, beam_wd=3,
                     beam_radius=15):
-    """One-dispatch detect + describe for one image. Returns a dict with
-    host keypoint tables (xy/resp/iyx/cls, response-sorted, length n) and
-    the device-resident (k, P, B) descriptor array ``des_dev`` (rows past
-    n are padding; pair it with a ``valid & active`` mask for
+    """Two-dispatch detect + describe for one image (detect-prep, then
+    descriptors at the adaptive bucket). Returns a dict with host
+    keypoint tables (xy/resp/iyx/cls, response-sorted, length n) and the
+    device-resident (kd, P, B) descriptor array ``des_dev`` (rows past n
+    are padding; pair it with a ``valid & active`` mask for
     ``match_lradon_device_masked``)."""
     imgf = np.asarray(img, np.float32)
     has_mask = mask is not None
@@ -495,19 +521,28 @@ def features_device(img, mask=None, sigma=3.5, min_spacing=10,
     D, offs, Rp = _desc_params(proj_num, beam_num, beam_wd, beam_radius)
     W = _stencil_table(int(proj_num), int(beam_num), int(beam_wd), D,
                        offs, Rp)
-    out = _features_core(jnp.asarray(imgf), jnp.asarray(m), W, sigma, size,
-                         k, has_mask, int(proj_num), Rp)
-    return _feature_fetch(out, k)
+    img_dev = jnp.asarray(imgf)
+    out = _detect_prep_core(img_dev, jnp.asarray(m), sigma, size, k,
+                            has_mask, Rp)
+    feat = _detect_fetch(out, k)
+    kd = _kd_bucket(feat['n'], k)
+    des = _desc_core(img_dev, feat.pop('_z'), feat.pop('_f'), W, kd,
+                     int(proj_num), Rp)
+    feat.pop('_v')
+    feat['des_dev'] = des
+    feat['des'] = np.asarray(des)[:feat['n']]
+    return feat
 
 
 def pair_features_device(img0, img1, mask0=None, mask1=None, sigma=3.5,
                          min_spacing=10, num_features=5000, proj_num=6,
                          beam_num=8, beam_wd=3, beam_radius=15,
                          exhaustive=True, conf_thresh=0.5):
-    """Detect + describe BOTH images and run the round-0 match in ONE
-    dispatch. Returns (feat0, feat1, (idx0, idx1, conf, best_rot)) where
-    featN are ``features_device``-shaped dicts and the indices are global
-    keypoint rows."""
+    """Detect + describe BOTH images and run the round-0 match in TWO
+    dispatches (fused pair detect, then bucketed pair describe+match).
+    Returns (feat0, feat1, (idx0, idx1, conf, best_rot)) where featN are
+    ``features_device``-shaped dicts and the indices are global keypoint
+    rows."""
     img0 = np.asarray(img0, np.float32)
     img1 = np.asarray(img1, np.float32)
     hm0 = mask0 is not None
@@ -522,9 +557,21 @@ def pair_features_device(img0, img1, mask0=None, mask1=None, sigma=3.5,
     D, offs, Rp = _desc_params(proj_num, beam_num, beam_wd, beam_radius)
     W = _stencil_table(int(proj_num), int(beam_num), int(beam_wd), D,
                        offs, Rp)
-    f0, f1, m = _pair_core(jnp.asarray(img0), jnp.asarray(m0),
-                           jnp.asarray(img1), jnp.asarray(m1), W, sigma,
-                           size, k0, k1, hm0, hm1, int(proj_num), Rp,
-                           bool(exhaustive))
+    d0 = jnp.asarray(img0)
+    d1 = jnp.asarray(img1)
+    o0, o1 = _pair_detect_core(d0, jnp.asarray(m0), d1, jnp.asarray(m1),
+                               sigma, size, k0, k1, hm0, hm1, Rp)
+    feat0 = _detect_fetch(o0, k0)
+    feat1 = _detect_fetch(o1, k1)
+    kd0 = _kd_bucket(feat0['n'], k0)
+    kd1 = _kd_bucket(feat1['n'], k1)
+    des0, des1, m = _pair_desc_match_core(
+        d0, feat0.pop('_z'), feat0.pop('_f'), feat0.pop('_v'),
+        d1, feat1.pop('_z'), feat1.pop('_f'), feat1.pop('_v'),
+        W, kd0, kd1, int(proj_num), Rp, bool(exhaustive))
+    feat0['des_dev'] = des0
+    feat0['des'] = np.asarray(des0)[:feat0['n']]
+    feat1['des_dev'] = des1
+    feat1['des'] = np.asarray(des1)[:feat1['n']]
     match = _match_postprocess(*m, conf_thresh=conf_thresh)
-    return _feature_fetch(f0, k0), _feature_fetch(f1, k1), match
+    return feat0, feat1, match

@@ -1,5 +1,6 @@
 """Device-side montage blending: all hit tiles of an output block
-rasterized, sampled, and LINEAR-blended in ONE XLA program.
+rasterized, sampled, and blended (LINEAR, or two-band PYRAMID — the
+production default blend) in ONE XLA program.
 
 The stitch render stage (reference hot path ``stitcher.py:1399-1556``)
 composes thousands of small warped tiles per section; the host path
@@ -20,7 +21,9 @@ the stacked tile images, and the device does everything:
   distance-to-tile-border blend weight as the host
   (``min(sx, tw-sx, sy, th-sy) / margin`` clipped to [0, 1]);
 - accumulate sum(w*val) / sum(w), fill uncovered pixels in-program,
-  fetch uint8.
+  fetch uint8. PYRAMID adds a low-band accumulator fed by a
+  once-per-section blurred copy of the tile stack (``pack_low_stack``)
+  plus the dominant tile's high band — same two-band rule as the host.
 
 Traffic per block: tile images up (~coverage x output bytes, uint8) +
 uint8 output down — the same anatomy that makes the section renderer
@@ -55,15 +58,18 @@ _R_CHUNK = 8
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('ncy', 'ncx', 'out_kind'))
-def montage_blend(srcs, gmap, tables, aux, cands, fillval, ncy, ncx,
-                  out_kind='u8'):
+                   static_argnames=('ncy', 'ncx', 'out_kind', 'pyramid'))
+def montage_blend(srcs, lows, gmap, tables, aux, cands, fillval, ncy, ncx,
+                  out_kind='u8', pyramid=False):
     """Blend one output block from per-tile tables + sources.
 
     Args:
         srcs: (N, Hs, Ws) uint32 packed-quad tile images (pack_u8_quads)
             — either the block's hit tiles or a DEVICE-RESIDENT
             whole-section stack (uploaded once, reused every block).
+        lows: (N, Hs, Ws) uint32 packed-quad MASK-NORMALIZED-BLURRED tile
+            images (``pack_low_stack``), the PYRAMID low band; pass
+            ``srcs`` when pyramid=False (unused).
         gmap: (T,) int32 mapping the block-local tile slot to its row in
             ``srcs`` (identity when srcs holds just this block's tiles).
         tables: (T, R, 14) f32 per-tile triangle tables, block-local
@@ -76,6 +82,13 @@ def montage_blend(srcs, gmap, tables, aux, cands, fillval, ncy, ncx,
         fillval: f32 scalar for uncovered pixels.
         ncy, ncx: static cell grid dims (output is (ncy*CELL, ncx*CELL)).
         out_kind: 'u8' | 'f32'.
+        pyramid: static; two-band blend — low frequencies mix linearly,
+            high frequencies come from the dominant tile (host path:
+            stitcher.py crop PYRAMID branch; reference stitcher.py:1484).
+            The blur lives in TILE frame (computed once per section on
+            the resident stack); Gaussian blur commutes with the
+            near-rigid tile warps, so this matches the host's
+            block-frame blur to sub-LSB.
     Returns:
         (out (H, W), covered_any bool scalar)
     """
@@ -91,7 +104,10 @@ def montage_blend(srcs, gmap, tables, aux, cands, fillval, ncy, ncx,
             jnp.arange(CELL, dtype=jnp.float32)[:, None]
 
         def body(k, state):
-            acc, wacc = state
+            if pyramid:
+                acc, wacc, best_w, best_hi = state
+            else:
+                acc, wacc = state
             idx = cand_row[k]
             live = idx >= 0
             i = jnp.maximum(idx, 0)
@@ -124,13 +140,30 @@ def montage_blend(srcs, gmap, tables, aux, cands, fillval, ncy, ncx,
                             jnp.minimum(sy, a[1] - sy))
             w = jnp.clip(d / a[2], 0.0, 1.0)
             w = jnp.where(covered, w, 0.0)
+            if pyramid:
+                lowv = bilinear_sample_packed(lows[gmap[i]], sxq, syq, 0.0)
+                # blur is linear, so the gain/offset transfer commutes:
+                # host blurs the transferred image, this transfers the
+                # blurred one — identical
+                lowv = lowv * a[3] + a[4]
+                # strict > with best_w starting at 0: first tile in hits
+                # order wins ties AND zero-weight border pixels never
+                # become the dominant tile (host: m & (w > best_w))
+                upd = w > best_w
+                best_w = jnp.where(upd, w, best_w)
+                best_hi = jnp.where(upd, val - lowv, best_hi)
+                return acc + lowv * w, wacc + w, best_w, best_hi
             return acc + val * w, wacc + w
 
-        acc, wacc = jax.lax.fori_loop(
-            0, K, body, (jnp.zeros((CELL, CELL), jnp.float32),
-                         jnp.zeros((CELL, CELL), jnp.float32)))
-        out = jnp.where(wacc > 0, acc / jnp.maximum(wacc, 1e-20),
-                        fillval)
+        zero = jnp.zeros((CELL, CELL), jnp.float32)
+        if pyramid:
+            acc, wacc, _, best_hi = jax.lax.fori_loop(
+                0, K, body, (zero, zero, zero, zero))
+        else:
+            acc, wacc = jax.lax.fori_loop(0, K, body, (zero, zero))
+            best_hi = 0.0
+        out = acc / jnp.maximum(wacc, 1e-20) + best_hi
+        out = jnp.where(wacc > 0, out, fillval)
         return out, jnp.any(wacc > 0)
 
     C = ncy * ncx
@@ -149,6 +182,47 @@ def pack_tile_stack(srcs_u8):
     return jax.vmap(pack_u8_quads)(srcs_u8)
 
 
+@functools.partial(jax.jit, static_argnames=('sigma', 'chunk'))
+def pack_low_stack(packed, twth, sigma, chunk=256):
+    """PYRAMID low band: mask-normalized per-tile Gaussian blur of a
+    PACKED tile stack -> packed low-band stack, one dispatch.
+
+    Byte 0 of a ``pack_u8_quads`` word is the original pixel, so the
+    source plane recovers with one AND — the low stack derives from the
+    already-resident packed stack with no extra upload. The blur runs in
+    TILE frame with the tile's valid rectangle as the mask (host blurs
+    the warped tile in BLOCK frame: stitcher.py crop PYRAMID branch);
+    isotropic Gaussian blur commutes with the near-rigid stitching warps,
+    so the two agree to sub-LSB. The low band quantizes to uint8: its
+    error enters ``low_blend + (val - low_best)`` twice with opposite
+    sign at the dominant tile, so the net output error stays ~1 LSB.
+    ``lax.map`` processes ``chunk`` tiles at a time so the f32 transient
+    never holds the whole stack (10k MultiSEM tiles would be ~2.6 GB)."""
+    from feabas_tpu.ops.filters import gaussian_blur
+    N, H, W = packed.shape
+
+    def one(pk, a):
+        img = (pk & jnp.uint32(0xff)).astype(jnp.float32)
+        x = jnp.arange(W, dtype=jnp.float32)[None, :]
+        y = jnp.arange(H, dtype=jnp.float32)[:, None]
+        # host inclusion is 0 < sx < tw (w > 0): integer grid [1, tw-1]
+        m = ((x > 0.5) & (x < a[0] - 0.5) &
+             (y > 0.5) & (y < a[1] - 0.5)).astype(jnp.float32)
+        num = gaussian_blur(img * m, sigma)
+        den = gaussian_blur(m, sigma)
+        low = jnp.where(den > 1e-6, num / jnp.clip(den, 1e-6, None), img)
+        return pack_u8_quads(jnp.clip(jnp.rint(low), 0, 255)
+                             .astype(jnp.uint8))
+
+    pad = (-N) % chunk
+    pk = jnp.pad(packed, ((0, pad), (0, 0), (0, 0)))
+    tw = jnp.pad(twth, ((0, pad), (0, 0)), constant_values=1.0)
+    out = jax.lax.map(
+        lambda args: jax.vmap(one)(*args),
+        (pk.reshape(-1, chunk, H, W), tw.reshape(-1, chunk, 2)))
+    return out.reshape(-1, H, W)[:N]
+
+
 def _pow2(n, lo=1):
     return max(lo, 1 << int(max(n - 1, 0)).bit_length())
 
@@ -164,6 +238,7 @@ class MontageDeviceEngine:
         self._tile_dev = {}          # fileid -> host uint8 tile buffer
         self._tile_shape = None      # common padded (th, tw)
         self._stack = None           # device-resident packed (N,hp,wp)
+        self._stack_low = None       # its PYRAMID low band (lazy)
         self._stack_failed = False
 
     def _engine(self, t):
@@ -228,16 +303,27 @@ class MontageDeviceEngine:
 
     def supported(self, blend):
         mr = self._mr
-        return (blend == 'LINEAR' and not mr._maskouts
+        return (blend in ('LINEAR', 'PYRAMID') and not mr._maskouts
                 and getattr(mr.loader, 'number_of_channels', 1) in (None, 1)
                 and np.dtype(mr.loader.dtype) == np.uint8)
 
-    def _dispatch_block(self, bbox, hits, fillval):
+    def _resident_low(self):
+        """Low-band stack for the resident packed stack (computed once on
+        device from the resident stack itself — no extra upload)."""
+        if self._stack_low is None and self._stack is not None:
+            twth = np.asarray(self._mr._tile_sizes, np.float32)
+            self._stack_low = pack_low_stack(
+                self._stack, jax.device_put(twth),
+                float(self._mr._pyramid_sigma))
+        return self._stack_low
+
+    def _dispatch_block(self, bbox, hits, fillval, blend='LINEAR'):
         """Host prep + async dispatch of one block.
 
         Returns None (no coverage), NotImplemented (host path needed),
         or (out_dev, cov_dev, H, W) device futures."""
         mr = self._mr
+        pyramid = (blend == 'PYRAMID')
         xbase = int(np.floor(bbox[0]))
         ybase = int(np.floor(bbox[1]))
         H = int(np.ceil(bbox[3])) - ybase
@@ -304,6 +390,7 @@ class MontageDeviceEngine:
         auxp[:len(hits)] = aux
         if stack is not None:
             packed = stack
+            lows = self._resident_low() if pyramid else packed
             gmap = np.zeros(Tp, np.int32)
             gmap[:len(hits)] = hits
         else:
@@ -312,12 +399,15 @@ class MontageDeviceEngine:
             for k, s in enumerate(src_list):
                 srcs[k] = s
             packed = pack_tile_stack(jax.device_put(srcs))
+            lows = (pack_low_stack(packed, jax.device_put(auxp[:, :2]),
+                                   float(mr._pyramid_sigma))
+                    if pyramid else packed)
             gmap = np.arange(Tp, dtype=np.int32)
         out_dev, cov_dev = montage_blend(
-            packed, jax.device_put(gmap), jax.device_put(tables),
+            packed, lows, jax.device_put(gmap), jax.device_put(tables),
             jax.device_put(auxp), jax.device_put(cands),
             jnp.float32(fillval), ncy=int(ncy), ncx=int(ncx),
-            out_kind='u8')
+            out_kind='u8', pyramid=pyramid)
         return out_dev, cov_dev, H, W
 
     @staticmethod
@@ -328,11 +418,12 @@ class MontageDeviceEngine:
         return np.asarray(out_dev)[:H, :W]
 
     def render_block(self, bbox, hits, blend, fillval, **kwargs):
-        """Device LINEAR blend of one block; returns (array | None) or
-        NotImplemented when the block needs the host path."""
+        """Device LINEAR/PYRAMID blend of one block; returns
+        (array | None) or NotImplemented when the block needs the host
+        path."""
         if not self.supported(blend):
             return NotImplemented
-        disp = self._dispatch_block(bbox, hits, fillval)
+        disp = self._dispatch_block(bbox, hits, fillval, blend=blend)
         if disp is None or disp is NotImplemented:
             return disp
         return self._fetch_block(disp)
@@ -355,7 +446,8 @@ class MontageDeviceEngine:
                 hits = mr._index.query(bbox)
                 if hits.size == 0:
                     continue
-                disp = self._dispatch_block(bbox, hits, fillval)
+                disp = self._dispatch_block(bbox, hits, fillval,
+                                            blend=blend)
                 if disp is NotImplemented:
                     results[i] = NotImplemented
                 elif disp is not None:

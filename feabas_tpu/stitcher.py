@@ -762,7 +762,7 @@ class MontageRenderer:
             return np.full((H, W), fillval, dtype=self.loader.dtype)
         if dev_flag and set(kwargs) <= {'return_empty'}:
             # whole-block device blend: every hit tile rasterized,
-            # sampled, and LINEAR-blended in one XLA program
+            # sampled, and LINEAR/PYRAMID-blended in one XLA program
             # (ops/montage_render.py); host path covers the other blend
             # modes / maskouts / exotic kwargs
             res = self._montage_device_engine().render_block(

@@ -550,3 +550,61 @@ def test_montage_device_resident_stack_path(rng, tmp_path, workdir,
     assert mr._mdev_engine._stack is not None, \
         'resident stack must have engaged'
     np.testing.assert_array_equal(per_block, resident)
+
+def test_montage_device_pyramid_blend_matches_host(rng, tmp_path, workdir):
+    """Device two-band PYRAMID blend (the production-default blend mode)
+    matches the host path. The device low band blurs in TILE frame
+    (once per section) while the host blurs the warped tile in BLOCK
+    frame — identical under rigid warps, sub-LSB under the gentle
+    elastic warp here, plus the uint8 low-band quantization."""
+    from feabas_tpu.stitcher import Stitcher, MontageRenderer
+    from feabas_tpu.common import imwrite
+    world, tiles, true_bboxes, stage_bboxes = tile_grid(
+        rng, rows=2, cols=2, tile_h=150, tile_w=180, overlap=50, jitter=0.0)
+    paths = []
+    for i, t in enumerate(tiles):
+        p = str(tmp_path / f'p{i}.png')
+        imwrite(p, t)
+        paths.append(p)
+    st = Stitcher(paths, stage_bboxes)
+    st.initialize_meshes(mesh_sizes=[80], border_width=40)
+    for m, bb in zip(st.meshes, st.init_bboxes):
+        m.set_translation((bb[0], bb[1]), gear=('INITIAL', 'MOVING'))
+        v = m.vertices('MOVING')
+        off = m.offset('MOVING')
+        m.set_vertices(v + np.stack([0.6 * np.sin(v[:, 1] / 37.0),
+                                     0.5 * np.cos(v[:, 0] / 41.0)], -1),
+                       'MOVING', offset=off)
+    mr = MontageRenderer.from_stitcher(st, blend='PYRAMID')
+    mr._transfers = np.array([[1.02, -1.5], [0.98, 2.0],
+                              [1.0, 0.0], [1.01, 0.5]])
+    bbox = (40, 40, 400, 340)
+    host = mr.crop(bbox, device_render=False).astype(np.int16)
+    dev = mr.crop(bbox, device_render=True).astype(np.int16)
+    assert dev.shape == host.shape
+    diff = np.abs(dev - host)
+    frac2 = (diff <= 2).mean()
+    assert frac2 > 0.99, (frac2, diff.max())
+    assert np.median(diff) <= 1
+    # large diffs are only the known coverage-flip class: isolated
+    # mesh-edge pixels where host tri-coverage and the device inside-test
+    # disagree (one renders content, the other fills) — same allowance as
+    # the LINEAR parity test above
+    assert (diff > 16).mean() < 3e-4, (diff > 16).mean()
+
+
+def test_montage_device_pyramid_resident_stack(rng, tmp_path, workdir,
+                                               monkeypatch):
+    """The resident-stack PYRAMID path (low band computed once from the
+    packed stack) equals the per-block PYRAMID path."""
+    import feabas_tpu.ops.montage_render as MRD
+    mr, world = _montage_from_files(rng, tmp_path)
+    mr._blend = 'PYRAMID'
+    bbox = (40, 40, 400, 340)
+    per_block = mr.crop(bbox, device_render=True)
+    monkeypatch.setattr(MRD, 'RESIDENT_STACK_MIN_TILES', 1)
+    mr._mdev_engine = None
+    resident = mr.crop(bbox, device_render=True)
+    assert mr._mdev_engine._stack is not None
+    assert mr._mdev_engine._stack_low is not None
+    np.testing.assert_array_equal(per_block, resident)
