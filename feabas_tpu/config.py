@@ -117,9 +117,31 @@ def fft_batch():
 def device_render():
     """general_configs ``device.render``: route MeshRenderer crops through
     the on-device rasterize+warp program (feabas_tpu/ops/render.py) by
-    default; per-call ``device_render=`` kwargs override."""
+    default; per-call ``device_render=`` kwargs override.
+
+    Values: ``false`` (host cv2 path), ``true`` (pure device),
+    ``hybrid`` (host AND device lanes share one work queue — throughput
+    is the SUM of both paths, never less than either), ``auto`` (the
+    shipped default: hybrid whenever an accelerator is attached)."""
     dev = general_settings().get('device', {}) or {}
-    return bool(dev.get('render', False))
+    return dev.get('render', 'auto')
+
+
+def render_group_cap():
+    """general_configs ``device.render_group_cap``: blocks per batched
+    device render dispatch; 'auto' -> link-probe-driven (1 on slow
+    tunnels, 4 on local links — see ops.render.resolve_group_cap)."""
+    dev = general_settings().get('device', {}) or {}
+    v = dev.get('render_group_cap', 'auto')
+    return v if isinstance(v, str) else int(v)
+
+
+def render_host_lanes():
+    """general_configs ``device.render_host_lanes``: host-path worker
+    threads in the hybrid render scheduler (cv2 is internally threaded,
+    so 1 lane already drives the host's cores)."""
+    dev = general_settings().get('device', {}) or {}
+    return max(1, int(dev.get('render_host_lanes', 1) or 1))
 
 
 def device_thumbnail():

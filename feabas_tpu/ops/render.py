@@ -58,7 +58,26 @@ _GROUP_CAP = 1
 _FETCH_THREADS = 2
 
 
-def _raster_core(src, table, fillval, h, w, geodesic, out_kind):
+def resolve_group_cap(flag=None):
+    """Blocks per batched dispatch. None defers to the config knob
+    (general_configs ``device.render_group_cap``); 'auto' (the default)
+    consults the measured link profile: slow links (the dev tunnel) want
+    cap 1 — fetch granularity beats batched-transfer size because
+    per-transfer latency overlaps across the fetch pool (measured sweep:
+    cap1 30.7 MB/s vs cap4 18.2 through the tunnel, PERF_NOTES) — while
+    fast local links (PCIe-co-located chips, CPU backend) amortize
+    per-dispatch overhead by batching blocks into one vmapped program."""
+    if flag is None:
+        from feabas_tpu import config
+        flag = config.render_group_cap()
+    if isinstance(flag, str):
+        from feabas_tpu.ops.link_probe import is_slow_link
+        return 1 if is_slow_link() else 4
+    return max(1, int(flag))
+
+
+def _raster_core(src, table, fillval, h, w, geodesic, out_kind,
+                 n_mips=0, mip_blur=0.0):
     """Rasterize + warp one output block.
 
     Args:
@@ -72,8 +91,17 @@ def _raster_core(src, table, fillval, h, w, geodesic, out_kind):
         h, w: static output dims.
         geodesic: static; mask pixels covered by >= 2 fold sheets.
         out_kind: static 'u8' | 'u16' | 'f32' output dtype.
+        n_mips: static; additionally emit n 2x-downsampled mip levels
+            (render->mip FUSION: the mip chain consumer fetches 1/4 the
+            bytes per level instead of host-downsampling fetched mip0).
+            Requires h, w divisible by 2**n_mips.
+        mip_blur: static Gaussian sigma applied before each 2x area
+            average (anti-alias, matches mipmap.mip_one_level pre_blur).
     Returns:
-        (out (h, w), covered_any scalar bool).
+        flat 1-D vector of the output dtype:
+        [mip0.ravel(), mip1.ravel(), ..., covered_any] — ONE array so a
+        whole dispatch group fetches in a single transfer (a separate
+        coverage fetch costs a full link round trip per group).
     """
     px = jnp.arange(w, dtype=jnp.float32)[None, :]
     py = jnp.arange(h, dtype=jnp.float32)[:, None]
@@ -120,36 +148,69 @@ def _raster_core(src, table, fillval, h, w, geodesic, out_kind):
     else:
         out = bilinear_sample(src.astype(jnp.float32), sxq, syq, fillval)
     out = jnp.where(covered, out, fillval)
-    if out_kind == 'u8':
-        out = jnp.clip(jnp.rint(out), 0, 255).astype(jnp.uint8)
-    elif out_kind == 'u16':
-        out = jnp.clip(jnp.rint(out), 0, 65535).astype(jnp.uint16)
-    return out, jnp.any(covered)
+    # quantize exactly as the host path writes each level to disk, so the
+    # fused mip chain reads the SAME rounded values the host chain would
+    def quant(x):
+        if out_kind == 'u8':
+            return jnp.clip(jnp.rint(x), 0, 255)
+        if out_kind == 'u16':
+            return jnp.clip(jnp.rint(x), 0, 65535)
+        return x
+
+    def cast(x):
+        if out_kind == 'u8':
+            return x.astype(jnp.uint8)
+        if out_kind == 'u16':
+            return x.astype(jnp.uint16)
+        return x
+
+    cur = quant(out)
+    segs = [cast(cur).ravel()]
+    hh, ww = h, w
+    for _lvl in range(n_mips):
+        if mip_blur and mip_blur > 0:
+            from feabas_tpu.ops.filters import gaussian_blur
+            cur = gaussian_blur(cur, float(mip_blur))
+        cur = cur.reshape(hh // 2, 2, ww // 2, 2).mean(axis=(1, 3))
+        cur = quant(cur)
+        hh, ww = hh // 2, ww // 2
+        segs.append(cast(cur).ravel())
+    cov = cast(quant(jnp.where(jnp.any(covered), 1.0, 0.0)))
+    segs.append(cov.reshape(1))
+    return jnp.concatenate(segs)
+
+
+def _flat_len(h, w, n_mips):
+    """Length of the packed output vector (mips + coverage flag)."""
+    n = 0
+    for lvl in range(n_mips + 1):
+        n += (h >> lvl) * (w >> lvl)
+    return n + 1
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('h', 'w', 'geodesic', 'out_kind'))
-def _raster_render(src, table, fillval, h, w, geodesic, out_kind):
-    return _raster_core(src, table, fillval, h, w, geodesic, out_kind)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=('h', 'w', 'geodesic', 'out_kind'))
-def _raster_render_shared(src, tables, fillval, h, w, geodesic, out_kind):
+                   static_argnames=('h', 'w', 'geodesic', 'out_kind',
+                                    'n_mips', 'mip_blur'))
+def _raster_render_shared(src, tables, fillval, h, w, geodesic, out_kind,
+                          n_mips=0, mip_blur=0.0):
     """Batch of blocks against ONE shared (device-resident) source:
-    one dispatch, one (B, h, w) fetch."""
+    one dispatch, one (B, L) fetch."""
     return jax.vmap(
-        lambda t: _raster_core(src, t, fillval, h, w, geodesic, out_kind)
+        lambda t: _raster_core(src, t, fillval, h, w, geodesic, out_kind,
+                               n_mips, mip_blur)
     )(tables)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=('h', 'w', 'geodesic', 'out_kind'))
-def _raster_render_multi(srcs, tables, fillval, h, w, geodesic, out_kind):
+                   static_argnames=('h', 'w', 'geodesic', 'out_kind',
+                                    'n_mips', 'mip_blur'))
+def _raster_render_multi(srcs, tables, fillval, h, w, geodesic, out_kind,
+                         n_mips=0, mip_blur=0.0):
     """Batch of blocks each with its own (stacked, equal-shape) source
     crop: the whole wave uploads as one (B, Hs, Ws) array."""
     return jax.vmap(
-        lambda s, t: _raster_core(s, t, fillval, h, w, geodesic, out_kind)
+        lambda s, t: _raster_core(s, t, fillval, h, w, geodesic, out_kind,
+                                  n_mips, mip_blur)
     )(srcs, tables)
 
 
@@ -300,40 +361,55 @@ class DeviceRenderEngine:
         return self._whole_src
 
     def render_blocks(self, blocks, loader, fillval, out_dtype,
-                      wts=None, shortcircuit=None, **crop_kwargs):
+                      wts=None, shortcircuit=None, emit_mips=0,
+                      mip_blur=0.0, claim=None, group_cap=None,
+                      **crop_kwargs):
         """Render output blocks [(x0, y0, x1, y1)] through the mesh.
 
         Returns [(array | None)] aligned with ``blocks``; None when the
         block has no mesh coverage. Groups dispatch as they fill and
         fetch on a small thread pool, so host prep, device compute, and
         both transfer legs of different blocks overlap through the link.
+
+        With ``emit_mips`` = k, each covered result is a TUPLE
+        (mip0, mip1, ..., mipk) computed in-program (render->mip fusion:
+        the downlink grows 1/4 per level instead of the host re-reading
+        and downsampling mip0). Blocks whose dims don't divide 2**k (or
+        that pad) fall back to mip0-only for that block and the host
+        finishes the chain. ``claim`` (callable -> block index or None)
+        replaces in-order iteration — the hybrid host+device scheduler
+        feeds both lanes from one work queue. ``group_cap`` overrides
+        blocks-per-dispatch (None -> config/link-probe auto).
         """
         out_kind = _out_kind(out_dtype)
         if wts is None:
             wts = self._w
+        if group_cap is None:
+            group_cap = resolve_group_cap()
         resident = None
         from feabas_tpu.dal import StreamLoader
         if isinstance(loader, StreamLoader):
             resident = self._resident_source(loader, fillval)
         # Blocks sharing output dims + source shape batch into a single
         # program (vmap): the wave's tables upload as one array, its
-        # source crops as one stacked array, the outputs fetch as one
-        # (B, h, w) uint8. Groups dispatch AS SOON AS they fill (host
-        # prep of later blocks overlaps device compute of earlier ones)
-        # and fetch on a 2-thread pool (per-transfer link latency of one
-        # fetch overlaps the wire time of another; measured 18 MB/s at
-        # 4 MB vs 42 MB/s at 16 MB through the tunnel, so latency is a
-        # third of small-fetch wall time).
-        prepared = {}              # block index -> (h, w, group_key, tab, src)
+        # source crops as one stacked array, the outputs fetch as ONE
+        # (B, L) packed vector (mips + coverage flag — a separate
+        # coverage fetch would pay a full link round trip per group).
+        # Groups dispatch AS SOON AS they fill (host prep of later
+        # blocks overlaps device compute of earlier ones) and fetch on a
+        # 2-thread pool (per-transfer link latency of one fetch overlaps
+        # the wire time of another; measured 18 MB/s at 4 MB vs 42 MB/s
+        # at 16 MB through the tunnel).
+        prepared = {}     # block index -> (h, w, group_key, tab, src, nm)
         results = [None] * len(blocks)
         fv = jnp.float32(fillval)
         pending = {}               # group_key -> [block index]
-        fetches = []               # (idxs, future -> (out, cov))
+        fetches = []               # (idxs, future -> flat (B, L))
         from concurrent.futures import ThreadPoolExecutor
         pool = ThreadPoolExecutor(max_workers=_FETCH_THREADS)
 
         def dispatch(key, idxs):
-            hp, wp = key[0], key[1]
+            hp, wp, nm = key[0], key[1], key[2]
             Tp = max(t.shape[0] for t in
                      (prepared[i][3] for i in idxs))
             Tp = _align_up(1 << int(Tp - 1).bit_length(), _CHUNK, _CHUNK)
@@ -344,46 +420,66 @@ class DeviceRenderEngine:
             for k, i in enumerate(idxs):
                 t = prepared[i][3]
                 tabs[k, :t.shape[0]] = t
-            if key[2] == 'resident':
-                out_dev, cov_dev = _raster_render_shared(
+            if key[3] == 'resident':
+                out_dev = _raster_render_shared(
                     resident[0], jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind)
+                    self._geodesic, out_kind, nm, mip_blur)
             else:
                 srcs = np.stack([prepared[i][4] for i in idxs])
-                out_dev, cov_dev = _raster_render_multi(
+                out_dev = _raster_render_multi(
                     jax.device_put(srcs), jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind)
-            fetches.append((idxs, pool.submit(
-                lambda o, c: (np.asarray(o), np.asarray(c)),
-                out_dev, cov_dev)))
+                    self._geodesic, out_kind, nm, mip_blur)
+            fetches.append((idxs, key, pool.submit(np.asarray, out_dev)))
 
         try:
             self._render_prepare_dispatch(
                 blocks, loader, fillval, out_kind, wts, shortcircuit,
-                resident, prepared, pending, dispatch, crop_kwargs)
+                resident, prepared, pending, dispatch, crop_kwargs,
+                emit_mips, group_cap, claim)
             for key, idxs in pending.items():
                 dispatch(key, idxs)
             # ---- fetch (in dispatch order) ---------------------------
-            for idxs, fut in fetches:
-                out, cov = fut.result()
+            for idxs, key, fut in fetches:
+                flat = fut.result()
+                hp, wp, nm = key[0], key[1], key[2]
                 for k, i in enumerate(idxs):
-                    if not cov[k]:
+                    if flat[k, -1] == 0:      # coverage flag
                         continue
                     h, w = prepared[i][0], prepared[i][1]
-                    blk = out[k, :h, :w]
-                    if out_kind == 'f32' and np.dtype(out_dtype) != np.float32:
-                        blk = blk.astype(out_dtype)
-                    results[i] = blk
+                    mips = []
+                    off = 0
+                    for lvl in range(nm + 1):
+                        hl, wl = hp >> lvl, wp >> lvl
+                        blk = flat[k, off:off + hl * wl].reshape(hl, wl)
+                        blk = blk[:h >> lvl, :w >> lvl]
+                        if (out_kind == 'f32'
+                                and np.dtype(out_dtype) != np.float32):
+                            blk = blk.astype(out_dtype)
+                        mips.append(blk)
+                        off += hl * wl
+                    results[i] = tuple(mips) if emit_mips else mips[0]
         finally:
             pool.shutdown(wait=True)
         return results
 
     def _render_prepare_dispatch(self, blocks, loader, fillval, out_kind,
                                  wts, shortcircuit, resident, prepared,
-                                 pending, dispatch, crop_kwargs):
+                                 pending, dispatch, crop_kwargs,
+                                 emit_mips=0, group_cap=_GROUP_CAP,
+                                 claim=None):
         """Host prep: per-block candidate selection, coefficient table,
         source crop; groups dispatch as soon as they fill."""
-        for i, bbox in enumerate(blocks):
+        if claim is None:
+            order = iter(range(len(blocks)))
+
+            def claim():
+                return next(order, None)
+
+        while True:
+            i = claim()
+            if i is None:
+                break
+            bbox = blocks[i]
             x0 = int(np.floor(bbox[0]))
             y0 = int(np.floor(bbox[1]))
             x1 = int(np.ceil(bbox[2]))
@@ -401,10 +497,16 @@ class DeviceRenderEngine:
                     continue
             hp = _align_up(h, _OUT_ALIGN, min(_OUT_ALIGN, 64))
             wp = _align_up(w, _OUT_ALIGN, min(_OUT_ALIGN, 64))
+            # fused mips only for unpadded, 2**k-divisible blocks (padding
+            # would let the mip pre-blur bleed fill into the real region;
+            # odd dims can't match the host INTER_AREA chain exactly)
+            nm = emit_mips if (emit_mips and hp == h and wp == w
+                               and h % (1 << emit_mips) == 0
+                               and w % (1 << emit_mips) == 0) else 0
             if resident is not None:
                 src_origin = resident[1]
                 src = None
-                key = (hp, wp, 'resident')
+                key = (hp, wp, nm, 'resident')
             else:
                 if sc is not None:
                     # source extent = affine image of the block corners
@@ -427,7 +529,7 @@ class DeviceRenderEngine:
                                   np.uint8 if out_kind == 'u8' else
                                   np.float32)
                 src = np.ascontiguousarray(src)
-                key = (hp, wp, src.shape, src.dtype.name)
+                key = (hp, wp, nm, src.shape, src.dtype.name)
                 src_origin = (sx0, sy0)
             if sc is not None:
                 tab = self._table_affine(sc[0], sc[1], (x0, y0), src_origin)
@@ -436,5 +538,5 @@ class DeviceRenderEngine:
             prepared[i] = (h, w, key, tab, src)
             grp = pending.setdefault(key, [])
             grp.append(i)
-            if len(grp) >= _GROUP_CAP:
+            if len(grp) >= group_cap:
                 dispatch(key, pending.pop(key))

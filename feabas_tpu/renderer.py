@@ -40,11 +40,75 @@ def resolve_device_render(flag):
     default (general_configs device.render). Fan-out call sites must gate
     on the RESOLVED flag — the accelerator is a single exclusive resource,
     so device rendering stays in-process instead of spawning N workers
-    that would each initialize the backend."""
+    that would each initialize the backend.
+
+    Returns False (host path), True (pure device) or 'hybrid' (host and
+    device lanes drain one work queue — the production default via
+    ``device.render: auto``, because its throughput is the sum of both
+    paths and work stealing adapts to however slow either lane is on a
+    given deployment)."""
     if flag is None:
         from feabas_tpu import config
         flag = config.device_render()
+    if isinstance(flag, str):
+        f = flag.strip().lower()
+        if f == 'auto':
+            # hybrid when an accelerator is attached. Never initialize
+            # the backend just to decide: in spawned workers (the chip is
+            # the parent's exclusive resource) an un-imported jax means
+            # the host path.
+            import multiprocessing as mp
+            import sys
+            if (mp.current_process().name != 'MainProcess'
+                    and 'jax' not in sys.modules):
+                return False
+            try:
+                import jax
+                platform = jax.devices()[0].platform
+            except Exception:
+                return False
+            return 'hybrid' if platform != 'cpu' else False
+        if f == 'hybrid':
+            return 'hybrid'
+        if f in ('true', 'on', 'device', '1'):
+            return True
+        return False
     return bool(flag)
+
+
+def _mip_down_host(img, mip_blur):
+    """One host 2x mip step, matching mipmap.mip_one_level: optional
+    Gaussian anti-alias then INTER_AREA."""
+    import cv2
+    src = img
+    if mip_blur and mip_blur > 0:
+        src = cv2.GaussianBlur(np.asarray(img, np.float32), (0, 0),
+                               float(mip_blur))
+    out = cv2.resize(src, (max(img.shape[1] // 2, 1),
+                           max(img.shape[0] // 2, 1)),
+                     interpolation=cv2.INTER_AREA)
+    if np.dtype(img.dtype).kind in 'ui':
+        info = np.iinfo(img.dtype)
+        out = np.clip(np.rint(out), info.min, info.max)
+    return out.astype(img.dtype)
+
+
+def _host_mip_tuple(blk, emit_mips, mip_blur):
+    """(mip0, ..., mipK) from a full-res block via the host chain."""
+    mips = [blk]
+    for _ in range(int(emit_mips)):
+        mips.append(_mip_down_host(mips[-1], mip_blur))
+    return tuple(mips)
+
+
+def _complete_mip_tuple(parts, emit_mips, mip_blur):
+    """Extend a (possibly short) device mip tuple to emit_mips levels —
+    blocks that fell back to mip0-only (padding / odd dims) finish their
+    chain on host."""
+    mips = list(parts) if isinstance(parts, tuple) else [parts]
+    while len(mips) < int(emit_mips) + 1:
+        mips.append(_mip_down_host(mips[-1], mip_blur))
+    return tuple(mips)
 
 
 def _interp_flag(interp):
@@ -446,10 +510,18 @@ class MeshRenderer:
                 self._tri_render_weight, colors=colors)
         return self._dev_engine
 
-    def _crop_device_multi(self, bboxes, loader, **kwargs):
+    def _crop_device_multi(self, bboxes, loader, hybrid=False, **kwargs):
         """Device render of several output bboxes in one dispatch wave
         (all block programs in flight before the first fetch, so uploads,
-        compute and downloads pipeline through the host<->device link)."""
+        compute and downloads pipeline through the host<->device link).
+
+        With ``hybrid``, a host lane (the cv2 path) and the device lane
+        drain one shared work queue — combined throughput is the sum of
+        both paths on any deployment (the work-stealing split adapts to
+        however fast each lane runs). With ``emit_mips`` = k (kwarg),
+        every bbox must be a single render block and each result is a
+        tuple (mip0, ..., mipk) — the fused render->mip pipeline.
+        """
         from feabas_tpu.common import divide_bbox
         eng = self._get_device_engine()
         thr = kwargs.get('render_weight_threshold', None)
@@ -462,6 +534,8 @@ class MeshRenderer:
         dtype_out = kwargs.get('dtype_out', getattr(loader, 'dtype',
                                                     np.uint8))
         block_size = kwargs.get('block_size', 2048)
+        emit_mips = int(kwargs.get('emit_mips', 0) or 0)
+        mip_blur = float(kwargs.get('mip_blur', 0.75) or 0.0)
         per_bbox = []
         flat = []
         for bbox in bboxes:
@@ -472,6 +546,9 @@ class MeshRenderer:
             per_bbox.append((ib, slice(len(flat), len(flat) + len(blocks)),
                              blocks))
             flat.extend(blocks)
+        if emit_mips and any(len(p[2]) != 1 for p in per_bbox):
+            raise ValueError('emit_mips requires tile-sized bboxes '
+                             '(one render block per bbox)')
         sc = None
         tol = kwargs.get('affine_approx_tol', self._affine_tol)
         if wts is None and tol and tol > 0:
@@ -481,10 +558,23 @@ class MeshRenderer:
         # loader.crop); strip only the render-managed keys
         _managed = ('render_weight_threshold', 'fillval', 'dtype_out',
                     'block_size', 'return_empty', 'affine_approx_tol',
-                    'interpolation', 'log_sigma', 'device_remap')
+                    'interpolation', 'log_sigma', 'device_remap',
+                    'emit_mips', 'mip_blur', 'group_cap')
         crop_kwargs = {k: v for k, v in kwargs.items() if k not in _managed}
-        res = eng.render_blocks(flat, loader, float(fillval), dtype_out,
-                                wts=wts, shortcircuit=sc, **crop_kwargs)
+        if hybrid and len(flat) > 1:
+            res = self._render_hybrid(eng, flat, loader, fillval, dtype_out,
+                                      wts, sc, emit_mips, mip_blur,
+                                      crop_kwargs, kwargs)
+        else:
+            res = eng.render_blocks(flat, loader, float(fillval), dtype_out,
+                                    wts=wts, shortcircuit=sc,
+                                    emit_mips=emit_mips, mip_blur=mip_blur,
+                                    group_cap=kwargs.get('group_cap'),
+                                    **crop_kwargs)
+            if emit_mips:
+                res = [None if r is None else
+                       _complete_mip_tuple(r, emit_mips, mip_blur)
+                       for r in res]
         out = []
         for ib, sl, blocks in per_bbox:
             parts = res[sl.start:sl.stop]
@@ -492,6 +582,9 @@ class MeshRenderer:
                 out.append(None if kwargs.get('return_empty', False) else
                            self._filled((ib[3] - ib[1], ib[2] - ib[0]),
                                         loader, kwargs))
+                continue
+            if emit_mips:
+                out.append(parts[0])        # one block per bbox (checked)
                 continue
             imgt = np.full((ib[3] - ib[1], ib[2] - ib[0]), fillval,
                            dtype=np.dtype(dtype_out))
@@ -502,14 +595,82 @@ class MeshRenderer:
             out.append(imgt)
         return out
 
+    def _render_hybrid(self, eng, flat, loader, fillval, dtype_out, wts,
+                       sc, emit_mips, mip_blur, crop_kwargs, kwargs):
+        """Work-stealing host+device render of the flat block list.
+
+        The device lane claims blocks from the front of the queue
+        (prep -> dispatch -> pipelined fetch, via render_blocks'
+        ``claim``), host lane threads claim from the back and run the
+        exact host path (``MeshRenderer.crop`` with device_render=False).
+        Whichever lane is faster simply ends up doing more blocks; the
+        combined wall time can't exceed the better lane alone."""
+        import threading
+        from feabas_tpu import config as fconfig
+        n = len(flat)
+        results = [None] * n
+        state = {'lo': 0, 'hi': n}
+        lock = threading.Lock()
+
+        def claim_front():
+            with lock:
+                if state['lo'] >= state['hi']:
+                    return None
+                i = state['lo']
+                state['lo'] += 1
+                return i
+
+        def claim_back():
+            with lock:
+                if state['lo'] >= state['hi']:
+                    return None
+                state['hi'] -= 1
+                return state['hi']
+
+        host_kwargs = dict(kwargs)
+        host_kwargs['return_empty'] = True
+        for k in ('emit_mips', 'mip_blur', 'group_cap'):
+            host_kwargs.pop(k, None)
+
+        def host_worker():
+            while True:
+                i = claim_back()
+                if i is None:
+                    return
+                blk = self.crop(flat[i], image_loader=loader,
+                                device_render=False, **host_kwargs)
+                if blk is not None and emit_mips:
+                    blk = _host_mip_tuple(blk, emit_mips, mip_blur)
+                results[i] = blk
+
+        lanes = fconfig.render_host_lanes()
+        threads = [threading.Thread(target=host_worker, daemon=True)
+                   for _ in range(lanes)]
+        for t in threads:
+            t.start()
+        dev_out = eng.render_blocks(flat, loader, float(fillval), dtype_out,
+                                    wts=wts, shortcircuit=sc,
+                                    emit_mips=emit_mips, mip_blur=mip_blur,
+                                    group_cap=kwargs.get('group_cap'),
+                                    claim=claim_front, **crop_kwargs)
+        for t in threads:
+            t.join()
+        for i, v in enumerate(dev_out):
+            if v is not None:
+                results[i] = (_complete_mip_tuple(v, emit_mips, mip_blur)
+                              if emit_mips else v)
+        return results
+
     def crop(self, bbox, image_loader=None, **kwargs):
         """Render the output block covering bbox (reference: renderer.py:566)."""
         loader = image_loader or self._image_loader
         if loader is None:
             raise RuntimeError('no image loader linked')
-        if self._device_render_requested(kwargs) \
-                and self._device_render_ok(loader, kwargs):
-            return self._crop_device_multi([bbox], loader, **kwargs)[0]
+        mode = self._device_render_requested(kwargs)
+        if mode and self._device_render_ok(loader, kwargs):
+            return self._crop_device_multi([bbox], loader,
+                                           hybrid=(mode == 'hybrid'),
+                                           **kwargs)[0]
         map_x, map_y, mask = self.crop_field(bbox, **kwargs)
         if not mask.any():
             if kwargs.get('return_empty', False):
@@ -547,9 +708,11 @@ class MeshRenderer:
         bboxes = list(bboxes)
         if not bboxes:
             return []
-        if self._device_render_requested(kwargs) \
-                and self._device_render_ok(loader, kwargs):
-            return self._crop_device_multi(bboxes, loader, **kwargs)
+        mode = self._device_render_requested(kwargs)
+        if mode and self._device_render_ok(loader, kwargs):
+            return self._crop_device_multi(bboxes, loader,
+                                           hybrid=(mode == 'hybrid'),
+                                           **kwargs)
         fields = [self.crop_field(b, **kwargs) for b in bboxes]
         if len(fields) == 1:
             mx, my, mk = fields[0]
@@ -619,6 +782,13 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
     canvas_bbox = kwargs.pop('canvas_bbox', None)
     num_workers = int(kwargs.pop('num_workers', 1) or 1)
     tiles_per_job = int(kwargs.pop('tiles_per_job', 16))
+    # render->mip FUSION: with mip_dirs = [dir_mip1, ..., dir_mipK] each
+    # rendered tile also emits K 2x mip levels (computed in the SAME
+    # device program when the device path runs — the reference pipeline
+    # re-reads mip0 and downsamples per level, feabas/mipmap.py:71-131)
+    mip_dirs = kwargs.pop('mip_dirs', None) or []
+    mip_blur = float(kwargs.pop('mip_blur', 0.75) or 0.0)
+    emit_mips = len(mip_dirs)
     scale = float(kwargs.pop('scale', 1.0))
     if scale != 1.0:
         # render at a different output resolution: shrink the output
@@ -662,18 +832,37 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
         except Exception:
             loader_spec = None
     out = {}
+
+    def emit(fname, bbox, blk):
+        """Write mip0 (+ fused mip levels when requested)."""
+        if emit_mips:
+            mips = (blk if isinstance(blk, tuple)
+                    else _host_mip_tuple(blk, emit_mips, mip_blur))
+            common.imwrite(fname, mips[0])
+            base = storage.base_name(fname)
+            for lvl, d in enumerate(mip_dirs, start=1):
+                common.imwrite(storage.join_paths(str(d), base), mips[lvl])
+        else:
+            common.imwrite(fname, blk)
+        out[fname] = bbox
+
     if loader_spec is not None:
         from feabas_tpu.concurrent import submit_to_workers
         batches = [jobs[i:i + tiles_per_job]
                    for i in range(0, len(jobs), tiles_per_job)]
-        args = [(mesh.get_init_dict(), loader_spec, batch, kwargs)
+        wk = dict(kwargs, mip_dirs=mip_dirs, mip_blur=mip_blur)
+        args = [(mesh.get_init_dict(), loader_spec, batch, wk)
                 for batch in batches]
         for rendered in submit_to_workers(subprocess_render_mesh_tiles,
                                           args, num_workers=num_workers):
             out.update(rendered)
+        _write_mip_metadata(out, mip_dirs, image_loader)
         return out
     if dev:
-        kwargs['device_render'] = True      # resolved: don't re-consult config
+        kwargs['device_render'] = dev       # resolved: don't re-consult config
+        if emit_mips:
+            kwargs['emit_mips'] = emit_mips
+            kwargs['mip_blur'] = mip_blur
         wave = max(int(tiles_per_job), 1)
         for i0 in range(0, len(jobs), wave):
             grp = jobs[i0:i0 + wave]
@@ -682,16 +871,33 @@ def render_whole_mesh(mesh, image_loader, prefix, **kwargs):
             for (fname, bbox), blk in zip(grp, blks):
                 if blk is None:
                     continue
-                common.imwrite(fname, blk)
-                out[fname] = bbox
+                emit(fname, bbox, blk)
+        _write_mip_metadata(out, mip_dirs, image_loader)
         return out
     for fname, bbox in jobs:
         blk = renderer.crop(bbox, return_empty=True, **kwargs)
         if blk is None:
             continue
-        common.imwrite(fname, blk)
-        out[fname] = bbox
+        emit(fname, bbox, blk)
+    _write_mip_metadata(out, mip_dirs, image_loader)
     return out
+
+
+def _write_mip_metadata(rendered, mip_dirs, image_loader):
+    """Coordinate metadata for fused mip levels so every level is
+    mosaic-loadable exactly like mipmap.mip_one_level output."""
+    if not mip_dirs or not rendered:
+        return
+    res0 = getattr(image_loader, 'resolution', None) or 4
+    for lvl, d in enumerate(mip_dirs, start=1):
+        s = 2 ** lvl
+        with storage.File(storage.join_paths(str(d), 'metadata.txt'),
+                          'w') as f:
+            f.write('{ROOT_DIR}\t' + str(d) + '\n')
+            f.write('{RESOLUTION}\t' + str(res0 * s) + '\n')
+            for fname, (a, b, c, dd) in rendered.items():
+                f.write(f'{storage.base_name(fname)}\t{a // s}\t{b // s}'
+                        f'\t{-(-c // s)}\t{-(-dd // s)}\n')
 
 
 def subprocess_render_mesh_tiles(mesh_init, loader_spec, jobs, kwargs):
@@ -714,12 +920,19 @@ def subprocess_render_mesh_tiles(mesh_init, loader_spec, jobs, kwargs):
         mesh = mesh.submesh(sel)
     loader = get_loader_from_json(loader_spec)
     renderer = MeshRenderer.from_mesh(mesh, image_loader=loader)
+    mip_dirs = kwargs.pop('mip_dirs', None) or []
+    mip_blur = float(kwargs.pop('mip_blur', 0.75) or 0.0)
     out = {}
     for fname, bbox in jobs:
         blk = renderer.crop(bbox, return_empty=True, **kwargs)
         if blk is None:
             continue
         common.imwrite(fname, blk)
+        if mip_dirs:
+            mips = _host_mip_tuple(blk, len(mip_dirs), mip_blur)
+            base = storage.base_name(fname)
+            for lvl, d in enumerate(mip_dirs, start=1):
+                common.imwrite(storage.join_paths(str(d), base), mips[lvl])
         out[fname] = bbox
     return out
 

@@ -747,10 +747,8 @@ class MontageRenderer:
         (reference: stitcher.py:1399)."""
         blend = str(kwargs.pop('blend', self._blend)).upper()
         fillval = kwargs.pop('fillval', self.loader.default_fillval)
-        dev_flag = kwargs.pop('device_render', None)
-        if dev_flag is None:
-            from feabas_tpu import config
-            dev_flag = config.device_render()
+        from feabas_tpu.renderer import resolve_device_render
+        dev_flag = resolve_device_render(kwargs.pop('device_render', None))
         hits = self._index.query(bbox)
         xbase = int(np.floor(bbox[0]))
         ybase = int(np.floor(bbox[1]))
@@ -943,10 +941,8 @@ class MontageRenderer:
                 rendered.append((fname, bbox))
             else:
                 pending.append((fname, bbox, path))
-        dev_flag = kwargs.get('device_render', None)
-        if dev_flag is None:
-            from feabas_tpu import config
-            dev_flag = config.device_render()
+        from feabas_tpu.renderer import resolve_device_render
+        dev_flag = resolve_device_render(kwargs.get('device_render', None))
         dev_results = None
         if pending and dev_flag \
                 and set(kwargs) <= {'return_empty', 'device_render'}:

@@ -440,6 +440,13 @@ def render_main(args, conf, logger):
         mesh = Mesh.from_h5(t)
         loader = section_loader(meta, **(rconf.get('loader_config') or {}))
         from feabas_tpu.common import interp_from_name
+        # render->mip fusion: emit_mips = K additionally writes mip1..K
+        # tile dirs (one device program per tile renders the whole chain;
+        # the downstream downsample stage then skips those levels)
+        emit_mips = int(rconf.get('emit_mips', 0) or 0)
+        mip_dirs = [join_paths(str(out_root).replace('mip0', f'mip{l}'),
+                               prefix_name)
+                    for l in range(1, emit_mips + 1)]
         tiles = render_whole_mesh(
             mesh, loader, join_paths(out_dir, prefix_name),
             interpolation=interp_from_name(rconf.get('remap_interp')),
@@ -448,6 +455,7 @@ def render_main(args, conf, logger):
             one_based=rconf.get('one_based', True),
             num_workers=int(rconf.get('num_workers', 1) or 1),
             device_render=rconf.get('device_render', None),
+            mip_dirs=mip_dirs,
             canvas_bbox=canvas)
         with storage.File(join_paths(out_dir, 'metadata.txt'), 'w') as f:
             f.write('{ROOT_DIR}\t' + str(out_dir) + '\n')

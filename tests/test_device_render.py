@@ -139,7 +139,16 @@ def test_device_render_fallbacks(workdir):
 def test_device_render_config_default(workdir):
     """general_configs device.render drives the default routing."""
     from feabas_tpu import config
-    assert config.device_render() in (False, True)
+    from feabas_tpu.renderer import resolve_device_render
+    mode = config.device_render()
+    assert mode in (False, True, 'hybrid', 'auto')
+    # resolution maps every config value onto a concrete route; on the
+    # CPU test backend 'auto' resolves to the host path (no accelerator)
+    assert resolve_device_render(mode) in (False, True, 'hybrid')
+    assert resolve_device_render('auto') in (False, 'hybrid')
+    assert resolve_device_render('hybrid') == 'hybrid'
+    assert resolve_device_render(True) is True
+    assert resolve_device_render(False) is False
 
 
 def test_render_whole_mesh_device_stays_in_process(workdir, tmp_path,
@@ -226,3 +235,119 @@ def test_volume_render_device_stays_in_process(workdir, tmp_path, rng,
         a = wr_h.read_chunk((0, 0, w + 20, h + 20), z)
         b = wr_d.read_chunk((0, 0, w + 20, h + 20), z)
         _compare(np.asarray(a), np.asarray(b))
+
+
+def test_hybrid_render_matches_host(workdir):
+    """'hybrid' routing: host + device lanes drain one work queue; the
+    assembled section must match the host-only render within the device
+    path's LSB contract for device-claimed blocks and exactly for
+    host-claimed ones."""
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.dal import StreamLoader
+    m = _smooth_mesh(N=1024, mesh_size=128)
+    r = MeshRenderer.from_mesh(m, image_loader=StreamLoader(_world(N=1024)))
+    tiles = [(x, y, x + 256, y + 256)
+             for y in range(0, 1024, 256) for x in range(0, 1024, 256)]
+    host = r.crop_multiple(tiles, return_empty=True, device_render=False)
+    hyb = r.crop_multiple(tiles, return_empty=True, device_render='hybrid')
+    assert len(hyb) == len(host)
+    for hb, yb in zip(host, hyb):
+        assert (hb is None) == (yb is None)
+        if hb is not None:
+            _compare(hb, yb)
+
+
+def test_group_cap_batched_dispatch_matches(workdir):
+    """group_cap > 1 exercises the vmapped multi-block programs (the
+    PCIe-shaped dispatch mode; cap 1 is the slow-tunnel mode)."""
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.dal import StreamLoader
+    m = _smooth_mesh(N=512, mesh_size=64)
+    r = MeshRenderer.from_mesh(m, image_loader=StreamLoader(_world()))
+    tiles = [(x, y, x + 128, y + 128)
+             for y in range(0, 512, 128) for x in range(0, 512, 128)]
+    cap1 = r.crop_multiple(tiles, return_empty=True, device_render=True,
+                           group_cap=1)
+    cap4 = r.crop_multiple(tiles, return_empty=True, device_render=True,
+                           group_cap=4)
+    for a, b in zip(cap1, cap4):
+        assert (a is None) == (b is None)
+        if a is not None:
+            assert (a == b).all()      # same program math, same grouping key
+
+
+def test_resolve_group_cap_probe(workdir):
+    """'auto' group cap follows the measured link profile."""
+    from feabas_tpu.ops import link_probe
+    from feabas_tpu.ops.render import resolve_group_cap
+    try:
+        link_probe.set_profile_for_testing(
+            {'platform': 'tpu', 'latency_s': 0.12,
+             'down_MBps': 40.0, 'up_MBps': 54.0})
+        assert resolve_group_cap('auto') == 1       # tunnel regime
+        link_probe.set_profile_for_testing(
+            {'platform': 'tpu', 'latency_s': 2e-4,
+             'down_MBps': 8000.0, 'up_MBps': 8000.0})
+        assert resolve_group_cap('auto') == 4       # local link
+        assert resolve_group_cap(2) == 2
+    finally:
+        link_probe.set_profile_for_testing(None)
+
+
+def test_fused_mips_match_host_chain(workdir):
+    """render->mip fusion: each tile comes back as (mip0, .., mipK); the
+    fused mip levels must match the host chain (GaussianBlur + 2x
+    INTER_AREA on the written mip0) to within rounding at the interior
+    (the device blur uses edge padding vs cv2 reflect at borders)."""
+    import cv2
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.dal import StreamLoader
+    m = _smooth_mesh(N=1024, mesh_size=128)
+    r = MeshRenderer.from_mesh(m, image_loader=StreamLoader(_world(N=1024)))
+    tiles = [(0, 0, 512, 512), (512, 0, 1024, 512)]
+    fused = r.crop_multiple(tiles, return_empty=True, device_render=True,
+                            emit_mips=2, mip_blur=0.75)
+    for t in fused:
+        assert isinstance(t, tuple) and len(t) == 3
+        m0, m1, m2 = t
+        assert m0.shape == (512, 512) and m1.shape == (256, 256) \
+            and m2.shape == (128, 128)
+        ref = cv2.resize(cv2.GaussianBlur(m0.astype(np.float32), (0, 0),
+                                          0.75),
+                         (256, 256), interpolation=cv2.INTER_AREA)
+        ref = np.clip(np.rint(ref), 0, 255).astype(np.uint8)
+        d = np.abs(ref[4:-4, 4:-4].astype(int) - m1[4:-4, 4:-4].astype(int))
+        assert d.max() <= 1, d.max()
+
+
+def test_render_whole_mesh_fused_mip_dirs(workdir, tmp_path):
+    """render_whole_mesh(mip_dirs=...) writes mip tile dirs + metadata so
+    the downsample stage skips those levels (fused render->mip pipeline);
+    host and device routes produce the same level-1 mosaic."""
+    from feabas_tpu.renderer import render_whole_mesh
+    from feabas_tpu.dal import StreamLoader, StaticImageLoader
+    from feabas_tpu.common import imread
+    import os
+    m = _smooth_mesh(N=512, mesh_size=128)
+    loader = StreamLoader(_world())
+    outs = {}
+    for route, flag in (('dev', True), ('host', False)):
+        d0 = tmp_path / route / 'mip0'
+        d1 = tmp_path / route / 'mip1'
+        os.makedirs(d0); os.makedirs(d1)
+        tiles = render_whole_mesh(m.copy(), loader, str(d0 / 's'),
+                                  tile_size=(256, 256), device_render=flag,
+                                  mip_dirs=[str(d1)])
+        assert tiles
+        meta = d1 / 'metadata.txt'
+        assert meta.exists()
+        rows = [l.split('\t') for l in meta.read_text().splitlines()
+                if not l.startswith('{')]
+        assert len(rows) == len(tiles)
+        outs[route] = {r[0]: imread(str(d1 / r[0])) for r in rows}
+        for r in rows:   # mip1 tiles are half-size
+            assert outs[route][r[0]].shape == (128, 128)
+    assert set(outs['dev']) == set(outs['host'])
+    for k in outs['dev']:
+        d = np.abs(outs['dev'][k].astype(int) - outs['host'][k].astype(int))
+        assert np.mean(d > 1) < 5e-3, (k, d.max(), np.mean(d > 1))
