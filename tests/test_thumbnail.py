@@ -201,3 +201,29 @@ def test_keypoint_subpixel_localization(rng):
     for wpt in want:
         d = np.linalg.norm(got - wpt, axis=-1).min()
         assert d < 0.25, (wpt, got)
+
+
+def test_refine_matches_subpixel_recovers_fraction():
+    """LK refinement measures the true subpixel displacement regardless
+    of detector noise and fractional anchors (round-4 VERDICT: thumbnail
+    match parity must meet the 0.1 px north star the other parity
+    metrics respect)."""
+    import cv2
+    from scipy.ndimage import gaussian_filter
+    from feabas_tpu.thumbnail import refine_matches_subpixel
+    rng = np.random.default_rng(6)
+    n = 512
+    world = gaussian_filter(rng.normal(0, 1, (n + 128, n + 128)), 3)
+    world = (world / world.std() * 40 + 128).clip(0, 255).astype(np.float32)
+    t = np.array([17.3, -9.6])
+    img0 = world[32:32 + n, 32:32 + n]
+    M = np.float32([[1, 0, -t[0]], [0, 1, -t[1]]])
+    img1 = cv2.warpAffine(world, M, world.shape[::-1],
+                          flags=cv2.INTER_LINEAR)[32:32 + n, 32:32 + n]
+    xs, ys = np.meshgrid(np.linspace(60, 450, 6), np.linspace(60.5, 450, 6))
+    xy1 = np.stack([xs.ravel(), ys.ravel()], -1)   # fractional anchors too
+    for noise in (0.0, 1.5):
+        xy0 = xy1 + t + rng.normal(0, noise, xy1.shape)
+        ref = refine_matches_subpixel(img0, img1, xy0, xy1, sigma=3.5)
+        err = np.linalg.norm(ref - (xy1 + t), axis=-1)
+        assert np.median(err) < 0.08, (noise, np.median(err))
