@@ -148,9 +148,24 @@ def device_thumbnail():
     """general_configs ``device.thumbnail``: run the thumbnail feature
     pipeline (DoG detect, LRadon descriptors, match reduction) as device
     programs (feabas_tpu/ops/lradon.py); per-call ``use_device=`` kwargs
-    override."""
+    override. 'auto' routes cached/stack matching (the CLI shape, where
+    dispatch latency pipelines away) to the device and ONE-SHOT pair prep
+    to the host when the link probe reports a latency-bound link."""
     dev = general_settings().get('device', {}) or {}
-    return bool(dev.get('thumbnail', True))
+    return dev.get('thumbnail', 'auto')
+
+
+def resolve_device_thumbnail(val=None, oneshot=False):
+    """Map a device.thumbnail value onto a concrete route (see
+    :func:`device_thumbnail`)."""
+    if val is None:
+        val = device_thumbnail()
+    if isinstance(val, str) and val.strip().lower() == 'auto':
+        if not oneshot:
+            return True
+        from feabas_tpu.ops.link_probe import is_slow_link
+        return not is_slow_link()
+    return bool(val)
 
 
 def get_work_dir():

@@ -102,8 +102,7 @@ def detect_extrema_log(img, mask=None, sigma=3.5, min_spacing=10,
     the whole detect program — DoG, max-pool peaks, top-k, subpixel
     quadratic fit — runs as ONE jitted dispatch and only the (k, 2)
     keypoint table is fetched."""
-    if use_device is None:
-        use_device = config.device_thumbnail()
+    use_device = config.resolve_device_thumbnail(use_device)
     if use_device:
         from feabas_tpu.ops import lradon
         xy, resp, iyx = lradon.detect_log_device(
@@ -178,8 +177,7 @@ def extract_LRadon_feature(img, kps, proj_num=6, beam_num=8, beam_wd=3,
     if n == 0:
         kps.des = np.zeros((0, proj_num, beam_num), np.float32)
         return kps
-    if use_device is None:
-        use_device = config.device_thumbnail()
+    use_device = config.resolve_device_thumbnail(use_device)
     if use_device:
         from feabas_tpu.ops import lradon
         des, _ = lradon.lradon_descriptors_device(
@@ -417,17 +415,18 @@ def verify_match_elastic(xy0, xy1, weight, settled, img_shape0, img_shape1,
     return keep
 
 
-def _device_flags(settings):
-    """Resolve the detect/extract use_device flags (None -> config)."""
+def _device_flags(settings, oneshot=False):
+    """Resolve the detect/extract use_device flags (None -> config;
+    'auto' demotes ONE-SHOT pair prep to host on latency-bound links —
+    dispatch round trips dominate a single uncached pair there, while
+    the cached/stack CLI shape pipelines them away)."""
     detect = dict(settings.get('detect_settings', {}) or {})
     extract = dict(settings.get('extract_settings', {}) or {})
-    ud = detect.get('use_device', None)
-    ue = extract.get('use_device', None)
-    if ud is None:
-        ud = config.device_thumbnail()
-    if ue is None:
-        ue = config.device_thumbnail()
-    return bool(ud), bool(ue), detect, extract
+    ud = config.resolve_device_thumbnail(detect.get('use_device', None),
+                                         oneshot=oneshot)
+    ue = config.resolve_device_thumbnail(extract.get('use_device', None),
+                                         oneshot=oneshot)
+    return ud, ue, detect, extract
 
 
 _DETECT_KEYS = ('sigma', 'min_spacing', 'num_features')
@@ -613,7 +612,7 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
     kp1 = settings.get('kps1')
     pre_match = None
     if kp0 is None and kp1 is None:
-        ud, ue, detect, extract = _device_flags(settings)
+        ud, ue, detect, extract = _device_flags(settings, oneshot=True)
         if ud and ue:
             # whole pair prep + round-0 match in ONE device dispatch
             from feabas_tpu.ops import lradon
@@ -625,6 +624,13 @@ def match_two_thumbnails_LRadon(img0, img1, mask0=None, mask1=None, **settings):
                 conf_thresh=matching.get('conf_thresh', 0.3), **kw)
             kp0 = _kp_from_device_features(f0, mask0)
             kp1 = _kp_from_device_features(f1, mask1)
+        else:
+            # the one-shot route demoted to host ('auto' on a latency-
+            # bound link): pin the resolved flags so prepare_image below
+            # doesn't re-resolve with the cached-shape policy
+            settings = dict(settings)
+            settings['detect_settings'] = dict(detect, use_device=ud)
+            settings['extract_settings'] = dict(extract, use_device=ue)
     if kp0 is None:
         kp0 = prepare_image(img0, mask=mask0, **settings)
     if kp1 is None:
