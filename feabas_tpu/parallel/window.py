@@ -200,25 +200,41 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
     else:
         y = jax.vmap(lambda xi, Ki, tr: fem.stiffness_matvec(xi, Ki, tr))(
             x, Ke, tris) * lam_s
-    idx0, bary0, idx1, bary1, weight = links
-    # link k couples section k (side0) and k+1 (side1); slicing x across the
-    # sharded z axis produces the halo exchange
-    x0 = x[:-1]
-    x1 = x[1:]
-    p0 = jax.vmap(fem.link_eval)(x0, idx0, bary0)
-    p1 = jax.vmap(fem.link_eval)(x1, idx1, bary1)
+    idx0, bary0, idx1, bary1, weight = _pad_links_to_sections(
+        links, x.shape[0])
+    # link slot z couples section z (side0) and z+1 (side1); the padded
+    # slot S-1 is inert (weight 0). Everything below is batched on the
+    # SAME evenly-sharded z axis — under SPMD the only collective is the
+    # one-section halo permute from the rolls. (The previous (S-1)-axis
+    # slicing formulation made the partitioner all-gather the full
+    # (S, V, 2) state 3x per CG iteration — measured in
+    # tools/sharded_solve_study.py.)
+    xn = jnp.roll(x, -1, axis=0)                 # section z+1 beside z
+    p0 = jax.vmap(fem.link_eval)(x, idx0, bary0)
+    p1 = jax.vmap(fem.link_eval)(xn, idx1, bary1)
     r = (p1 - p0) * (weight ** 2)[..., None]
 
     def scatter(xi, idx, b, rr, sign):
         return jnp.zeros_like(xi).at[idx].add(sign * b[:, :, None] * rr[:, None, :])
 
     y0 = jax.vmap(lambda xi, idx, b, rr: scatter(xi, idx, b, rr, -1.0))(
-        x0, idx0, bary0, r)
+        x, idx0, bary0, r)
     y1 = jax.vmap(lambda xi, idx, b, rr: scatter(xi, idx, b, rr, 1.0))(
-        x1, idx1, bary1, r)
-    y = y.at[:-1].add(y0)
-    y = y.at[1:].add(y1)
+        xn, idx1, bary1, r)
+    y = y + y0 + jnp.roll(y1, 1, axis=0)
     return y * free
+
+
+def _pad_links_to_sections(links, S):
+    """Normalize link arrays to a full-S leading axis (slot z couples
+    sections z and z+1; the last slot is inert, weight 0) so the link
+    axis shards exactly like the section axis. (S-1)-axis inputs — the
+    ``build_stack_system`` layout — gain one zero row; already-padded
+    inputs pass through."""
+    if links[0].shape[0] == S:
+        return links
+    return tuple(jnp.concatenate(
+        [a, jnp.zeros_like(a[:1])], axis=0) for a in links)
 
 
 @functools.partial(jax.jit, static_argnames=('maxiter',))
@@ -254,7 +270,11 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
         return project(_stack_matvec(project(x), Ke, tris, links, free,
                                      lam_s, inc=inc, imask=imask))
 
-    # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0)
+    # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0).
+    # Links normalize to the full-S axis (inert last slot) so every
+    # batched op below shards evenly along z — see _stack_matvec.
+    links = _pad_links_to_sections(links, u.shape[0])
+    r_rest = _pad_links_to_sections((r_rest,), u.shape[0])[0]
     idx0, bary0, idx1, bary1, weight = links
     V = u.shape[1]
     if shared:
@@ -267,7 +287,7 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     dC1 = jax.vmap(lambda idx, bb, w: jnp.zeros((V, 2), dt)
                    .at[idx].add((bb ** 2 * (w ** 2)[:, None])[:, :, None]
                                 * jnp.ones((1, 1, 2), dt)))(idx1, bary1, weight)
-    dC = jnp.zeros_like(dK).at[:-1].add(dC0).at[1:].add(dC1)
+    dC = dC0 + jnp.roll(dC1, 1, axis=0)
     if lam_ratio is not None:
         # in-program trace balance (matches _stack_lambda_balance)
         tr_c = jnp.sum(dC)
@@ -281,15 +301,17 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     else:
         b = -jax.vmap(lambda ui, Ki, tr: fem.stiffness_matvec(ui, Ki, tr))(
             u, Ke, tris) * lam_s
-    U0 = jax.vmap(fem.link_eval)(u[:-1], idx0, bary0)
-    U1 = jax.vmap(fem.link_eval)(u[1:], idx1, bary1)
+    un = jnp.roll(u, -1, axis=0)
+    U0 = jax.vmap(fem.link_eval)(u, idx0, bary0)
+    U1 = jax.vmap(fem.link_eval)(un, idx1, bary1)
     r0 = (r_rest + U1 - U0) * (weight ** 2)[..., None]
-    b = b.at[:-1].add(jax.vmap(
+    b = b + jax.vmap(
         lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
-            bb[:, :, None] * rr[:, None, :]))(u[:-1], idx0, bary0, r0))
-    b = b.at[1:].add(jax.vmap(
+            bb[:, :, None] * rr[:, None, :]))(u, idx0, bary0, r0)
+    b = b + jnp.roll(jax.vmap(
         lambda xi, idx, bb, rr: jnp.zeros_like(xi).at[idx].add(
-            -bb[:, :, None] * rr[:, None, :]))(u[1:], idx1, bary1, r0))
+            -bb[:, :, None] * rr[:, None, :]))(un, idx1, bary1, r0),
+        1, axis=0)
     b = b * free
 
     diag = dK * lam_s + dC
@@ -305,7 +327,8 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     minv = jnp.where(diag > 1e-12, 1.0 / jnp.where(diag > 1e-12, diag, 1.0),
                      1.0)
     freed = free.max(axis=(1, 2))                       # (S,) section-free
-    Wp = (weight ** 2).sum(axis=1)                      # (S-1,)
+    # per-PAIR crosslink weight: slot S-1 is the inert pad (weight 0)
+    Wp = (weight ** 2).sum(axis=1)[:-1]                 # (S-1,)
     cdiag = jnp.zeros(S, dt).at[:-1].add(Wp).at[1:].add(Wp)
     Acm = (jnp.diag(cdiag) + jnp.diag(-Wp, 1) + jnp.diag(-Wp, -1))
     mask2 = freed[:, None] * freed[None, :]
@@ -394,11 +417,24 @@ def shard_stack_system(system, device_mesh):
     out['tris'] = _put_global(system['tris'],
                               z if np.asarray(system['tris']).ndim == 3
                               else rep)
-    # links always replicate: their S-1 leading dim can never divide the
-    # mesh when S does (they are tiny next to the vertex arrays, and the
-    # matvec's x[:-1]/x[1:] halo slices already ride the collectives)
-    out['links'] = tuple(_put_global(a, rep) for a in system['links'])
-    out['r_rest'] = _put_global(system['r_rest'], rep)
+    # links pad from S-1 to S slots (slot z couples sections z, z+1; the
+    # added slot is inert, weight 0) so they shard on the SAME z axis as
+    # the vertex arrays — replicated links made the SPMD partitioner
+    # all-gather the full (S, V, 2) state 3x per CG iteration
+    # (tools/sharded_solve_study.py); sharded links keep the crosslink
+    # scatters shard-local with a one-section halo permute.
+    S = system['u'].shape[0]
+
+    def pad_link(a):
+        a = np.asarray(a)
+        if a.shape[0] == S:
+            return a
+        return np.concatenate([a, np.zeros((1,) + a.shape[1:], a.dtype)],
+                              axis=0)
+
+    out['links'] = tuple(_put_global(pad_link(a), z)
+                         for a in system['links'])
+    out['r_rest'] = _put_global(pad_link(system['r_rest']), z)
     return out
 
 
