@@ -323,6 +323,17 @@ class DeviceRenderEngine:
         tab[0, 12] = 1.0
         return tab
 
+    def source_can_reside(self, loader):
+        """Cheap predicate mirroring ``_resident_source``'s gate (no
+        upload): can this loader's whole source live device-resident, so
+        per-block work ships only the tiny coefficient table?"""
+        img = getattr(loader, '_img', None)
+        if img is None or not hasattr(loader, 'bbox') or img.ndim != 2:
+            return False
+        itemsize = np.dtype(getattr(loader, 'dtype', None)
+                            or img.dtype).itemsize
+        return img.size * itemsize <= WHOLE_SRC_CAP
+
     def _resident_source(self, loader, fillval):
         """Upload a small whole-section source ONCE and reuse it for every
         block (saves the dominant per-block uplink when the source fits)."""
@@ -431,33 +442,52 @@ class DeviceRenderEngine:
                     self._geodesic, out_kind, nm, mip_blur)
             fetches.append((idxs, key, pool.submit(np.asarray, out_dev)))
 
+        def consume(entry):
+            idxs, key, fut = entry
+            flat = fut.result()
+            hp, wp, nm = key[0], key[1], key[2]
+            for k, i in enumerate(idxs):
+                if flat[k, -1] == 0:          # coverage flag
+                    continue
+                h, w = prepared[i][0], prepared[i][1]
+                mips = []
+                off = 0
+                for lvl in range(nm + 1):
+                    hl, wl = hp >> lvl, wp >> lvl
+                    blk = flat[k, off:off + hl * wl].reshape(hl, wl)
+                    blk = blk[:h >> lvl, :w >> lvl]
+                    if (out_kind == 'f32'
+                            and np.dtype(out_dtype) != np.float32):
+                        blk = blk.astype(out_dtype)
+                    mips.append(blk)
+                    off += hl * wl
+                results[i] = tuple(mips) if emit_mips else mips[0]
+
+        # Hybrid backpressure: with an external work queue, claiming a
+        # block REMOVES it from the host lane — so the device lane must
+        # only hold as much work as its pipeline can keep in flight
+        # (uplink + compute + downlink), or it grabs the whole queue at
+        # host-prep speed and the hybrid degenerates to pure-device.
+        # Blocking on the oldest fetch before each new claim paces claims
+        # to the device's actual completion rate.
+        pace = None
+        if claim is not None:
+            max_inflight = _FETCH_THREADS + 1
+
+            def pace():
+                while len(fetches) >= max_inflight:
+                    consume(fetches.pop(0))
+
         try:
             self._render_prepare_dispatch(
                 blocks, loader, fillval, out_kind, wts, shortcircuit,
                 resident, prepared, pending, dispatch, crop_kwargs,
-                emit_mips, group_cap, claim)
+                emit_mips, group_cap, claim, pace=pace)
             for key, idxs in pending.items():
                 dispatch(key, idxs)
-            # ---- fetch (in dispatch order) ---------------------------
-            for idxs, key, fut in fetches:
-                flat = fut.result()
-                hp, wp, nm = key[0], key[1], key[2]
-                for k, i in enumerate(idxs):
-                    if flat[k, -1] == 0:      # coverage flag
-                        continue
-                    h, w = prepared[i][0], prepared[i][1]
-                    mips = []
-                    off = 0
-                    for lvl in range(nm + 1):
-                        hl, wl = hp >> lvl, wp >> lvl
-                        blk = flat[k, off:off + hl * wl].reshape(hl, wl)
-                        blk = blk[:h >> lvl, :w >> lvl]
-                        if (out_kind == 'f32'
-                                and np.dtype(out_dtype) != np.float32):
-                            blk = blk.astype(out_dtype)
-                        mips.append(blk)
-                        off += hl * wl
-                    results[i] = tuple(mips) if emit_mips else mips[0]
+            # ---- drain remaining fetches (in dispatch order) ---------
+            for entry in fetches:
+                consume(entry)
         finally:
             pool.shutdown(wait=True)
         return results
@@ -466,9 +496,11 @@ class DeviceRenderEngine:
                                  wts, shortcircuit, resident, prepared,
                                  pending, dispatch, crop_kwargs,
                                  emit_mips=0, group_cap=_GROUP_CAP,
-                                 claim=None):
+                                 claim=None, pace=None):
         """Host prep: per-block candidate selection, coefficient table,
-        source crop; groups dispatch as soon as they fill."""
+        source crop; groups dispatch as soon as they fill. ``pace`` (from
+        the hybrid scheduler) blocks until the device pipeline has room
+        before the next claim."""
         if claim is None:
             order = iter(range(len(blocks)))
 
@@ -476,6 +508,8 @@ class DeviceRenderEngine:
                 return next(order, None)
 
         while True:
+            if pace is not None:
+                pace()
             i = claim()
             if i is None:
                 break

@@ -607,8 +607,28 @@ class MeshRenderer:
         combined wall time can't exceed the better lane alone."""
         import threading
         from feabas_tpu import config as fconfig
+        from feabas_tpu.ops import link_probe
         n = len(flat)
         results = [None] * n
+        if (not eng.source_can_reside(loader)
+                and link_probe.is_slow_link()):
+            # blockwise-source regime over a latency-bound link: every
+            # device block pays a source-crop upload whose host-side cost
+            # (crop + serialize through the tunnel stack) exceeds what
+            # the device lane returns — route the whole queue host-side
+            # (the pure-device option stays available via
+            # device_render=True for co-located deployments)
+            host_kwargs = dict(kwargs)
+            host_kwargs['return_empty'] = True
+            for k in ('emit_mips', 'mip_blur', 'group_cap'):
+                host_kwargs.pop(k, None)
+            for i, bbox in enumerate(flat):
+                blk = self.crop(bbox, image_loader=loader,
+                                device_render=False, **host_kwargs)
+                if blk is not None and emit_mips:
+                    blk = _host_mip_tuple(blk, emit_mips, mip_blur)
+                results[i] = blk
+            return results
         state = {'lo': 0, 'hi': n}
         lock = threading.Lock()
 

@@ -91,3 +91,41 @@ def test_montage_solve_hlo_stays_sharded(workdir):
     assert len(new_u.sharding.device_set) == 8
     shapes = {s.data.shape for s in new_u.addressable_shards}
     assert shapes == {(Mp // 8, V, 2)}, shapes
+
+
+def test_stack_solve_iteration_collectives_are_halo_sized(workdir):
+    """Regression pin for the round-5 all-gather fix: the CG while-body's
+    per-iteration collectives must be one-section halo permutes + scalar
+    dot all-reduces — NOT full-state all-gathers (the original (S-1)-axis
+    link formulation re-gathered the whole (S, V, 2) state 3x per
+    iteration; tools/sharded_solve_study.py measured 24 MB/device/iter at
+    2M DOF)."""
+    import os
+    import sys
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from feabas_tpu.parallel.window import stack_solve, shard_stack_system
+    from test_parallel import _make_stack
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    'tools'))
+    from sharded_solve_study import _while_body_collectives
+    import numpy as np
+    devices = np.array(jax.devices())
+    assert devices.size == 8
+    system, _ = _make_stack(S=8)
+    sh = shard_stack_system(system, JMesh(devices, ('z',)))
+    args = (sh['verts0'], sh['u'], sh['tris'], sh['multiplier'],
+            sh['poisson'], sh['links'], sh['r_rest'], sh['free'])
+    txt = stack_solve.lower(*args, lam_s=0.01, maxiter=800).compile().as_text()
+    led = _while_body_collectives(txt)
+    V = system['u'].shape[1]
+    fbytes = np.dtype(np.asarray(system['u']).dtype).itemsize
+    halo = V * 2 * fbytes                       # one section slice
+    # exactly the two halo permutes (roll -1 of x, roll +1 of the side-1
+    # scatter), each one section
+    assert led['collective-permute']['count'] == 2, led
+    assert led['collective-permute']['bytes'] == 2 * halo, (led, halo)
+    # no full-state all-gathers: anything bigger than a couple of halo
+    # slices per iteration means the partitioner de-sharded a scatter
+    assert led['all-gather']['bytes'] <= 2 * halo, led
+    assert led['reduce-scatter']['bytes'] <= 2 * halo, led
