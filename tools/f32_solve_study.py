@@ -118,12 +118,16 @@ def main():
     ap.add_argument('--sections', type=int, default=80)
     ap.add_argument('--mesh-size', type=float, default=27)
     ap.add_argument('--maxiter', type=int, default=800)
+    ap.add_argument('--reuse', action='store_true',
+                    help='reuse an existing /tmp/f32_study_<tag>.npz '
+                         'instead of re-running that leg')
     args = ap.parse_args()
 
     import numpy as np
     results = {}
-    for f64 in (False, True):
-        tag = 'f64' if f64 else 'f32'
+    notes = {}
+
+    def run_leg(tag, f64, platform=None):
         out_npz = f'/tmp/f32_study_{tag}.npz'
         code = _CHILD.format(root=_ROOT, sections=args.sections,
                              mesh_size=args.mesh_size,
@@ -137,17 +141,49 @@ def main():
             env['JAX_ENABLE_X64'] = 'True'
         else:
             env.pop('JAX_ENABLE_X64', None)
+        if platform:
+            env['JAX_PLATFORMS'] = platform
+            env['PYTHONPATH'] = os.pathsep.join(
+                [p for p in env['PYTHONPATH'].split(os.pathsep)
+                 if 'axon_site' not in p])
+        if args.reuse and os.path.exists(out_npz):
+            import numpy as _np
+            d = _np.load(out_npz)
+            print(f'# {tag}: reusing {out_npz}', flush=True)
+            return {'u': d['u'], 'iters': int(d['iters']),
+                    'res': float(d['res']), 'wall': float(d['wall']),
+                    'dof': int(d['dof'])}
         print(f'# running {tag} child...', flush=True)
+        if os.path.exists(out_npz):
+            os.remove(out_npz)
         r = subprocess.run([sys.executable, '-c', code], env=env,
                            capture_output=True, text=True, timeout=3600)
         if r.returncode != 0:
-            print(r.stdout[-2000:])
-            print(r.stderr[-4000:])
-            raise SystemExit(f'{tag} child failed')
+            print(r.stdout[-1500:])
+            print(r.stderr[-1500:])
+            return None
         line = r.stdout.strip().splitlines()[-1]
-        results[tag] = json.loads(line)
-        results[tag]['u'] = np.load(out_npz)['u']
+        out = json.loads(line)
+        out['u'] = np.load(out_npz)['u']
         print(f'# {tag}: {line}', flush=True)
+        return out
+
+    results['f32'] = run_leg('f32', False)
+    if results['f32'] is None:
+        raise SystemExit('f32 child failed')
+    # f64 accuracy reference: try the accelerator first (x64 emulation);
+    # if the fully-f64 program does not even compile there (measured:
+    # PJRT_Compile crashes through the axon stack), fall back to the CPU
+    # backend — the reference's own substrate — for the parity truth.
+    results['f64'] = run_leg('f64', True)
+    if results['f64'] is None:
+        notes['f64_on_accelerator'] = ('compile failed (no native f64; '
+                                       'the fully-f64 solve crashes '
+                                       'PJRT_Compile) — f64 reference '
+                                       'ran on the CPU backend instead')
+        results['f64'] = run_leg('f64_cpu', True, platform='cpu')
+        if results['f64'] is None:
+            raise SystemExit('f64 reference failed on CPU too')
 
     u32, u64 = results['f32']['u'], results['f64']['u']
     parity = float(np.abs(u32.astype(np.float64) - u64).max())
@@ -162,6 +198,7 @@ def main():
         'displacement_parity_px': parity,
         'speedup_f32_over_f64': round(
             results['f64']['wall'] / max(results['f32']['wall'], 1e-9), 2),
+        'notes': notes,
     }
     with open(os.path.join(_ROOT, 'F32_STUDY.json'), 'w') as f:
         json.dump(out, f, indent=1)
