@@ -1107,8 +1107,8 @@ def _bench_roofline():
             _ = np.asarray(jax.tree_util.tree_leaves(o)[0])
             return time.perf_counter() - t0
 
-        t1 = min(run(1) for _ in range(3))
-        tK = min(run(K) for _ in range(2))
+        t1 = min(run(1) for _ in range(4))
+        tK = min(run(K) for _ in range(3))
         return max((tK - t1) / (K - 1), 1e-9)
 
     def cost(jfn, *args):
@@ -1198,7 +1198,7 @@ def _bench_roofline():
         tabs = jnp.asarray(np.broadcast_to(tabp, (B, Tp, 14)).copy())
         fn = lambda t=tabs: _raster_render_shared(
             resident[0], t, fv, nblk, nblk, False, 'u8', 0, 0.0)
-        dt = dev_time(fn, K=8)
+        dt = dev_time(fn, K=12)
         batch_ms[B] = dt / B
         if B == 1:
             fl, bt = cost(_raster_render_shared, resident[0], tabs, fv,
@@ -1234,7 +1234,7 @@ def _bench_roofline():
     # ---- 4. CG matvec (window-solve per-iteration cost) --------------
     from feabas_tpu.parallel.window import build_stack_system, stack_solve
     from feabas_tpu.ops import fem
-    S = 16
+    S = 64
     meshes = []
     for zz in range(S):
         m = Mesh.from_bbox((0, 0, 3000, 3000), cartesian=True, mesh_size=30,
@@ -1247,12 +1247,18 @@ def _bench_roofline():
     pts = np.stack([xs.ravel(), ys.ravel()], -1)
     links = []
     for zz in range(S - 1):
-        tid = meshes[zz].tri_finder(pts, gear='INITIAL', extrapolate=True)
-        links.append({'idx0': meshes[zz].triangles[tid],
-                      'bary0': meshes[zz].cart2bary(pts, tid,
+        # nonzero inter-section offsets: identical link endpoints would
+        # make r_rest == 0 -> b == 0 -> CG exits at iteration 0 and the
+        # per-iteration delta measures nothing (the f32-study workload)
+        d = rng.normal(0, 1.5, 2)
+        tid0 = meshes[zz].tri_finder(pts, gear='INITIAL', extrapolate=True)
+        tid1 = meshes[zz + 1].tri_finder(pts + d, gear='INITIAL',
+                                         extrapolate=True)
+        links.append({'idx0': meshes[zz].triangles[tid0],
+                      'bary0': meshes[zz].cart2bary(pts, tid0,
                                                     gear='INITIAL'),
-                      'idx1': meshes[zz + 1].triangles[tid],
-                      'bary1': meshes[zz + 1].cart2bary(pts, tid,
+                      'idx1': meshes[zz + 1].triangles[tid1],
+                      'bary1': meshes[zz + 1].cart2bary(pts + d, tid1,
                                                         gear='INITIAL'),
                       'weight': np.ones(len(pts), np.float32)})
     system = build_stack_system(meshes, links)
@@ -1266,19 +1272,33 @@ def _bench_roofline():
     inc1, imask1 = fem.build_incidence(tris0, system['verts0'].shape[1])
     inc, imask = jnp.asarray(inc1), jnp.asarray(imask1)
 
-    def solve(iters):
+    def solve(iters, with_iters=False):
         u, n_it, res = stack_solve(
             args['verts0'], args['u'], args['tris'], args['multiplier'],
             args['poisson'], largs, r_rest, free, lam_s=0.1, tol=0.0,
             maxiter=iters, inc=inc, imask=imask)
-        return u
+        return (u, n_it) if with_iters else u
 
-    # wide iteration spread: the delta must clear ~100 ms of tunnel
-    # timing noise, and per-call setup (Ke build, preconditioner, rhs)
-    # cancels in the subtraction
-    t_lo = dev_time(lambda: solve(40), K=3)
-    t_hi = dev_time(lambda: solve(640), K=3)
-    per_iter = max((t_hi - t_lo) / 600, 1e-9)
+    # wide iteration spread at production size (~1.3M DOF, ~10 ms/iter):
+    # the 1000-iteration delta (~10 s of device time) must overwhelm the
+    # ~100 ms of tunnel timing noise that swamped a 600-iter delta on a
+    # 16-section system; per-call setup (Ke build, preconditioner, rhs)
+    # cancels in the subtraction. tol=0 pins the trip count to maxiter.
+    def timed(iters, n=2):
+        solve(iters)                         # warm (compile + cache)
+        best = float('inf')
+        for _ in range(n):
+            t0 = time.perf_counter()
+            u = solve(iters)
+            _ = float(np.asarray(u).ravel()[0])   # force a value fetch
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    _, n_hi = solve(1100, with_iters=True)
+    iters_run = int(np.asarray(n_hi))
+    t_lo = timed(100)
+    t_hi = timed(1100)
+    per_iter = max((t_hi - t_lo) / 1000, 1e-9)
     # analytic per-iteration ledger (the while-loop body; XLA cost
     # analysis can't attribute per-trip): element matvec reads Ke
     # (S,T,6,6 f32) + incidence gathers, CG moves ~14 (S,V,2) vectors
@@ -1289,8 +1309,9 @@ def _bench_roofline():
     entry('cg_matvec_iter', per_iter, fl, bts,
           {'shape': f'{Sv} sections x {Vv} verts '
                     f'({int(system["u"].size)} DOF), f32',
+           'iters_run_of_1100': iters_run,
            'per_call_setup_ms': round(
-               max(t_lo - 40 * per_iter, 0.0) * 1e3, 1)})
+               max(t_lo - 100 * per_iter, 0.0) * 1e3, 1)})
     return out
 
 

@@ -58,21 +58,36 @@ _GROUP_CAP = 1
 _FETCH_THREADS = 2
 
 
-def resolve_group_cap(flag=None):
+# 'auto' group sizing targets this many output pixels per dispatch:
+# per-dispatch cost is FIXED (host table staging, program launch, one
+# fetch round trip), so small blocks must batch until the group carries
+# enough work to amortize it. Measured on a local device: 128^2 blocks
+# run 4.3x faster at cap 8+ than cap 1, while 512^2+ blocks are flat in
+# cap (the kernel itself is HBM-bound; see PERF_NOTES roofline).
+_GROUP_TARGET_PIXELS = 1 << 20
+_GROUP_CAP_MAX = 16
+
+
+def resolve_group_cap(flag=None, block_pixels=None):
     """Blocks per batched dispatch. None defers to the config knob
     (general_configs ``device.render_group_cap``); 'auto' (the default)
     consults the measured link profile: slow links (the dev tunnel) want
-    cap 1 — fetch granularity beats batched-transfer size because
-    per-transfer latency overlaps across the fetch pool (measured sweep:
-    cap1 30.7 MB/s vs cap4 18.2 through the tunnel, PERF_NOTES) — while
-    fast local links (PCIe-co-located chips, CPU backend) amortize
-    per-dispatch overhead by batching blocks into one vmapped program."""
+    cap 1 at production block sizes — fetch granularity beats
+    batched-transfer size because per-transfer latency overlaps across
+    the fetch pool (measured sweep: cap1 30.7 MB/s vs cap4 18.2 through
+    the tunnel, PERF_NOTES) — and regardless of link, small blocks batch
+    until each dispatch group covers ~``_GROUP_TARGET_PIXELS`` of output
+    (``block_pixels``, when given, is the padded per-block pixel count)."""
     if flag is None:
         from feabas_tpu import config
         flag = config.render_group_cap()
     if isinstance(flag, str):
         from feabas_tpu.ops.link_probe import is_slow_link
-        return 1 if is_slow_link() else 4
+        cap = 1 if is_slow_link() else 4
+        if block_pixels:
+            floor = _GROUP_TARGET_PIXELS // max(int(block_pixels), 1)
+            cap = max(cap, min(floor, _GROUP_CAP_MAX))
+        return max(1, cap)
     return max(1, int(flag))
 
 
@@ -396,7 +411,11 @@ class DeviceRenderEngine:
         if wts is None:
             wts = self._w
         if group_cap is None:
-            group_cap = resolve_group_cap()
+            # keep the raw flag ('auto' or int): 'auto' resolves PER
+            # GROUP KEY in the prep loop so the cap can scale with the
+            # group's block size (small blocks amortize dispatch cost)
+            from feabas_tpu import config
+            group_cap = config.render_group_cap()
         resident = None
         from feabas_tpu.dal import StreamLoader
         if isinstance(loader, StreamLoader):
@@ -507,6 +526,16 @@ class DeviceRenderEngine:
             def claim():
                 return next(order, None)
 
+        caps = {}
+
+        def cap_for(key):
+            c = caps.get(key)
+            if c is None:
+                c = resolve_group_cap(group_cap,
+                                      block_pixels=key[0] * key[1])
+                caps[key] = c
+            return c
+
         while True:
             if pace is not None:
                 pace()
@@ -572,5 +601,5 @@ class DeviceRenderEngine:
             prepared[i] = (h, w, key, tab, src)
             grp = pending.setdefault(key, [])
             grp.append(i)
-            if len(grp) >= group_cap:
+            if len(grp) >= cap_for(key):
                 dispatch(key, pending.pop(key))

@@ -285,11 +285,19 @@ def test_resolve_group_cap_probe(workdir):
             {'platform': 'tpu', 'latency_s': 0.12,
              'down_MBps': 40.0, 'up_MBps': 54.0})
         assert resolve_group_cap('auto') == 1       # tunnel regime
+        # size-aware auto: tiny blocks batch until the group carries
+        # ~1M output px REGARDLESS of link (dispatch-cost amortization:
+        # 128^2 blocks measured 4.3x faster batched, 512^2+ flat)
+        assert resolve_group_cap('auto', block_pixels=128 * 128) == 16
+        assert resolve_group_cap('auto', block_pixels=2048 * 2048) == 1
         link_probe.set_profile_for_testing(
             {'platform': 'tpu', 'latency_s': 2e-4,
              'down_MBps': 8000.0, 'up_MBps': 8000.0})
         assert resolve_group_cap('auto') == 4       # local link
+        assert resolve_group_cap('auto', block_pixels=128 * 128) == 16
+        assert resolve_group_cap('auto', block_pixels=512 * 512) == 4
         assert resolve_group_cap(2) == 2
+        assert resolve_group_cap(2, block_pixels=128 * 128) == 2  # explicit
     finally:
         link_probe.set_profile_for_testing(None)
 
