@@ -40,6 +40,11 @@ from feabas_tpu.ops.warp import (bilinear_sample,
 _EPS = 1e-9
 # triangles per unrolled fori_loop chunk (table rows pad to a multiple)
 _CHUNK = 8
+# cell-binned raster: cell edge in px, and the block triangle count above
+# which binning pays (below it the flat O(T) loop is already one or two
+# chunks and the binned gather adds only overhead)
+_CELL = 128
+_CELL_MIN_TRIS = 32
 # source / output block dims quantize to these multiples so a handful of
 # jit signatures serve arbitrary crops
 _SRC_ALIGN = 256
@@ -148,6 +153,72 @@ def _raster_core(src, table, fillval, h, w, geodesic, out_kind,
         return score, sx, sy, smask
 
     score, sx, sy, smask = jax.lax.fori_loop(0, T // _CHUNK, body, init)
+    return _finish_raster(src, score, sx, sy, smask, fillval, geodesic,
+                          out_kind, n_mips, mip_blur)
+
+
+def _raster_core_cells(src, table, cand, fillval, h, w, geodesic, out_kind,
+                       n_mips=0, mip_blur=0.0):
+    """Cell-binned variant of ``_raster_core``: the block splits into
+    ``_CELL``-px cells and each pixel tests only ITS cell's candidate
+    triangles (host-binned, ascending index so the flat kernel's
+    first-wins tie-break is preserved exactly). Per-pixel cost scales
+    with LOCAL triangle overlap (K = padded per-cell candidate count)
+    instead of the block's whole table — the montage renderer's binned
+    structure (ops/montage_render.py) applied to the mesh raster loop.
+
+    cand: (NC, K) int32 rows into ``table``; padding entries point at an
+    inert row (l1c < -1, weight -inf — guaranteed by the +1 row pad in
+    ``_table_for_block`` / the group pad in ``dispatch``).
+    """
+    C = _CELL
+    ncy, ncx = h // C, w // C
+    K = cand.shape[-1]
+    cand = cand.reshape(ncy, ncx, K)
+    loc = jnp.arange(C, dtype=jnp.float32)
+    gx = ((jnp.arange(ncx, dtype=jnp.float32) * C)[None, :, None, None]
+          + loc[None, None, None, :])
+    gy = ((jnp.arange(ncy, dtype=jnp.float32) * C)[:, None, None, None]
+          + loc[None, None, :, None])
+    shape = (ncy, ncx, C, C)
+    init = (jnp.full(shape, -jnp.inf, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.float32),
+            jnp.zeros(shape, jnp.int32))
+
+    def body(k, state):
+        score, sx, sy, smask = state
+        rows = table[cand[:, :, k]]                     # (ncy, ncx, 14)
+
+        def r(j):
+            return rows[:, :, j][:, :, None, None]
+
+        l1 = r(0) * gx + r(1) * gy + r(2)
+        l2 = r(3) * gx + r(4) * gy + r(5)
+        inside = (l1 >= -_EPS) & (l2 >= -_EPS) & (l1 + l2 <= 1.0 + _EPS)
+        take = inside & (r(12) > score)
+        score = jnp.where(take, r(12), score)
+        sx = jnp.where(take, r(6) * gx + r(7) * gy + r(8), sx)
+        sy = jnp.where(take, r(9) * gx + r(10) * gy + r(11), sy)
+        if geodesic:
+            color = rows[:, :, 13].astype(jnp.int32)[:, :, None, None]
+            bit = jnp.where(color >= 0,
+                            jnp.left_shift(1, jnp.maximum(color, 0)), 0)
+            smask = smask | jnp.where(inside, bit, 0)
+        return score, sx, sy, smask
+
+    score, sx, sy, smask = jax.lax.fori_loop(0, K, body, init)
+
+    def asm(a):
+        return a.transpose(0, 2, 1, 3).reshape(h, w)
+
+    return _finish_raster(src, asm(score), asm(sx), asm(sy), asm(smask),
+                          fillval, geodesic, out_kind, n_mips, mip_blur)
+
+
+def _finish_raster(src, score, sx, sy, smask, fillval, geodesic, out_kind,
+                   n_mips, mip_blur):
+    h, w = score.shape
     covered = score != -jnp.inf
     if geodesic:
         covered = covered & (jax.lax.population_count(smask) < 2)
@@ -229,6 +300,30 @@ def _raster_render_multi(srcs, tables, fillval, h, w, geodesic, out_kind,
     )(srcs, tables)
 
 
+@functools.partial(jax.jit,
+                   static_argnames=('h', 'w', 'geodesic', 'out_kind',
+                                    'n_mips', 'mip_blur'))
+def _raster_render_shared_cells(src, tables, cands, fillval, h, w,
+                                geodesic, out_kind, n_mips=0, mip_blur=0.0):
+    """Cell-binned batch against ONE shared (device-resident) source."""
+    return jax.vmap(
+        lambda t, c: _raster_core_cells(src, t, c, fillval, h, w, geodesic,
+                                        out_kind, n_mips, mip_blur)
+    )(tables, cands)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=('h', 'w', 'geodesic', 'out_kind',
+                                    'n_mips', 'mip_blur'))
+def _raster_render_multi_cells(srcs, tables, cands, fillval, h, w,
+                               geodesic, out_kind, n_mips=0, mip_blur=0.0):
+    """Cell-binned batch, per-block (stacked, equal-shape) source crops."""
+    return jax.vmap(
+        lambda s, t, c: _raster_core_cells(s, t, c, fillval, h, w, geodesic,
+                                           out_kind, n_mips, mip_blur)
+    )(srcs, tables, cands)
+
+
 def _align_up(n, align, lo):
     return max(int(lo), int(-(-int(n) // align) * align))
 
@@ -292,7 +387,10 @@ class DeviceRenderEngine:
         ox, oy = origin
         sx0, sy0 = src_origin
         n = sel.size
-        Tp = _align_up(n, _CHUNK, _CHUNK)
+        # +1: at least one inert row always exists past the real rows, so
+        # cell candidate tables can use index n (or any later row) as the
+        # padding sentinel
+        Tp = _align_up(n + 1, _CHUNK, _CHUNK)
         tab = np.zeros((Tp, 14), np.float32)
         tab[:, 2] = -2.0               # padding rows: l1 < 0 -> never inside
         tab[:, 12] = -np.inf
@@ -315,6 +413,52 @@ class DeviceRenderEngine:
             tab[:n, 12] = wts[sel]
             tab[:n, 13] = self._colors[sel]
         return tab
+
+    def _cells_for_block(self, sel, origin, hp, wp):
+        """(NC, Kp) int32 cell-candidate table for the cell-binned raster
+        kernel: triangles (as LOCAL row indices into this block's
+        coefficient table) binned to the ``_CELL``-px cells their bboxes
+        touch, ascending within each cell so the flat kernel's
+        first-in-index tie-break is preserved; padding entries point at
+        row ``sel.size`` (inert by the +1 pad in ``_table_for_block``)."""
+        C = _CELL
+        ncy, ncx = hp // C, wp // C
+        NC = ncy * ncx
+        n = sel.size
+        ox, oy = origin
+        tb = self._tb[sel]
+        bx0 = np.clip(np.floor((tb[:, 0] - ox) / C).astype(np.int64),
+                      0, ncx - 1)
+        by0 = np.clip(np.floor((tb[:, 1] - oy) / C).astype(np.int64),
+                      0, ncy - 1)
+        bx1 = np.clip(np.floor((tb[:, 2] - ox) / C).astype(np.int64),
+                      0, ncx - 1)
+        by1 = np.clip(np.floor((tb[:, 3] - oy) / C).astype(np.int64),
+                      0, ncy - 1)
+        spanx = bx1 - bx0 + 1
+        spany = by1 - by0 + 1
+        cells = []
+        tris = []
+        all_tri = np.arange(n, dtype=np.int64)
+        for dy in range(int(spany.max())):
+            my = dy < spany
+            for dx in range(int(spanx.max())):
+                m = my & (dx < spanx)
+                if not m.any():
+                    continue
+                cells.append((by0[m] + dy) * ncx + (bx0[m] + dx))
+                tris.append(all_tri[m])
+        cell_ids = np.concatenate(cells)
+        tri_ids = np.concatenate(tris)
+        order = np.lexsort((tri_ids, cell_ids))
+        cell_sorted = cell_ids[order]
+        starts = np.searchsorted(cell_sorted, np.arange(NC))
+        pos = np.arange(len(order)) - starts[cell_sorted]
+        K = int(pos.max()) + 1
+        Kp = max(4, 1 << (K - 1).bit_length())
+        cand = np.full((NC, Kp), n, np.int32)
+        cand[cell_sorted, pos] = tri_ids[order]
+        return cand
 
     def _table_affine(self, A, b, origin, src_origin):
         """Single-row table: one always-inside 'triangle' carrying an
@@ -450,15 +594,39 @@ class DeviceRenderEngine:
             for k, i in enumerate(idxs):
                 t = prepared[i][3]
                 tabs[k, :t.shape[0]] = t
+            cands = None
+            if key[-1] == 'cells':
+                # group K = max of the blocks' (pow2) K; padding entries
+                # point at row Tp-1, inert for EVERY block (each block's
+                # own rows end with >=1 inert row by the +1 table pad and
+                # the group pad above fills the rest)
+                Kp = max(prepared[i][5].shape[-1] for i in idxs)
+                NC = prepared[idxs[0]][5].shape[0]
+                cands = np.full((len(idxs), NC, Kp), Tp - 1, np.int32)
+                for k, i in enumerate(idxs):
+                    c = prepared[i][5]
+                    cands[k, :, :c.shape[-1]] = c
             if key[3] == 'resident':
-                out_dev = _raster_render_shared(
-                    resident[0], jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind, nm, mip_blur)
+                if cands is None:
+                    out_dev = _raster_render_shared(
+                        resident[0], jax.device_put(tabs), fv, hp, wp,
+                        self._geodesic, out_kind, nm, mip_blur)
+                else:
+                    out_dev = _raster_render_shared_cells(
+                        resident[0], jax.device_put(tabs),
+                        jax.device_put(cands), fv, hp, wp,
+                        self._geodesic, out_kind, nm, mip_blur)
             else:
                 srcs = np.stack([prepared[i][4] for i in idxs])
-                out_dev = _raster_render_multi(
-                    jax.device_put(srcs), jax.device_put(tabs), fv, hp, wp,
-                    self._geodesic, out_kind, nm, mip_blur)
+                if cands is None:
+                    out_dev = _raster_render_multi(
+                        jax.device_put(srcs), jax.device_put(tabs), fv,
+                        hp, wp, self._geodesic, out_kind, nm, mip_blur)
+                else:
+                    out_dev = _raster_render_multi_cells(
+                        jax.device_put(srcs), jax.device_put(tabs),
+                        jax.device_put(cands), fv, hp, wp,
+                        self._geodesic, out_kind, nm, mip_blur)
             fetches.append((idxs, key, pool.submit(np.asarray, out_dev)))
 
         def consume(entry):
@@ -594,11 +762,15 @@ class DeviceRenderEngine:
                 src = np.ascontiguousarray(src)
                 key = (hp, wp, nm, src.shape, src.dtype.name)
                 src_origin = (sx0, sy0)
+            cand = None
             if sc is not None:
                 tab = self._table_affine(sc[0], sc[1], (x0, y0), src_origin)
             else:
                 tab = self._table_for_block(sel, (x0, y0), src_origin, wts)
-            prepared[i] = (h, w, key, tab, src)
+                if sel.size > _CELL_MIN_TRIS:
+                    cand = self._cells_for_block(sel, (x0, y0), hp, wp)
+            key = key + (('cells',) if cand is not None else ('flat',))
+            prepared[i] = (h, w, key, tab, src, cand)
             grp = pending.setdefault(key, [])
             grp.append(i)
             if len(grp) >= cap_for(key):

@@ -359,3 +359,41 @@ def test_render_whole_mesh_fused_mip_dirs(workdir, tmp_path):
     for k in outs['dev']:
         d = np.abs(outs['dev'][k].astype(int) - outs['host'][k].astype(int))
         assert np.mean(d > 1) < 5e-3, (k, d.max(), np.mean(d > 1))
+
+
+def test_cells_kernel_matches_flat_exactly(workdir):
+    """The cell-binned raster kernel is an EXACT rewrite of the flat
+    O(T)-per-pixel loop (same formulas, same ascending-index tie-break):
+    compare the two kernels directly on the same dense-mesh table,
+    including a folded (geodesic) mesh where arbitration order matters."""
+    import jax.numpy as jnp
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.dal import StreamLoader
+    from feabas_tpu.ops import render as R
+
+    for fold in (False, True):
+        if fold:
+            m = _smooth_mesh(N=512, mesh_size=48, amp=40.0)  # folds sheets
+        else:
+            m = _smooth_mesh(N=512, mesh_size=48)
+        loader = StreamLoader(_world())
+        r = MeshRenderer.from_mesh(m, image_loader=loader)
+        eng = r._get_device_engine()
+        resident = eng._resident_source(loader, 0)
+        tb = eng._tb
+        x0, y0, x1, y1 = 0, 0, 512, 512
+        sel = np.nonzero((tb[:, 0] < x1) & (tb[:, 2] > x0) &
+                         (tb[:, 1] < y1) & (tb[:, 3] > y0) &
+                         np.isfinite(eng._w))[0]
+        assert sel.size > R._CELL_MIN_TRIS     # the regime cells target
+        tab = eng._table_for_block(sel, (x0, y0), resident[1], eng._w)
+        cand = eng._cells_for_block(sel, (x0, y0), 512, 512)
+        tabs = jnp.asarray(tab[None])
+        flat = R._raster_render_shared(
+            resident[0], tabs, jnp.float32(0), 512, 512,
+            eng._geodesic, 'u8', 0, 0.0)
+        cells = R._raster_render_shared_cells(
+            resident[0], tabs, jnp.asarray(cand[None]), jnp.float32(0),
+            512, 512, eng._geodesic, 'u8', 0, 0.0)
+        assert (np.asarray(flat) == np.asarray(cells)).all(), (
+            'cells kernel diverges from flat', fold)
