@@ -1210,6 +1210,45 @@ def _bench_roofline():
            'per_block_ms_cap4': round(batch_ms[4] * 1e3, 3),
            'batch_speedup_cap4': round(batch_ms[1] / batch_ms[4], 2)})
 
+    # ---- 2b. cell-binned raster at production mesh density -----------
+    # The dense-mesh regime (align-stage meshes put thousands of tris in
+    # one 2048^2 block): per-pixel cost is the CELL's candidate count K,
+    # not the block's T — the production path for blocks > _CELL_MIN_TRIS
+    # tris (ops/render.py _raster_core_cells).
+    from feabas_tpu.ops.render import _raster_render_shared_cells
+    mesh_d = Mesh.from_bbox((0, 0, nblk, nblk), cartesian=True,
+                            mesh_size=64, resolution=4)
+    v = mesh_d.vertices(1)
+    mesh_d.set_vertices(v + np.stack([5 * np.sin(v[:, 1] / 600),
+                                      4 * np.cos(v[:, 0] / 500)], -1), 1,
+                        offset=mesh_d.offset(1))
+    eng_d = MeshRenderer.from_mesh(
+        mesh_d, image_loader=loader)._get_device_engine()
+    sel_d = np.arange(len(eng_d._w))
+    tab_d = eng_d._table_for_block(sel_d, (0, 0), resident[1], eng_d._w)
+    Tp_d = _align_up(1 << int(tab_d.shape[0] - 1).bit_length(),
+                     _CHUNK, _CHUNK)
+    tabp_d = np.zeros((Tp_d, 14), np.float32)
+    tabp_d[:, 2] = -2.0
+    tabp_d[:, 12] = -np.inf
+    tabp_d[:, 13] = -1.0
+    tabp_d[:tab_d.shape[0]] = tab_d
+    cand_d = eng_d._cells_for_block(sel_d, (0, 0), nblk, nblk)
+    cand_d = np.where(cand_d >= tab_d.shape[0], Tp_d - 1, cand_d)
+    tabs_d = jnp.asarray(tabp_d[None])
+    cands_d = jnp.asarray(cand_d[None])
+    dt_flat_d = dev_time(lambda: _raster_render_shared(
+        resident[0], tabs_d, fv, nblk, nblk, False, 'u8', 0, 0.0))
+    dt_cell_d = dev_time(lambda: _raster_render_shared_cells(
+        resident[0], tabs_d, cands_d, fv, nblk, nblk, False, 'u8', 0, 0.0))
+    fl, bt = cost(_raster_render_shared_cells, resident[0], tabs_d,
+                  cands_d, fv, nblk, nblk, False, 'u8', 0, 0.0)
+    entry('raster_render_cells_dense', dt_cell_d, fl, bt,
+          {'shape': f'{nblk}^2 u8, {tab_d.shape[0]} tris, '
+                    f'K={cand_d.shape[-1]}/cell',
+           'flat_ms': round(dt_flat_d * 1e3, 3),
+           'cells_speedup': round(dt_flat_d / dt_cell_d, 2)})
+
     # ---- 3. LRadon stencil matmul (thumbnail descriptor core) -------
     from feabas_tpu.ops import lradon
     n = 512
