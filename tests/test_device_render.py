@@ -397,3 +397,38 @@ def test_cells_kernel_matches_flat_exactly(workdir):
             512, 512, eng._geodesic, 'u8', 0, 0.0)
         assert (np.asarray(flat) == np.asarray(cells)).all(), (
             'cells kernel diverges from flat', fold)
+
+
+def test_cells_group_dispatch_mixed_table_sizes(workdir):
+    """Group-batched cells dispatch (cap > 1) with blocks whose candidate
+    tables differ in T and K: the group pads tables to one pow2 Tp and
+    candidate rows to one Kp, with padding entries pointing at rows that
+    must be inert for EVERY block. Compare against per-block (cap 1)
+    device renders, which the exactness test above ties to the host."""
+    from feabas_tpu.renderer import MeshRenderer
+    from feabas_tpu.dal import StreamLoader
+
+    # blocks hanging off the mesh edge carry far fewer triangles than
+    # interior ones, so the group mixes table sizes (and pow2 K widths)
+    m = _smooth_mesh(N=768, mesh_size=40)
+    loader = StreamLoader(_world(N=1024))
+    r = MeshRenderer.from_mesh(m, image_loader=loader)
+    eng = r._get_device_engine()
+    blocks = [(0, 0, 512, 512), (512, 0, 1024, 512),
+              (0, 512, 512, 1024), (512, 512, 1024, 1024)]
+    sizes = set()
+    for b in blocks:
+        tb = eng._tb
+        sel = np.nonzero((tb[:, 0] < b[2]) & (tb[:, 2] > b[0]) &
+                         (tb[:, 1] < b[3]) & (tb[:, 3] > b[1]) &
+                         np.isfinite(eng._w))[0]
+        from feabas_tpu.ops.render import _CELL_MIN_TRIS
+        assert sel.size > _CELL_MIN_TRIS
+        sizes.add(1 << int(sel.size).bit_length())
+    assert len(sizes) > 1, 'fixture no longer mixes table sizes'
+    grouped = eng.render_blocks(blocks, loader, 0, np.uint8, group_cap=4)
+    single = eng.render_blocks(blocks, loader, 0, np.uint8, group_cap=1)
+    for g, s in zip(grouped, single):
+        assert (g is None) == (s is None)
+        if g is not None:
+            assert (g == s).all()
