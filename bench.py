@@ -367,7 +367,7 @@ def _bench_tile_pair():
     match = stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)  # warm-up
     assert match is not None and match.xy0.shape[0] >= 8, 'bench tile pair'
     dts = []
-    for _ in range(3):
+    for _ in range(5):   # min-of-5: the tunnel jitters session to session
         t0 = time.perf_counter()
         match = stitching_matcher(t0_img, t1_img, **_TILE_KWARGS)
         dts.append(time.perf_counter() - t0)
@@ -445,10 +445,13 @@ def _bench_tile_pairs_pipelined(n_pairs=24, workers=3):
     # jit signature count tiny across production pairs)
     for p in pairs:
         one(p)
-    t0 = time.perf_counter()
-    with ThreadPoolExecutor(workers) as ex:
-        results = list(ex.map(one, pairs))
-    dt = time.perf_counter() - t0
+    dt = None
+    for _ in range(2):   # best-of-2 passes: tunnel throughput jitters
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(workers) as ex:
+            results = list(ex.map(one, pairs))
+        d = time.perf_counter() - t0
+        dt = d if dt is None else min(dt, d)
     n_matches = 0
     errs = []
     for p, m in zip(pairs, results):
