@@ -952,7 +952,6 @@ def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
     system = build_stack_system(meshes, links)
     dof = int(system['u'].size)
     import jax.numpy as jnp
-    from feabas_tpu.ops import fem
     if wrinkle:
         # heterogeneous stiffness: a soft diagonal wrinkle band per
         # section (multiplier x0.02, the wrinkle-relaxation regime) —
@@ -971,19 +970,17 @@ def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
     args['links'] = tuple(jnp.asarray(a) for a in system['links'])
     args['r_rest'] = jnp.asarray(system['r_rest'])
     args['free'] = jnp.asarray(system['free'])
-    # SHARED incidence table (uniform topology): gathers beat TPU
-    # scatter-adds; the per-section vmapped table variant kernel-faults
-    # the TPU worker, the shared-table closure does not
-    tris0 = system['tris'] if system['tris'].ndim == 2 else system['tris'][0]
-    inc1, imask1 = fem.build_incidence(tris0, system['verts0'].shape[1])
-    inc = jnp.asarray(inc1)
-    imask = jnp.asarray(imask1)
+    # production path: the cartesian window meshes lattice-pack, so the
+    # solve runs the gather-free 9-plane stencil matvec (round-5 kernel;
+    # the incidence-gather variant remains the irregular-mesh fallback)
+    grid_shape = system.get('grid_shape')
+    assert grid_shape is not None, 'window bench mesh should lattice-pack'
 
     def run():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
-                           lam_s=0.1, maxiter=maxiter, inc=inc, imask=imask)
+                           lam_s=0.1, maxiter=maxiter, grid_shape=grid_shape)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())
@@ -1313,12 +1310,15 @@ def _bench_roofline():
              else system['tris'][0])
     inc1, imask1 = fem.build_incidence(tris0, system['verts0'].shape[1])
     inc, imask = jnp.asarray(inc1), jnp.asarray(imask1)
+    grid_shape = system.get('grid_shape')
 
-    def solve(iters, with_iters=False):
+    def solve(iters, with_iters=False, stencil=True):
+        kw = ({'grid_shape': grid_shape} if (stencil and grid_shape)
+              else {'inc': inc, 'imask': imask})
         u, n_it, res = stack_solve(
             args['verts0'], args['u'], args['tris'], args['multiplier'],
             args['poisson'], largs, r_rest, free, lam_s=0.1, tol=0.0,
-            maxiter=iters, inc=inc, imask=imask)
+            maxiter=iters, **kw)
         return (u, n_it) if with_iters else u
 
     # wide iteration spread at production size (~1.3M DOF, ~10 ms/iter):
@@ -1326,12 +1326,12 @@ def _bench_roofline():
     # ~100 ms of tunnel timing noise that swamped a 600-iter delta on a
     # 16-section system; per-call setup (Ke build, preconditioner, rhs)
     # cancels in the subtraction. tol=0 pins the trip count to maxiter.
-    def timed(iters, n=2):
-        solve(iters)                         # warm (compile + cache)
+    def timed(iters, n=2, stencil=True):
+        solve(iters, stencil=stencil)        # warm (compile + cache)
         best = float('inf')
         for _ in range(n):
             t0 = time.perf_counter()
-            u = solve(iters)
+            u = solve(iters, stencil=stencil)
             _ = float(np.asarray(u).ravel()[0])   # force a value fetch
             best = min(best, time.perf_counter() - t0)
         return best
@@ -1342,18 +1342,31 @@ def _bench_roofline():
     t_hi = timed(1100)
     per_iter = max((t_hi - t_lo) / 1000, 1e-9)
     # analytic per-iteration ledger (the while-loop body; XLA cost
-    # analysis can't attribute per-trip): element matvec reads Ke
-    # (S,T,6,6 f32) + incidence gathers, CG moves ~14 (S,V,2) vectors
+    # analysis can't attribute per-trip): the stencil matvec streams the
+    # 9 coefficient planes (36 f32/vertex) with ZERO random accesses,
+    # CG moves ~14 (S,V,2) vectors
     Sv, Vv = system['u'].shape[:2]
     Tt = tris0.shape[0]
-    bts = 4.0 * (Sv * Tt * 36 + 14 * Sv * Vv * 2) + inc1.size * 4
-    fl = Sv * Tt * 144.0 + 12 * Sv * Vv * 2
-    entry('cg_matvec_iter', per_iter, fl, bts,
-          {'shape': f'{Sv} sections x {Vv} verts '
-                    f'({int(system["u"].size)} DOF), f32',
-           'iters_run_of_1100': iters_run,
-           'per_call_setup_ms': round(
-               max(t_lo - 100 * per_iter, 0.0) * 1e3, 1)})
+    if grid_shape:
+        bts = 4.0 * (Sv * Vv * 36 + 14 * Sv * Vv * 2)
+        fl = Sv * Vv * 72.0 + 12 * Sv * Vv * 2
+    else:
+        bts = 4.0 * (Sv * Tt * 36 + 14 * Sv * Vv * 2) + inc1.size * 4
+        fl = Sv * Tt * 144.0 + 12 * Sv * Vv * 2
+    row_extra = {'shape': f'{Sv} sections x {Vv} verts '
+                          f'({int(system["u"].size)} DOF), f32, '
+                          f'{"stencil" if grid_shape else "gather"} matvec',
+                 'iters_run_of_1100': iters_run,
+                 'per_call_setup_ms': round(
+                     max(t_lo - 100 * per_iter, 0.0) * 1e3, 1)}
+    if grid_shape:
+        # the irregular-mesh fallback, for the same system
+        tg_lo = timed(100, stencil=False)
+        tg_hi = timed(1100, stencil=False)
+        per_iter_g = max((tg_hi - tg_lo) / 1000, 1e-9)
+        row_extra['gather_iter_ms'] = round(per_iter_g * 1e3, 3)
+        row_extra['stencil_speedup'] = round(per_iter_g / per_iter, 2)
+    entry('cg_matvec_iter', per_iter, fl, bts, row_extra)
     return out
 
 

@@ -408,7 +408,8 @@ class Stack:
                 sharded['verts0'], sharded['u'], sharded['tris'],
                 sharded['multiplier'], sharded['poisson'], sharded['links'],
                 sharded['r_rest'], sharded['free'], tol=tol,
-                maxiter=maxiter, modes=modes, lam_ratio=float(lam_ratio))
+                maxiter=maxiter, modes=modes, lam_ratio=float(lam_ratio),
+                grid_shape=system.get('grid_shape'))
             u = np.asarray(out, np.float64)
             system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:

@@ -106,7 +106,11 @@ class Mesh:
                 max_aspect_ratio=kwargs.pop('max_aspect_ratio', 2.0),
                 min_num_blocks=kwargs.pop('min_num_blocks', 1))
         else:
-            v, t = tri_mod.border_refined_mesh(bbox, mesh_size, bd_width=np.inf)
+            # structured staggered lattice: same quality as the Delaunay
+            # equilateral fill, but lattice-embeddable so window solves
+            # over these sections run the gather-free stencil matvec
+            # (fem.lattice_embedding / stack_solve grid_shape)
+            v, t = tri_mod.equilateral_bbox_mesh(bbox, mesh_size)
         return cls(v, t, **kwargs)
 
     @classmethod

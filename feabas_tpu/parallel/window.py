@@ -121,7 +121,7 @@ def _build_system(meshes, links_per_pair, shape_gear, start_gear,
             p1r = (verts0_host[k + 1][np.asarray(l['idx1'])]
                    * np.asarray(l['bary1'], np.float64)[..., None]).sum(1)
             r_rest[k, :n] = p1r - p0r
-    return {
+    system = {
         # uniform stacks share ONE (T,3) triangle table (lets XLA hoist
         # the topology out of the section vmap — measured 2.5x on the
         # per-iteration cost); ragged stacks carry per-section tables
@@ -136,6 +136,54 @@ def _build_system(meshes, links_per_pair, shape_gear, start_gear,
         'verts0_host': verts0_host,
         'num_vertices': nvs,
     }
+    if not ragged:
+        _lattice_pack(system, meshes[0], shape_gear)
+    return system
+
+
+def _lattice_pack(system, mesh0, shape_gear):
+    """Re-index a uniform stack onto its vertex lattice when the shared
+    topology embeds (fem.lattice_embedding): vertices pack in row-major
+    (ny, nx) cell order so ``stack_solve(grid_shape=...)`` can run the
+    9-plane stencil matvec instead of gather/scatter FEM transposes.
+    Unoccupied cells (staggered-boundary holes) become inert padding
+    (free 0, no element references). No-op (gather fallback) when the
+    mesh is not a lattice. The packing is exact for the gather path too
+    — callers that ignore ``grid_shape`` see an equivalent system."""
+    emb = fem.lattice_embedding(
+        mesh0.vertices_w_offset(shape_gear), np.asarray(system['tris']))
+    if emb is None:
+        return
+    cell_of, (ny, nx) = emb
+    Vg = ny * nx
+    S = system['u'].shape[0]
+    nv = cell_of.shape[0]
+
+    def pack_rows(a, fill=0.0):
+        out = np.full((S, Vg) + a.shape[2:], fill, a.dtype)
+        out[:, cell_of] = a[:, :nv]
+        return out
+
+    system['verts0'] = pack_rows(system['verts0'])
+    system['u'] = pack_rows(system['u'])
+    system['free'] = pack_rows(system['free'])
+    system['tris'] = cell_of[np.asarray(system['tris'])].astype(np.int32)
+    idx0, bary0, idx1, bary1, weight = system['links']
+    system['links'] = (cell_of[idx0].astype(np.int32), bary0,
+                       cell_of[idx1].astype(np.int32), bary1, weight)
+    vh = []
+    for v0 in system['verts0_host']:
+        out = np.zeros((Vg, 2), v0.dtype)
+        out[cell_of] = v0[:nv]
+        vh.append(out)
+    system['verts0_host'] = vh
+    system['num_vertices'] = [Vg] * S
+    # real-vertex mask: rigid modes and residue passes must skip holes
+    rm = np.zeros(Vg, bool)
+    rm[cell_of] = True
+    system['real_mask'] = rm
+    system['vertex_map'] = cell_of          # original vertex -> cell
+    system['grid_shape'] = (ny, nx)
 
 
 def stack_rigid_modes(system):
@@ -161,22 +209,32 @@ def stack_rigid_modes(system):
     sec_free = free.max(axis=(1, 2)) > 0
     from feabas_tpu.optimizer import rigid_modes_flat
     slot = np.arange(S * V).reshape(S, V)
+    # lattice-packed systems: modes must skip unoccupied grid cells
+    # (they carry no DOFs; support there would pollute the deflation)
+    rmask = system.get('real_mask')
     comps = []
     for lbl in np.unique(comp):
         sel = np.nonzero(comp == lbl)[0]
         if not sec_free[sel].all():
             continue
-        rows = np.concatenate([slot[s, :nvs[s]] for s in sel])
-        q = np.concatenate([verts0_host[s][:nvs[s]] for s in sel])
+        if rmask is None:
+            rows = np.concatenate([slot[s, :nvs[s]] for s in sel])
+            q = np.concatenate([verts0_host[s][:nvs[s]] for s in sel])
+        else:
+            rows = np.concatenate([slot[s][rmask] for s in sel])
+            q = np.concatenate([verts0_host[s][rmask] for s in sel])
         comps.append((rows, q))
     modes = rigid_modes_flat(S * V, comps)
     return None if modes is None else modes.reshape(-1, S, V, 2)
 
 
-def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
+def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None,
+                  C=None, grid_shape=None):
     """A @ x for the stacked system; x: (S, V, 2); tris: (S, T, 3). With
     an incidence table the FEM transpose uses gathers instead of
-    scatter-adds (TPU scatters serialize on duplicates)."""
+    scatter-adds (TPU scatters serialize on duplicates). With stencil
+    planes ``C`` (lattice-packed systems, fem.stencil_assemble) the FEM
+    matvec runs gather-free as 9 shifted multiply-adds per section."""
     x = x * free
     shared = tris.ndim == 2          # one topology for every section
     if inc is not None and (inc.ndim == 2) != shared:
@@ -185,7 +243,11 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None):
         # silent fallback would mis-gather or drop the optimization
         raise ValueError(f'incidence table rank {inc.ndim} does not match '
                          f'{"shared" if shared else "per-section"} tris')
-    if inc is not None and inc.ndim == 2 and shared:
+    if C is not None:
+        ny, nx = grid_shape
+        y = jax.vmap(lambda xi, Ci: fem.stiffness_matvec_stencil(
+            xi, Ci, ny, nx))(x, C) * lam_s
+    elif inc is not None and inc.ndim == 2 and shared:
         # shared incidence table: the per-section vmapped variant
         # kernel-faults the TPU worker, the shared-table closure does
         # not — and gathers beat scatter-adds on TPU
@@ -237,10 +299,10 @@ def _pad_links_to_sections(links, S):
         [a, jnp.zeros_like(a[:1])], axis=0) for a in links)
 
 
-@functools.partial(jax.jit, static_argnames=('maxiter',))
+@functools.partial(jax.jit, static_argnames=('maxiter', 'grid_shape'))
 def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                 lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None,
-                modes=None, lam_ratio=None):
+                modes=None, lam_ratio=None, grid_shape=None):
     """One window relaxation in displacement form.
 
     Returns (new_u (S, V, 2), n_it, res). Minimizes
@@ -250,6 +312,11 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     With ``lam_ratio`` given, ``lam_s`` is computed IN-PROGRAM from the
     stiffness/crosslink diagonal trace ratio (SLM._balance_lambdas
     semantics) — one dispatch instead of a separate balance program.
+    With static ``grid_shape`` (lattice-packed uniform stacks,
+    ``build_stack_system``'s ``system['grid_shape']``), the per-iteration
+    FEM matvec runs as the gather-free 9-plane stencil
+    (fem.stiffness_matvec_stencil) — assembly pays one scatter per solve
+    and CG then streams coefficient planes.
     """
     # per-section element matrices (local work); ``tris`` is a shared
     # (T,3) table for uniform stacks or (S,T,3) per-section tables
@@ -262,13 +329,22 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     Ke = jax.vmap(fem.eng_element_stiffness)(B, area2, multiplier, poisson)
     dt = u.dtype
     r_rest = r_rest.astype(dt)
+    C = None
+    if grid_shape is not None and shared:
+        if grid_shape[0] * grid_shape[1] != u.shape[1]:
+            raise ValueError(f'grid_shape {grid_shape} does not tile '
+                             f'V={u.shape[1]} vertices')
+        tgt = fem.stencil_targets(tris, grid_shape[1], u.shape[1])
+        C = jax.vmap(lambda Ki: fem.stencil_assemble(
+            Ki, tgt, u.shape[1]))(Ke)
 
     from feabas_tpu.optimizer import _mode_projector
     project = _mode_projector(None if modes is None else modes.astype(dt))
 
     def matvec(x):
         return project(_stack_matvec(project(x), Ke, tris, links, free,
-                                     lam_s, inc=inc, imask=imask))
+                                     lam_s, inc=inc, imask=imask,
+                                     C=C, grid_shape=grid_shape))
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0).
     # Links normalize to the full-S axis (inert last slot) so every
@@ -277,7 +353,9 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     r_rest = _pad_links_to_sections((r_rest,), u.shape[0])[0]
     idx0, bary0, idx1, bary1, weight = links
     V = u.shape[1]
-    if shared:
+    if C is not None:
+        dK = jax.vmap(lambda Ci: fem.stencil_diag(Ci, V))(C)
+    elif shared:
         dK = jax.vmap(lambda Ki: fem.stiffness_diag(Ki, tris, V))(Ke)
     else:
         dK = jax.vmap(lambda Ki, tr: fem.stiffness_diag(Ki, tr, V))(Ke, tris)
@@ -295,7 +373,10 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
         ok = (tr_c > 0) & (tr_k > 0)
         lam_s = jnp.where(ok, lam_ratio * tr_c
                           / jnp.where(tr_k > 0, tr_k, 1.0), 1.0).astype(dt)
-    if shared:
+    if C is not None:
+        b = -jax.vmap(lambda ui, Ci: fem.stiffness_matvec_stencil(
+            ui, Ci, grid_shape[0], grid_shape[1]))(u, C) * lam_s
+    elif shared:
         b = -jax.vmap(lambda ui, Ki: fem.stiffness_matvec(ui, Ki, tris))(
             u, Ke) * lam_s
     else:
@@ -547,7 +628,8 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
-        maxiter=maxiter, modes=modes)
+        maxiter=maxiter, modes=modes,
+        grid_shape=system.get('grid_shape'))
     u_all = gather_stack_result(u_new)
     pos = stack_positions(system, u_all)[:len(meshes)]  # drop pad sections
     return pos, int(n_it), float(res)
@@ -555,9 +637,15 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
 
 def stack_positions(system, u):
     """World-frame f64 positions per section from a solved displacement
-    stack: list of (V_i, 2) arrays (unpadded)."""
+    stack: list of (V_i, 2) arrays (unpadded). Lattice-packed systems
+    (``vertex_map`` present) de-permute back to each mesh's original
+    vertex order."""
+    vm = system.get('vertex_map')
     out = []
     for k, v0 in enumerate(system['verts0_host']):
         nv = system['num_vertices'][k]
-        out.append(v0[:nv] + np.asarray(u[k, :nv], np.float64))
+        pos = v0[:nv] + np.asarray(u[k, :nv], np.float64)
+        if vm is not None and nv:
+            pos = pos[vm]
+        out.append(pos)
     return out

@@ -330,6 +330,69 @@ def cartesian_mesh(bbox, mesh_size, max_aspect_ratio=2.0, min_num_blocks=1):
     return verts.astype(np.float64), np.asarray(tris, dtype=np.int32)
 
 
+def equilateral_bbox_mesh(bbox, mesh_size):
+    """Structured staggered near-equilateral lattice over a bbox with
+    STRAIGHT boundaries and an explicit triangle table (no Delaunay).
+
+    Rows sit at pitch ``ht/ny`` (ny chosen so mesh_size*sqrt(3)/2 rows
+    fit evenly); even rows carry vertices at ``c*a``, odd rows at
+    ``(c+0.5)*a`` plus the two boundary verts — every vertex-pair offset
+    of every triangle lies in {-1,0,1}^2 of the (row, col) lattice, so
+    the FEM stencil matvec applies (fem.lattice_embedding detects it).
+    Quality matches the Delaunay equilateral generator away from the
+    boundary and beats its sliver-prone boundary fan. (Reference role:
+    uniform-bbox section meshing, feabas/mesh.py:441 bd_width=inf.)
+    """
+    xmin, ymin, xmax, ymax = (float(v) for v in bbox)
+    wd, ht = xmax - xmin, ymax - ymin
+    ny = max(int(round(ht / (mesh_size * np.sqrt(3) / 2))), 1)
+    nxc = max(int(round(wd / mesh_size)), 1)
+    h = ht / ny
+    a = wd / nxc
+    rows = []
+    for r in range(ny + 1):
+        y = ymin + r * h
+        if r % 2 == 0:
+            xs = xmin + a * np.arange(nxc + 1)
+        else:
+            xs = np.concatenate([[xmin], xmin + a * (np.arange(nxc) + 0.5),
+                                 [xmax]])
+        rows.append(np.stack([xs, np.full(xs.size, y)], axis=-1))
+    offs = np.cumsum([0] + [r.shape[0] for r in rows])
+    verts = np.concatenate(rows, axis=0)
+    tris = []
+    for r in range(ny):
+        lo, hi = rows[r], rows[r + 1]
+        i = j = 0
+        ilo, ihi = offs[r], offs[r + 1]
+        # monotone strip triangulation: advance whichever side's next
+        # vertex is nearer, keeping triangles CCW (lo is below hi in y)
+        while i < lo.shape[0] - 1 or j < hi.shape[0] - 1:
+            if j == hi.shape[0] - 1:
+                take_lo = True
+            elif i == lo.shape[0] - 1:
+                take_lo = False
+            else:
+                d = lo[i + 1, 0] - hi[j + 1, 0]
+                # on ties (the shared boundary columns) advance the side
+                # whose CURRENT vertex trails — keeps every lattice
+                # offset within one column at both straight edges
+                take_lo = d < -1e-9 or (d < 1e-9 and lo[i, 0] < hi[j, 0])
+            if take_lo:
+                tris.append([ilo + i, ilo + i + 1, ihi + j])
+                i += 1
+            else:
+                tris.append([ilo + i, ihi + j + 1, ihi + j])
+                j += 1
+    tris = np.asarray(tris, np.int32)
+    # enforce CCW (positive signed area)
+    d1 = verts[tris[:, 1]] - verts[tris[:, 0]]
+    d2 = verts[tris[:, 2]] - verts[tris[:, 0]]
+    cw = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0] < 0
+    tris[cw] = tris[cw][:, [0, 2, 1]]
+    return verts.astype(np.float64), tris
+
+
 def border_refined_mesh(bbox, mesh_size, bd_width=None, interior_growth=3.0):
     """Tile mesh with fine border band + coarse interior, for stitching
     tiles where matches live near edges (behavioral counterpart of

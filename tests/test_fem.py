@@ -236,3 +236,66 @@ def test_gather_matvec_matches_scatter(rng):
     y_gather = fem.stiffness_matvec_gather(x, Ke, jnp.asarray(tris),
                                            jnp.asarray(inc), jnp.asarray(mask))
     assert np.allclose(np.asarray(y_scatter), np.asarray(y_gather), atol=1e-10)
+
+
+def test_lattice_embedding_families(rng):
+    """Embedding detection: cartesian grids and the structured staggered
+    bbox lattice embed; border-banded tile meshes and PSLG meshes do not
+    (they fall back to the gather matvec)."""
+    from feabas_tpu.ops import fem
+    from feabas_tpu.triangulation import (cartesian_mesh,
+                                          equilateral_bbox_mesh,
+                                          border_refined_mesh)
+    v, t = cartesian_mesh((0, 0, 500, 400), 50)
+    cell_of, (ny, nx) = fem.lattice_embedding(v, t)
+    assert ny * nx == v.shape[0]                     # full bijection
+    assert np.unique(cell_of).size == v.shape[0]
+    v, t = equilateral_bbox_mesh((0, 0, 500, 400), 50)
+    out = fem.lattice_embedding(v, t)
+    assert out is not None
+    cell_of, (ny, nx) = out
+    assert np.unique(cell_of).size == v.shape[0]
+    assert v.shape[0] >= 0.9 * ny * nx               # few boundary holes
+    pos = np.stack([cell_of % nx, cell_of // nx], -1)
+    for a, b in ((0, 1), (1, 2), (2, 0)):
+        assert np.abs(pos[t[:, a]] - pos[t[:, b]]).max() <= 1
+    v, t = border_refined_mesh((0, 0, 900, 900), 40, bd_width=120)
+    assert fem.lattice_embedding(v, t) is None
+
+
+def test_stencil_matvec_matches_scatter(rng):
+    """The 9-plane lattice stencil matvec equals the element
+    gather/scatter matvec on both lattice families, including
+    heterogeneous multipliers (zeros = inert elements)."""
+    from feabas_tpu.ops import fem
+    from feabas_tpu.triangulation import (cartesian_mesh,
+                                          equilateral_bbox_mesh)
+    import jax.numpy as jnp
+    for gen in (cartesian_mesh, equilateral_bbox_mesh):
+        verts, tris = gen((0, 0, 400, 300), 35)
+        nv = len(verts)
+        B, area2 = fem.shape_matrices(jnp.asarray(verts[tris]))
+        mult = jnp.asarray(rng.uniform(0, 2, len(tris)))
+        mult = mult * (rng.uniform(size=len(tris)) > 0.1)
+        Ke = fem.eng_element_stiffness(B, area2, mult,
+                                       jnp.full(len(tris), 0.2))
+        x = rng.normal(0, 1, (nv, 2))
+        y_ref = np.asarray(fem.stiffness_matvec(jnp.asarray(x), Ke,
+                                                jnp.asarray(tris)))
+        d_ref = np.asarray(fem.stiffness_diag(Ke, jnp.asarray(tris), nv))
+        cell_of, (ny, nx) = fem.lattice_embedding(verts, tris)
+        Vg = ny * nx
+        tris_p = cell_of[tris]
+        xp = np.zeros((Vg, 2))
+        xp[cell_of] = x
+        tgt = fem.stencil_targets(tris_p, nx, Vg)
+        C = fem.stencil_assemble(Ke, jnp.asarray(tgt), Vg)
+        y_p = np.asarray(fem.stiffness_matvec_stencil(jnp.asarray(xp), C,
+                                                      ny, nx))
+        d_p = np.asarray(fem.stencil_diag(C, Vg))
+        assert np.allclose(y_p[cell_of], y_ref, atol=1e-8), gen.__name__
+        assert np.allclose(d_p[cell_of], d_ref, atol=1e-10), gen.__name__
+        hole = np.ones(Vg, bool)
+        hole[cell_of] = False
+        if hole.any():                                # holes stay silent
+            assert np.abs(y_p[hole]).max() == 0.0

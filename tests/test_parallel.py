@@ -271,3 +271,79 @@ def test_non_divisible_window_spans_all_devices(workdir, rng):
         va = stack_a.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
         vb = stack_b.get_mesh(n).vertices_w_offset(const.MESH_GEAR_MOVING)
         np.testing.assert_allclose(va, vb, atol=1e-3)
+
+
+def test_stack_solve_stencil_matches_gather(workdir):
+    """The lattice-stencil solve (grid_shape static arg) returns the
+    gather solve's displacements on both lattice families, and the
+    de-permuting ``stack_positions`` recovers drift in ORIGINAL mesh
+    vertex order (staggered lattices pack with boundary holes)."""
+    import jax.numpy as jnp
+    from feabas_tpu.mesh import Mesh
+    from feabas_tpu.parallel.window import (build_stack_system, stack_solve,
+                                            stack_positions)
+    rng = np.random.default_rng(3)
+    for cartesian in (True, False):
+        S = 6
+        meshes = []
+        for z in range(S):
+            m = Mesh.from_bbox((0, 0, 300, 240), cartesian=cartesian,
+                               mesh_size=40, uid=z, name=f'z{z}')
+            m.set_translation((0, 0))
+            meshes.append(m)
+        meshes[0].locked = True
+        drift = np.cumsum(rng.normal(0, 1.5, (S, 2)), axis=0)
+        drift -= drift[0]
+        xs, ys = np.meshgrid(np.linspace(25, 275, 4),
+                             np.linspace(25, 215, 4))
+        pts = np.stack([xs.ravel(), ys.ravel()], -1)
+        links = []
+        for z in range(S - 1):
+            d = drift[z + 1] - drift[z]
+            tid0 = meshes[z].tri_finder(pts, gear='INITIAL')
+            tid1 = meshes[z + 1].tri_finder(pts + d, gear='INITIAL')
+            links.append({
+                'idx0': meshes[z].triangles[tid0],
+                'bary0': meshes[z].cart2bary(pts, tid0, gear='INITIAL'),
+                'idx1': meshes[z + 1].triangles[tid1],
+                'bary1': meshes[z + 1].cart2bary(pts + d, tid1,
+                                                 gear='INITIAL'),
+                'weight': np.ones(len(pts), np.float32)})
+        system = build_stack_system(meshes, links)
+        assert system.get('grid_shape') is not None, cartesian
+        args = _solve_args(system)
+        u_g, it_g, _ = stack_solve(*args, lam_s=0.05, maxiter=800)
+        u_s, it_s, _ = stack_solve(*args, lam_s=0.05, maxiter=800,
+                                   grid_shape=system['grid_shape'])
+        du = np.abs(np.asarray(u_g) - np.asarray(u_s)).max()
+        assert du < 1e-4, (cartesian, du)
+        pos = stack_positions(system, np.asarray(u_s))
+        for z, m in enumerate(meshes):
+            v0 = m.vertices_w_offset(1)
+            assert pos[z].shape == v0.shape
+            err = (pos[z] - v0) - (-drift[z])
+            assert np.abs(err).max() < 0.25, (cartesian, z,
+                                              np.abs(err).max())
+
+
+def test_stack_solve_stencil_sharded_8dev(workdir):
+    """Stencil solve under the 8-device z-sharding: stays sharded and
+    matches the drift like the gather path."""
+    import jax
+    from feabas_tpu.parallel.window import (stack_solve,
+                                            shard_stack_system, JMesh)
+    jmesh = JMesh(np.array(jax.devices()), ('z',))
+    system, drift = _make_stack(S=8)
+    assert system.get('grid_shape') is not None
+    sharded = shard_stack_system(system, jmesh)
+    u_new, n_it, res = stack_solve(
+        sharded['verts0'], sharded['u'], sharded['tris'],
+        sharded['multiplier'], sharded['poisson'], sharded['links'],
+        sharded['r_rest'], sharded['free'], lam_s=0.01, maxiter=800,
+        grid_shape=system['grid_shape'])
+    assert len(u_new.sharding.device_set) == 8
+    got = np.asarray(u_new)
+    rm = system.get('real_mask')
+    for z in range(len(drift)):
+        rows = got[z][rm] if rm is not None else got[z]
+        assert np.abs(rows - (-drift[z])).max() < 0.15, z
