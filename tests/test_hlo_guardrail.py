@@ -129,3 +129,47 @@ def test_stack_solve_iteration_collectives_are_halo_sized(workdir):
     # slices per iteration means the partitioner de-sharded a scatter
     assert led['all-gather']['bytes'] <= 2 * halo, led
     assert led['reduce-scatter']['bytes'] <= 2 * halo, led
+
+
+def test_stack_solve_stencil_hlo_stays_sharded(workdir):
+    """Same de-shard/collective pins for the lattice-STENCIL solve — the
+    production path for grid/staggered window meshes (stack_solve
+    grid_shape): CG dots all-reduce, the crosslink halo rides permutes,
+    the vertex state stays per-shard, and the while-body collectives
+    stay halo-sized (the stencil matvec is section-local, so it must add
+    NO collectives of its own)."""
+    import os
+    import sys
+    import jax
+    from jax.sharding import Mesh as JMesh
+    from feabas_tpu.parallel.window import stack_solve, shard_stack_system
+    from test_parallel import _make_stack
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
+                                    'tools'))
+    from sharded_solve_study import _while_body_collectives
+    devices = np.array(jax.devices())
+    assert devices.size == 8
+    system, _ = _make_stack(S=8)
+    assert system.get('grid_shape') is not None
+    sh = shard_stack_system(system, JMesh(devices, ('z',)))
+    args = (sh['verts0'], sh['u'], sh['tris'], sh['multiplier'],
+            sh['poisson'], sh['links'], sh['r_rest'], sh['free'])
+    kw = dict(lam_s=0.01, maxiter=800, grid_shape=system['grid_shape'])
+    txt = stack_solve.lower(*args, **kw).compile().as_text()
+    c = _collective_counts(txt)
+    assert c['all-reduce'] >= 1, c
+    assert c['collective-permute'] >= 1, c
+    S, V = system['u'].shape[:2]
+    full = txt.count(f'f32[{S},{V},2]')
+    shard = txt.count(f'f32[{S // 8},{V},2]')
+    assert shard > full, (shard, full)
+    led = _while_body_collectives(txt)
+    fbytes = np.dtype(np.asarray(system['u']).dtype).itemsize
+    halo = V * 2 * fbytes
+    assert led['collective-permute']['count'] == 2, led
+    assert led['collective-permute']['bytes'] == 2 * halo, (led, halo)
+    assert led['all-gather']['bytes'] <= 2 * halo, led
+    u_new, n_it, res = stack_solve(*args, **kw)
+    assert len(u_new.sharding.device_set) == 8
+    shapes = {s.data.shape for s in u_new.addressable_shards}
+    assert shapes == {(S // 8, V, 2)}, shapes
