@@ -970,17 +970,22 @@ def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
     args['links'] = tuple(jnp.asarray(a) for a in system['links'])
     args['r_rest'] = jnp.asarray(system['r_rest'])
     args['free'] = jnp.asarray(system['free'])
-    # production path: the cartesian window meshes lattice-pack, so the
-    # solve runs the gather-free 9-plane stencil matvec (round-5 kernel;
-    # the incidence-gather variant remains the irregular-mesh fallback)
+    # production path: the cartesian window meshes lattice-pack (stencil
+    # FEM matvec) and the crosslink transpose runs through the
+    # unique-scatter link tables (round-5 kernels; incidence-gather and
+    # scatter-add remain the irregular-mesh fallbacks)
+    from feabas_tpu.parallel.window import build_link_transpose
     grid_shape = system.get('grid_shape')
     assert grid_shape is not None, 'window bench mesh should lattice-pack'
+    lt = build_link_transpose(system['links'], S, system['u'].shape[1])
+    linc = tuple(jnp.asarray(a) for a in lt) if lt else None
 
     def run():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
-                           lam_s=0.1, maxiter=maxiter, grid_shape=grid_shape)
+                           lam_s=0.1, maxiter=maxiter, grid_shape=grid_shape,
+                           linc=linc)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())
@@ -1311,9 +1316,13 @@ def _bench_roofline():
     inc1, imask1 = fem.build_incidence(tris0, system['verts0'].shape[1])
     inc, imask = jnp.asarray(inc1), jnp.asarray(imask1)
     grid_shape = system.get('grid_shape')
+    from feabas_tpu.parallel.window import build_link_transpose
+    lt = build_link_transpose(system['links'], S, system['verts0'].shape[1])
+    linc = tuple(jnp.asarray(a) for a in lt) if lt else None
 
     def solve(iters, with_iters=False, stencil=True):
-        kw = ({'grid_shape': grid_shape} if (stencil and grid_shape)
+        kw = ({'grid_shape': grid_shape, 'linc': linc}
+              if (stencil and grid_shape)
               else {'inc': inc, 'imask': imask})
         u, n_it, res = stack_solve(
             args['verts0'], args['u'], args['tris'], args['multiplier'],

@@ -382,7 +382,8 @@ class Stack:
         ragged stacks, not just uniform synthetic ones."""
         from feabas_tpu.parallel.window import (
             slm_window_to_stack, shard_stack_system, stack_solve,
-            stack_rigid_modes, stack_positions, pad_stack_sections, JMesh)
+            stack_rigid_modes, stack_positions, pad_stack_sections,
+            build_link_transpose, JMesh)
         import jax
         import jax.numpy as jnp
         system = slm_window_to_stack(slm)
@@ -392,6 +393,10 @@ class Stack:
         # inert-section padding lets ANY window size span every device
         system = pad_stack_sections(system, len(devices))
         S = system['u'].shape[0]   # padded section count
+        # topology-static link transpose (weights change per pass, link
+        # INDICES never do, so one table serves every pass)
+        system['linc'] = build_link_transpose(
+            system['links'], S, system['u'].shape[1])
         jmesh = JMesh(np.array(devices), ('z',))
         base_weight = system['links'][4].copy()
         u = system['u']
@@ -409,7 +414,8 @@ class Stack:
                 sharded['multiplier'], sharded['poisson'], sharded['links'],
                 sharded['r_rest'], sharded['free'], tol=tol,
                 maxiter=maxiter, modes=modes, lam_ratio=float(lam_ratio),
-                grid_shape=system.get('grid_shape'))
+                grid_shape=system.get('grid_shape'),
+                linc=sharded.get('linc'))
             u = np.asarray(out, np.float64)
             system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:

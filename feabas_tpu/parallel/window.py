@@ -229,12 +229,16 @@ def stack_rigid_modes(system):
 
 
 def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None,
-                  C=None, grid_shape=None):
+                  C=None, grid_shape=None, linc=None):
     """A @ x for the stacked system; x: (S, V, 2); tris: (S, T, 3). With
     an incidence table the FEM transpose uses gathers instead of
     scatter-adds (TPU scatters serialize on duplicates). With stencil
     planes ``C`` (lattice-packed systems, fem.stencil_assemble) the FEM
-    matvec runs gather-free as 9 shifted multiply-adds per section."""
+    matvec runs gather-free as 9 shifted multiply-adds per section.
+    With ``linc`` (build_link_transpose) the crosslink transpose runs as
+    a touched-vertex incidence gather + unique-index scatter instead of
+    the duplicate-serializing scatter-add (5.1 -> ~0.3 ms/iter at
+    64x10201 verts)."""
     x = x * free
     shared = tris.ndim == 2          # one topology for every section
     if inc is not None and (inc.ndim == 2) != shared:
@@ -276,6 +280,22 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None,
     p1 = jax.vmap(fem.link_eval)(xn, idx1, bary1)
     r = (p1 - p0) * (weight ** 2)[..., None]
 
+    if linc is not None:
+        tv, incl = linc
+        S, L = weight.shape
+        # flattened per-section contribution rows [side0 | side1 rolled
+        # to its section | one zero row]; the roll halo is 3L rows —
+        # smaller than the full-V y1 halo it replaces
+        c0 = (-bary0[:, :, :, None] * r[:, :, None, :]).reshape(S, 3 * L, 2)
+        c1 = (bary1[:, :, :, None] * r[:, :, None, :]).reshape(S, 3 * L, 2)
+        cc = jnp.concatenate([c0, jnp.roll(c1, 1, axis=0),
+                              jnp.zeros((S, 1, 2), c0.dtype)], axis=1)
+        g = jax.vmap(lambda c, ic: c[ic].sum(axis=1))(cc, incl)
+        y = y + jax.vmap(
+            lambda yi, t, gi: jnp.zeros_like(yi).at[t].add(
+                gi, unique_indices=True))(y, tv, g)
+        return y * free
+
     def scatter(xi, idx, b, rr, sign):
         return jnp.zeros_like(xi).at[idx].add(sign * b[:, :, None] * rr[:, None, :])
 
@@ -285,6 +305,77 @@ def _stack_matvec(x, Ke, tris, links, free, lam_s, inc=None, imask=None,
         xn, idx1, bary1, r)
     y = y + y0 + jnp.roll(y1, 1, axis=0)
     return y * free
+
+
+def build_link_transpose(links, S, V):
+    """Host-side transpose tables for the crosslink scatter (once per
+    system; topology-static, weight-independent).
+
+    The naive ``zeros.at[idx].add`` transpose serializes on duplicate
+    vertices — measured 5.1 ms of the 5.7 ms CG iteration at 64x10201
+    verts (PERF_NOTES round 5). Instead: per section, gather each
+    TOUCHED vertex's few contributions from the flattened per-iteration
+    contribution array and place them with a UNIQUE-index scatter
+    (padding rows target distinct unused vertices, so the scatter
+    parallelizes).
+
+    Returns (tv (S, P) int32 target vertices, inc (S, P, D) int32 rows
+    into the (6L+1)-row per-section contribution array [side0 | rolled
+    side1 | zero row]); P/D pow2-padded, pad entries point at the zero
+    row.
+    """
+    idx0 = np.asarray(links[0])
+    idx1 = np.asarray(links[2])
+    L = idx0.shape[1]
+    if idx0.shape[0] != S:                       # (S-1)-slot layout
+        pad = np.zeros((1, L, 3), idx0.dtype)
+        idx0 = np.concatenate([idx0, pad], axis=0)
+        idx1 = np.concatenate([idx1, pad], axis=0)
+    zero_row = 6 * L
+    ent_v, ent_f, ent_s = [], [], []
+    for z in range(S):
+        ent_v.append(idx0[z].ravel())
+        ent_f.append(np.arange(3 * L))
+        ent_s.append(np.full(3 * L, z))
+        zp = (z - 1) % S                         # side1 rolls +1
+        ent_v.append(idx1[zp].ravel())
+        ent_f.append(3 * L + np.arange(3 * L))
+        ent_s.append(np.full(3 * L, z))
+    ev = np.concatenate(ent_v)
+    ef = np.concatenate(ent_f)
+    es = np.concatenate(ent_s)
+    key = es.astype(np.int64) * V + ev
+    order = np.argsort(key, kind='stable')
+    key_s, ef_s = key[order], ef[order]
+    uniq, starts = np.unique(key_s, return_index=True)
+    counts = np.diff(np.append(starts, key_s.size))
+    D = 1 << int(counts.max() - 1).bit_length()
+    P_real = max(int(np.bincount(uniq // V, minlength=S).max()), 1)
+    # pow2 bucket, capped at V: pad slots must each claim a DISTINCT
+    # unused vertex, and touched <= V always
+    P = min(1 << int(P_real - 1).bit_length(), V)
+    tv = np.zeros((S, P), np.int32)
+    inc = np.full((S, P, D), zero_row, np.int32)
+    used = np.zeros((S, V), bool)
+    used[uniq // V, uniq % V] = True
+    slot = np.zeros(S, np.int64)
+    for k in range(uniq.size):
+        z, v = int(uniq[k] // V), int(uniq[k] % V)
+        p = slot[z]
+        tv[z, p] = v
+        c = counts[k]
+        inc[z, p, :c] = ef_s[starts[k]:starts[k] + c]
+        slot[z] += 1
+    # pad slots -> DISTINCT unused vertices (zero contributions), so the
+    # device scatter can assert unique indices
+    for z in range(S):
+        n_pad = P - slot[z]
+        if n_pad:
+            free_ids = np.nonzero(~used[z])[0]
+            if free_ids.size < n_pad:            # degenerate tiny mesh
+                return None
+            tv[z, slot[z]:] = free_ids[:n_pad]
+    return tv, inc
 
 
 def _pad_links_to_sections(links, S):
@@ -302,7 +393,7 @@ def _pad_links_to_sections(links, S):
 @functools.partial(jax.jit, static_argnames=('maxiter', 'grid_shape'))
 def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                 lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None,
-                modes=None, lam_ratio=None, grid_shape=None):
+                modes=None, lam_ratio=None, grid_shape=None, linc=None):
     """One window relaxation in displacement form.
 
     Returns (new_u (S, V, 2), n_it, res). Minimizes
@@ -344,7 +435,7 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
     def matvec(x):
         return project(_stack_matvec(project(x), Ke, tris, links, free,
                                      lam_s, inc=inc, imask=imask,
-                                     C=C, grid_shape=grid_shape))
+                                     C=C, grid_shape=grid_shape, linc=linc))
 
     # rhs = -(lam_s K u + C^T W r(pos)); r(pos) = r_rest + (U1 - U0).
     # Links normalize to the full-S axis (inert last slot) so every
@@ -476,6 +567,7 @@ def pad_stack_sections(system, multiple):
     out['num_vertices'] = list(system['num_vertices']) + [0] * pad
     out['verts0_host'] = (list(system['verts0_host'])
                           + [system['verts0_host'][-1]] * pad)
+    out.pop('linc', None)     # S-aligned; rebuild after padding
     return out
 
 
@@ -516,6 +608,8 @@ def shard_stack_system(system, device_mesh):
     out['links'] = tuple(_put_global(pad_link(a), z)
                          for a in system['links'])
     out['r_rest'] = _put_global(pad_link(system['r_rest']), z)
+    if system.get('linc') is not None:
+        out['linc'] = tuple(_put_global(a, z) for a in system['linc'])
     return out
 
 
@@ -619,6 +713,8 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
     system = build_stack_system(meshes, links_per_pair)
     jmesh = global_stack_mesh()
     system = pad_stack_sections(system, jmesh.devices.size)
+    system['linc'] = build_link_transpose(
+        system['links'], system['u'].shape[0], system['u'].shape[1])
     sharded = shard_stack_system(system, jmesh)
     modes = stack_rigid_modes(system)
     if modes is not None:
@@ -629,7 +725,7 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
         maxiter=maxiter, modes=modes,
-        grid_shape=system.get('grid_shape'))
+        grid_shape=system.get('grid_shape'), linc=sharded.get('linc'))
     u_all = gather_stack_result(u_new)
     pos = stack_positions(system, u_all)[:len(meshes)]  # drop pad sections
     return pos, int(n_it), float(res)

@@ -147,14 +147,18 @@ def test_stack_solve_stencil_hlo_stays_sharded(workdir):
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir,
                                     'tools'))
     from sharded_solve_study import _while_body_collectives
+    from feabas_tpu.parallel.window import build_link_transpose
     devices = np.array(jax.devices())
     assert devices.size == 8
     system, _ = _make_stack(S=8)
     assert system.get('grid_shape') is not None
+    system['linc'] = build_link_transpose(system['links'], 8,
+                                          system['u'].shape[1])
     sh = shard_stack_system(system, JMesh(devices, ('z',)))
     args = (sh['verts0'], sh['u'], sh['tris'], sh['multiplier'],
             sh['poisson'], sh['links'], sh['r_rest'], sh['free'])
-    kw = dict(lam_s=0.01, maxiter=800, grid_shape=system['grid_shape'])
+    kw = dict(lam_s=0.01, maxiter=800, grid_shape=system['grid_shape'],
+              linc=sh['linc'])
     txt = stack_solve.lower(*args, **kw).compile().as_text()
     c = _collective_counts(txt)
     assert c['all-reduce'] >= 1, c
@@ -166,8 +170,13 @@ def test_stack_solve_stencil_hlo_stays_sharded(workdir):
     led = _while_body_collectives(txt)
     fbytes = np.dtype(np.asarray(system['u']).dtype).itemsize
     halo = V * 2 * fbytes
+    L = np.asarray(system['links'][4]).shape[1]
+    c1_halo = 3 * L * 2 * fbytes
+    # roll(x) carries a one-section V halo; the side-1 link transpose
+    # now rolls only its 3L contribution rows (was a second full-V halo)
     assert led['collective-permute']['count'] == 2, led
-    assert led['collective-permute']['bytes'] == 2 * halo, (led, halo)
+    assert led['collective-permute']['bytes'] == halo + c1_halo, (
+        led, halo, c1_halo)
     assert led['all-gather']['bytes'] <= 2 * halo, led
     u_new, n_it, res = stack_solve(*args, **kw)
     assert len(u_new.sharding.device_set) == 8

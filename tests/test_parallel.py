@@ -311,10 +311,14 @@ def test_stack_solve_stencil_matches_gather(workdir):
                 'weight': np.ones(len(pts), np.float32)})
         system = build_stack_system(meshes, links)
         assert system.get('grid_shape') is not None, cartesian
+        from feabas_tpu.parallel.window import build_link_transpose
+        lt = build_link_transpose(system['links'], S, system['u'].shape[1])
+        assert lt is not None
         args = _solve_args(system)
         u_g, it_g, _ = stack_solve(*args, lam_s=0.05, maxiter=800)
         u_s, it_s, _ = stack_solve(*args, lam_s=0.05, maxiter=800,
-                                   grid_shape=system['grid_shape'])
+                                   grid_shape=system['grid_shape'],
+                                   linc=tuple(jnp.asarray(a) for a in lt))
         du = np.abs(np.asarray(u_g) - np.asarray(u_s)).max()
         assert du < 1e-4, (cartesian, du)
         pos = stack_positions(system, np.asarray(u_s))
@@ -332,15 +336,18 @@ def test_stack_solve_stencil_sharded_8dev(workdir):
     import jax
     from feabas_tpu.parallel.window import (stack_solve,
                                             shard_stack_system, JMesh)
+    from feabas_tpu.parallel.window import build_link_transpose
     jmesh = JMesh(np.array(jax.devices()), ('z',))
     system, drift = _make_stack(S=8)
     assert system.get('grid_shape') is not None
+    system['linc'] = build_link_transpose(system['links'], 8,
+                                          system['u'].shape[1])
     sharded = shard_stack_system(system, jmesh)
     u_new, n_it, res = stack_solve(
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=0.01, maxiter=800,
-        grid_shape=system['grid_shape'])
+        grid_shape=system['grid_shape'], linc=sharded.get('linc'))
     assert len(u_new.sharding.device_set) == 8
     got = np.asarray(u_new)
     rm = system.get('real_mask')
