@@ -325,25 +325,39 @@ def build_link_transpose(links, S, V):
     row.
     """
     idx0 = np.asarray(links[0])
+    bar0 = np.asarray(links[1])
     idx1 = np.asarray(links[2])
+    bar1 = np.asarray(links[3])
     L = idx0.shape[1]
     if idx0.shape[0] != S:                       # (S-1)-slot layout
         pad = np.zeros((1, L, 3), idx0.dtype)
+        padb = np.zeros((1, L, 3), bar0.dtype)
         idx0 = np.concatenate([idx0, pad], axis=0)
         idx1 = np.concatenate([idx1, pad], axis=0)
+        bar0 = np.concatenate([bar0, padb], axis=0)
+        bar1 = np.concatenate([bar1, padb], axis=0)
     zero_row = 6 * L
     ent_v, ent_f, ent_s = [], [], []
     for z in range(S):
-        ent_v.append(idx0[z].ravel())
-        ent_f.append(np.arange(3 * L))
-        ent_s.append(np.full(3 * L, z))
+        # prune entries with a statically-zero barycentric weight: their
+        # contribution is identically zero for EVERY weight pass (this
+        # removes the inert padded link slots, whose all-zero idx rows
+        # would otherwise pile hundreds of dead entries on vertex 0 and
+        # explode the per-vertex table depth D)
+        m0 = (bar0[z].ravel() != 0)
+        ent_v.append(idx0[z].ravel()[m0])
+        ent_f.append(np.arange(3 * L)[m0])
+        ent_s.append(np.full(int(m0.sum()), z))
         zp = (z - 1) % S                         # side1 rolls +1
-        ent_v.append(idx1[zp].ravel())
-        ent_f.append(3 * L + np.arange(3 * L))
-        ent_s.append(np.full(3 * L, z))
+        m1 = (bar1[zp].ravel() != 0)
+        ent_v.append(idx1[zp].ravel()[m1])
+        ent_f.append(3 * L + np.arange(3 * L)[m1])
+        ent_s.append(np.full(int(m1.sum()), z))
     ev = np.concatenate(ent_v)
     ef = np.concatenate(ent_f)
     es = np.concatenate(ent_s)
+    if ev.size == 0:
+        return None
     key = es.astype(np.int64) * V + ev
     order = np.argsort(key, kind='stable')
     key_s, ef_s = key[order], ef[order]
