@@ -979,13 +979,15 @@ def _bench_window_solve(mesh_size=86, S=64, maxiter=500, repeats=3,
     assert grid_shape is not None, 'window bench mesh should lattice-pack'
     lt = build_link_transpose(system['links'], S, system['u'].shape[1])
     linc = tuple(jnp.asarray(a) for a in lt) if lt else None
+    sten = (jnp.asarray(system['sten'])
+            if system.get('sten') is not None else None)
 
     def run():
         return stack_solve(args['verts0'], args['u'], args['tris'],
                            args['multiplier'], args['poisson'],
                            args['links'], args['r_rest'], args['free'],
                            lam_s=0.1, maxiter=maxiter, grid_shape=grid_shape,
-                           linc=linc)
+                           linc=linc, sten=sten)
 
     u_new, n_it, res = run()   # compile warm-up
     _ = float(np.asarray(u_new).sum())
@@ -1320,8 +1322,11 @@ def _bench_roofline():
     lt = build_link_transpose(system['links'], S, system['verts0'].shape[1])
     linc = tuple(jnp.asarray(a) for a in lt) if lt else None
 
+    sten = (jnp.asarray(system['sten'])
+            if system.get('sten') is not None else None)
+
     def solve(iters, with_iters=False, stencil=True):
-        kw = ({'grid_shape': grid_shape, 'linc': linc}
+        kw = ({'grid_shape': grid_shape, 'linc': linc, 'sten': sten}
               if (stencil and grid_shape)
               else {'inc': inc, 'imask': imask})
         u, n_it, res = stack_solve(

@@ -415,7 +415,7 @@ class Stack:
                 sharded['r_rest'], sharded['free'], tol=tol,
                 maxiter=maxiter, modes=modes, lam_ratio=float(lam_ratio),
                 grid_shape=system.get('grid_shape'),
-                linc=sharded.get('linc'))
+                linc=sharded.get('linc'), sten=sharded.get('sten'))
             u = np.asarray(out, np.float64)
             system['u'] = u.astype(np.float32)
             if residue_mode is None or not residue_len or residue_len <= 0:

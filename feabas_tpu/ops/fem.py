@@ -419,6 +419,43 @@ def stencil_targets(tris, nx, nv):
     return plane * nv + tris[:, :, None]
 
 
+def build_stencil_assembly(tris, nx, nv):
+    """Host-side gather table for the 9-plane stencil assembly (once per
+    topology). The in-program ``stencil_assemble`` scatter-add carries
+    T*9 entries with heavy destination duplication (every vertex collects
+    its ~6 incident elements), and TPU scatters serialize on duplicates —
+    at 80 sections x 25k tris that scatter alone costs seconds per solve.
+    This table inverts it: for each (plane, vertex) destination, the rows
+    of the flattened (T*9 + 1)-row element-block array that contribute
+    (row t*9 + i*3 + j = element t's (i, j) 2x2 block; pad entries point
+    at the trailing zero row). Assembly then = gather + sum, no scatter.
+
+    Returns (9*nv, D) int32, D = max contributions per destination
+    (<= vertex degree, ~6 on lattice meshes)."""
+    tris = np.asarray(tris)
+    T = tris.shape[0]
+    tgt = np.asarray(stencil_targets(tris, nx, nv)).reshape(-1)
+    order = np.argsort(tgt, kind='stable')
+    st = tgt[order]
+    counts = np.bincount(st, minlength=9 * nv)
+    D = max(int(counts.max()), 1)
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    rows = np.full((9 * nv, D), T * 9, np.int32)
+    rows[st, np.arange(T * 9) - starts[st]] = order
+    return rows
+
+
+def stencil_assemble_gather(Ke, rows):
+    """(T,6,6) element stiffness -> (9*nv, 2, 2) coefficient planes via
+    a host-built transpose table (build_stencil_assembly) — the
+    gather-based replacement for ``stencil_assemble``'s scatter (exact
+    same result, pad rows read the zero block)."""
+    T = Ke.shape[0]
+    Kb = Ke.reshape(T, 3, 2, 3, 2).transpose(0, 1, 3, 2, 4).reshape(-1, 2, 2)
+    Kb = jnp.concatenate([Kb, jnp.zeros((1, 2, 2), Ke.dtype)], axis=0)
+    return Kb[rows].sum(axis=1)
+
+
 def stencil_assemble(Ke, tgt, nv):
     """(T,6,6) element stiffness -> (9*nv, 2, 2) coefficient planes
     (plane k holds the 2x2 block coupling each vertex to its neighbor at

@@ -184,6 +184,11 @@ def _lattice_pack(system, mesh0, shape_gear):
     system['real_mask'] = rm
     system['vertex_map'] = cell_of          # original vertex -> cell
     system['grid_shape'] = (ny, nx)
+    # topology-static assembly transpose: the in-program scatter-add
+    # assembly serializes on duplicate destinations (seconds of fixed
+    # cost per solve at production stack sizes) — gather tables instead
+    system['sten'] = fem.build_stencil_assembly(
+        np.asarray(system['tris']), nx, Vg)
 
 
 def stack_rigid_modes(system):
@@ -407,7 +412,8 @@ def _pad_links_to_sections(links, S):
 @functools.partial(jax.jit, static_argnames=('maxiter', 'grid_shape'))
 def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
                 lam_s=1.0, tol=1e-7, maxiter=500, inc=None, imask=None,
-                modes=None, lam_ratio=None, grid_shape=None, linc=None):
+                modes=None, lam_ratio=None, grid_shape=None, linc=None,
+                sten=None):
     """One window relaxation in displacement form.
 
     Returns (new_u (S, V, 2), n_it, res). Minimizes
@@ -439,9 +445,16 @@ def stack_solve(verts0, u, tris, multiplier, poisson, links, r_rest, free,
         if grid_shape[0] * grid_shape[1] != u.shape[1]:
             raise ValueError(f'grid_shape {grid_shape} does not tile '
                              f'V={u.shape[1]} vertices')
-        tgt = fem.stencil_targets(tris, grid_shape[1], u.shape[1])
-        C = jax.vmap(lambda Ki: fem.stencil_assemble(
-            Ki, tgt, u.shape[1]))(Ke)
+        if sten is not None:
+            # host-built transpose table: gather + sum, no scatter
+            # (the scatter assembly serializes on duplicate vertices —
+            # seconds per solve at 80 x 25k-tri stacks)
+            C = jax.vmap(lambda Ki: fem.stencil_assemble_gather(
+                Ki, sten))(Ke)
+        else:
+            tgt = fem.stencil_targets(tris, grid_shape[1], u.shape[1])
+            C = jax.vmap(lambda Ki: fem.stencil_assemble(
+                Ki, tgt, u.shape[1]))(Ke)
 
     from feabas_tpu.optimizer import _mode_projector
     project = _mode_projector(None if modes is None else modes.astype(dt))
@@ -624,6 +637,8 @@ def shard_stack_system(system, device_mesh):
     out['r_rest'] = _put_global(pad_link(system['r_rest']), z)
     if system.get('linc') is not None:
         out['linc'] = tuple(_put_global(a, z) for a in system['linc'])
+    if system.get('sten') is not None:
+        out['sten'] = _put_global(system['sten'], rep)
     return out
 
 
@@ -739,7 +754,8 @@ def multihost_window_solve(meshes, links_per_pair, lam_s=1.0, tol=1e-7,
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=lam_s, tol=tol,
         maxiter=maxiter, modes=modes,
-        grid_shape=system.get('grid_shape'), linc=sharded.get('linc'))
+        grid_shape=system.get('grid_shape'), linc=sharded.get('linc'),
+        sten=sharded.get('sten'))
     u_all = gather_stack_result(u_new)
     pos = stack_positions(system, u_all)[:len(meshes)]  # drop pad sections
     return pos, int(n_it), float(res)

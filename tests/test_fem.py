@@ -290,6 +290,11 @@ def test_stencil_matvec_matches_scatter(rng):
         xp[cell_of] = x
         tgt = fem.stencil_targets(tris_p, nx, Vg)
         C = fem.stencil_assemble(Ke, jnp.asarray(tgt), Vg)
+        # gather-table assembly (no-scatter path) is exact vs the scatter
+        rows = fem.build_stencil_assembly(tris_p, nx, Vg)
+        C_g = fem.stencil_assemble_gather(Ke, jnp.asarray(rows))
+        assert np.allclose(np.asarray(C_g), np.asarray(C),
+                           atol=1e-6), gen.__name__
         y_p = np.asarray(fem.stiffness_matvec_stencil(jnp.asarray(xp), C,
                                                       ny, nx))
         d_p = np.asarray(fem.stencil_diag(C, Vg))

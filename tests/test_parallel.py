@@ -321,6 +321,14 @@ def test_stack_solve_stencil_matches_gather(workdir):
                                    linc=tuple(jnp.asarray(a) for a in lt))
         du = np.abs(np.asarray(u_g) - np.asarray(u_s)).max()
         assert du < 1e-4, (cartesian, du)
+        # gather-table assembly (no-scatter path) must match as well
+        assert system.get('sten') is not None
+        u_t, it_t, _ = stack_solve(*args, lam_s=0.05, maxiter=800,
+                                   grid_shape=system['grid_shape'],
+                                   linc=tuple(jnp.asarray(a) for a in lt),
+                                   sten=jnp.asarray(system['sten']))
+        dt_ = np.abs(np.asarray(u_t) - np.asarray(u_s)).max()
+        assert dt_ < 1e-5, (cartesian, dt_)
         pos = stack_positions(system, np.asarray(u_s))
         for z, m in enumerate(meshes):
             v0 = m.vertices_w_offset(1)
@@ -347,7 +355,8 @@ def test_stack_solve_stencil_sharded_8dev(workdir):
         sharded['verts0'], sharded['u'], sharded['tris'],
         sharded['multiplier'], sharded['poisson'], sharded['links'],
         sharded['r_rest'], sharded['free'], lam_s=0.01, maxiter=800,
-        grid_shape=system['grid_shape'], linc=sharded.get('linc'))
+        grid_shape=system['grid_shape'], linc=sharded.get('linc'),
+        sten=sharded.get('sten'))
     assert len(u_new.sharding.device_set) == 8
     got = np.asarray(u_new)
     rm = system.get('real_mask')
